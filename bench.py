@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs each headline query end-to-end (noop sink forces full evaluation,
+no driver materialization cost) and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_dist_spark import registry
+from datafusion_dist_spark.session import build_session
+
+HEADLINE = [
+    # warehouse shapes (scan/join/agg/window/topk)
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "tpch_q10",
+    "window_rank_top1",
+    "join_inner_shuffle",
+    "agg_count_distinct",
+    # temporal
+    "events_sessionize",
+    "join_asof",
+    # LLM-pipeline operators
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_topk_bruteforce",
+    "text_fingerprint",
+    "text_quality",
+    "multimodal_features",
+]
+
+
+def run_query(df) -> None:
+    # noop datasource: full execution, zero sink cost, nothing collected.
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session("ddspark-bench")
+    specs = registry.all_specs()
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = specs[name].spark_fn
+        t0 = time.perf_counter()
+        run_query(fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

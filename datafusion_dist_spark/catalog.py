@@ -1,0 +1,77 @@
+"""Table registration: parquet directories → DataFrames / temp views.
+
+The reference registers in-memory ``MemTable``s in a DataFusion
+``SessionContext`` (``integration-tests/src/data.rs:36-92``). Here
+tables are parquet scans — columnar, splittable, predicate-pushdown-
+capable — which is the honest 100 TB story: at scale these paths point
+at a distributed store and every operator below still works.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def pin_session_confs(spark: SparkSession) -> None:
+    """Pin the runtime confs determinism depends on, idempotently.
+
+    Called on every table load because the engine's queries may run in
+    a session we did not build (the correctness driver's):
+    - UTC session timezone: parquet timestamps are naive/UTC and the
+      DuckDB oracle compares them naively (SURVEY §7 risk register);
+    - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark
+      otherwise refuses to read ([PARQUET_TYPE_ILLEGAL]).
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one table (schema from parquet footer)."""
+    pin_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # ts arrives as raw nanos (long) under nanosAsLong — convert to
+        # a real timestamp; integer DIV avoids double-precision loss.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Register each table as a temp view so ``spark.sql`` can see it.
+
+    Idempotent; re-registering with the same sf_dir is a no-op in
+    effect. Mirrors the reference's ``ctx.register_table`` calls.
+    """
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

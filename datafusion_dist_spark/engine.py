@@ -1,0 +1,229 @@
+"""DistEngine — the engine façade.
+
+Mirrors the observable surface of the reference's FlightSQL app
+(``integration-tests/app/src/main.rs``): SQL string in → job id +
+lazily-streamed Arrow record batches out, plus a queryable
+``running_jobs`` virtual table (``integration-tests/app/src/table.rs:14-61``,
+schema ``dist/src/util.rs:147-160``).
+
+What the reference hand-rolls underneath (stage cutting, task
+scheduling, inter-node Arrow Flight streams, job GC —
+``dist/src/runtime.rs``, ``dist/src/scheduler.rs``) is Spark's built-in
+DAGScheduler + shuffle service; this façade adds only the bookkeeping
+Spark does not surface as a table.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import types as T
+
+from datafusion_dist_spark import catalog
+from datafusion_dist_spark.session import build_session
+
+RUNNING_JOBS_SCHEMA = T.StructType(
+    [
+        # Mirrors dist/src/util.rs:147-160 (job_id, created_at,
+        # job_meta JSON, stages JSON).
+        T.StructField("job_id", T.StringType(), False),
+        T.StructField("created_at", T.TimestampType(), False),
+        T.StructField("job_meta", T.StringType(), False),
+        T.StructField("stages", T.StringType(), False),
+    ]
+)
+
+
+@dataclass
+class JobEntry:
+    job_id: str
+    created_at: float
+    meta: dict
+    status: str = "running"  # running | completed | failed
+    error: str | None = None
+    spark_job_group: str = ""
+    finished_at: float | None = None
+    extra: dict = field(default_factory=dict)
+
+
+class JobRegistry:
+    """Thread-safe registry of engine jobs (the ``running_jobs`` analog).
+
+    The reference keeps per-node ``StageState`` maps merged via RPC
+    (``dist/src/event.rs:214-334``); on Spark a single driver sees all
+    jobs, so a plain dict + the SparkStatusTracker suffices.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._jobs: dict[str, JobEntry] = {}
+
+    def create(self, meta: dict) -> JobEntry:
+        entry = JobEntry(job_id=str(uuid.uuid4()), created_at=time.time(), meta=meta)
+        entry.spark_job_group = f"ddspark-{entry.job_id}"
+        with self._lock:
+            self._jobs[entry.job_id] = entry
+        return entry
+
+    def finish(self, job_id: str, error: str | None = None) -> None:
+        with self._lock:
+            e = self._jobs.get(job_id)
+            if e is not None:
+                e.status = "failed" if error else "completed"
+                e.error = error
+                e.finished_at = time.time()
+
+    def cleanup(self, ttl_seconds: float = 0.0) -> int:
+        """Drop finished jobs older than ttl (reference job GC:
+        ``dist/src/event.rs:353-425``, ttl ``dist/src/config.rs:6-8``)."""
+        now = time.time()
+        with self._lock:
+            dead = [
+                j
+                for j, e in self._jobs.items()
+                if e.status != "running"
+                and e.finished_at is not None
+                and now - e.finished_at >= ttl_seconds
+            ]
+            for j in dead:
+                del self._jobs[j]
+        return len(dead)
+
+    def running(self) -> list[JobEntry]:
+        with self._lock:
+            return [e for e in self._jobs.values() if e.status == "running"]
+
+    def all(self) -> list[JobEntry]:
+        with self._lock:
+            return list(self._jobs.values())
+
+
+class JobHandle:
+    """A submitted query: lazily executable, streamed result delivery.
+
+    Matches the reference's ticket model: submit never executes;
+    execution starts only when the client pulls a stream
+    (``integration-tests/tests/exception.rs:30-54`` — an unpolled job
+    never runs and is GC'd). Here, ``df`` is the lazy plan and
+    ``stream_arrow()`` / ``collect()`` are the pulls.
+    """
+
+    def __init__(self, engine: "DistEngine", entry: JobEntry, df: DataFrame):
+        self._engine = engine
+        self._entry = entry
+        self.df = df
+
+    @property
+    def job_id(self) -> str:
+        return self._entry.job_id
+
+    def stream_arrow(self) -> Iterator:
+        """Stream the result as Arrow record batches, partition by
+        partition — the analog of one FlightSQL ``do_get`` per stage-0
+        partition (``main.rs:209-265``)."""
+        sc = self._engine.spark.sparkContext
+        sc.setJobGroup(self._entry.spark_job_group, json.dumps(self._entry.meta))
+        try:
+            yield from self.df.toArrow().to_batches()
+            self._engine.jobs.finish(self.job_id)
+        except Exception as exc:  # noqa: BLE001 - propagate after recording
+            self._engine.jobs.finish(self.job_id, error=str(exc))
+            raise
+
+    def collect(self) -> list[Row]:
+        sc = self._engine.spark.sparkContext
+        sc.setJobGroup(self._entry.spark_job_group, json.dumps(self._entry.meta))
+        try:
+            rows = self.df.collect()
+        except Exception as exc:  # noqa: BLE001
+            self._engine.jobs.finish(self.job_id, error=str(exc))
+            raise
+        self._engine.jobs.finish(self.job_id)
+        return rows
+
+    def cancel(self) -> None:
+        """Graceful cancel (reference: Terminating status refuses tasks,
+        ``dist/src/runtime.rs:120-126``)."""
+        self._engine.spark.sparkContext.cancelJobGroup(self._entry.spark_job_group)
+        self._engine.jobs.finish(self.job_id, error="cancelled")
+
+
+class DistEngine:
+    """SQL + DataFrame entry point with job tracking.
+
+    >>> eng = DistEngine.create(sf_dir="/root/testdata/sf0.001")
+    >>> handle = eng.submit("SELECT count(*) AS n FROM lineitem")
+    >>> handle.collect()[0].n
+    6000
+    """
+
+    RUNNING_JOBS_VIEW = "running_jobs"
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.jobs = JobRegistry()
+
+    @classmethod
+    def create(
+        cls, sf_dir: str | None = None, spark: SparkSession | None = None, **session_kwargs
+    ) -> "DistEngine":
+        spark = spark or build_session(**session_kwargs)
+        eng = cls(spark)
+        if sf_dir:
+            catalog.register_views(spark, sf_dir)
+        return eng
+
+    # -- query entry points -------------------------------------------------
+
+    def sql(self, query: str) -> DataFrame:
+        """Parse/plan only (lazy) — reference ``ctx.sql`` at main.rs:273."""
+        return self.spark.sql(query)
+
+    def submit(self, query: str, meta: dict | None = None) -> JobHandle:
+        """Plan the query and mint a job — no execution yet (lazy pull
+        model, reference ``runtime.submit`` at main.rs:288-295)."""
+        entry = self.jobs.create({"query": query, **(meta or {})})
+        df = self.spark.sql(query)
+        return JobHandle(self, entry, df)
+
+    def execute(self, query: str) -> list[Row]:
+        return self.submit(query).collect()
+
+    # -- observability ------------------------------------------------------
+
+    def running_jobs_df(self, include_finished: bool = False) -> DataFrame:
+        """The ``running_jobs`` virtual table (util.rs:166-219 analog).
+
+        ``stages`` reports live Spark stage info from the status
+        tracker for still-running jobs.
+        """
+        import datetime
+
+        tracker = self.spark.sparkContext.statusTracker()
+        active = set(tracker.getActiveStageIds())
+        rows = []
+        for e in self.jobs.all() if include_finished else self.jobs.running():
+            stages = {
+                "status": e.status,
+                "active_spark_stages": sorted(active),
+            }
+            rows.append(
+                (
+                    e.job_id,
+                    datetime.datetime.fromtimestamp(e.created_at, datetime.timezone.utc).replace(
+                        tzinfo=None
+                    ),
+                    json.dumps(e.meta, sort_keys=True),
+                    json.dumps(stages, sort_keys=True),
+                )
+            )
+        return self.spark.createDataFrame(rows, RUNNING_JOBS_SCHEMA)
+
+    def register_running_jobs_view(self) -> None:
+        self.running_jobs_df().createOrReplaceTempView(self.RUNNING_JOBS_VIEW)

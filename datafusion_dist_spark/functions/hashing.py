@@ -1,0 +1,81 @@
+"""Stable cross-engine hashing primitives.
+
+Sketch operators (MinHash, SimHash, winnowing) need hash functions that
+(a) run JVM-side in whole-stage codegen and (b) produce *identical*
+values in the DuckDB oracle. ``xxhash64``/``hash`` are engine-specific;
+MD5 is bit-identical everywhere, so every sketch hash here is a fixed-
+width hex prefix of ``md5(seed || ':' || value)``.
+
+Fixed-width lowercase hex compares lexicographically exactly like the
+number it encodes, so ``MIN(hex)`` *is* numeric min-hash — no
+hex→int conversion needed on either engine. Where an integer is
+required (SimHash bit tests), the first 8 hex chars are parsed as a
+32-bit int — cheap, still codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tokenization: lowercase, split on non-alphanumeric runs (the
+# "whitespace + BPE-ish regex" token model; \W+ also covers punctuation).
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """text → array<string> of lowercase alphanumeric tokens."""
+    toks = F.split(F.lower(text), TOKEN_SPLIT_RE)
+    # Splitting can yield leading/trailing empty strings — drop them.
+    return F.filter(toks, lambda t: t != "")
+
+
+def tokens_oracle(text_expr: str) -> str:
+    """DuckDB SQL mirroring ``tokens`` (same regex, same cleanup)."""
+    return (
+        f"list_filter(str_split_regex(lower({text_expr}), '[^a-z0-9]+'), t -> t <> '')"
+    )
+
+
+def hash_hex(value: Column, seed: int | str = 0, width: int = 8) -> Column:
+    """Stable hash: first ``width`` hex chars of md5(seed ':' value)."""
+    return F.substring(F.md5(F.concat(F.lit(f"{seed}:"), value)), 1, width)
+
+
+def hash_hex_oracle(value_expr: str, seed: int | str = 0, width: int = 8) -> str:
+    return f"substr(md5('{seed}:' || {value_expr}), 1, {width})"
+
+
+def hash_int32(value: Column, seed: int | str = 0) -> Column:
+    """Stable 32-bit unsigned int from the hex hash (for bit tests)."""
+    return F.conv(hash_hex(value, seed, 8), 16, 10).cast("bigint")
+
+
+def hash_int32_oracle(value_expr: str, seed: int | str = 0) -> str:
+    # DuckDB parses hex via from_hex → blob; simpler: 8 hex chars fit in
+    # a BIGINT read with a hex format cast.
+    return f"CAST(('0x' || {hash_hex_oracle(value_expr, seed)}) AS BIGINT)"
+
+
+def shingle_array(toks: Column, k: int = 3) -> Column:
+    """array of word k-shingles: tokens joined by single spaces.
+
+    Implemented with transform over positions so it stays JVM-side:
+    shingle[i] = tokens[i] .. tokens[i+k-1], for i in [0, n-k].
+    """
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(-1)))
+    return F.when(n < k, F.array()).otherwise(
+        F.transform(
+            idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))
+        )
+    )
+
+
+def shingle_array_oracle(tokens_expr: str, k: int = 3) -> str:
+    """DuckDB SQL mirroring ``shingle_array``."""
+    return (
+        f"CASE WHEN len({tokens_expr}) < {k} THEN [] ELSE "
+        f"list_transform(range(1, len({tokens_expr}) - {k} + 2), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {k} - 1), ' ')) END"
+    )

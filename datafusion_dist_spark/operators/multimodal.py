@@ -1,0 +1,91 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern for image/audio/video at 100 TB: store the raw bytes as a
+``binary`` column (or a pointer into object storage) next to typed
+metadata; run decode / feature-extraction as Arrow-batched Pandas UDFs
+over ``mapInPandas`` so each task processes a columnar batch without
+JVM→Python row churn.
+
+The decode *libraries* (PIL/ffmpeg/...) are not in this container, so
+the decoders are stubbed exactly as the build contract requires: the
+Spark-side plumbing (schema, batch iteration, partitioning) is real and
+tested; ``decode_image`` raises ``NotImplementedError`` unless the
+deterministic fake decoder is requested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("header_hex", T.StringType(), True),
+        T.StructField("byte_checksum", T.LongType(), True),
+    ]
+)
+
+
+def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Model a multimodal table: utf-8 bytes of ``text`` stand in for an
+    opaque media payload, with typed metadata columns alongside."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.octet_length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - contract stub
+    """Real decoder entry point. Image/audio libs are not available in
+    this environment — stubbed per the build contract."""
+    raise NotImplementedError(
+        "media decoding requires an image/audio library not present in "
+        "this environment; use extract_features(..., fake_decoder=True) "
+        "for the deterministic test double"
+    )
+
+
+def extract_features(payloads: DataFrame, fake_decoder: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps the transfer columnar (one Arrow batch per
+    task iteration); the fake decoder computes deterministic features
+    (length, 4-byte header hex, byte checksum) so the plumbing has an
+    exact oracle.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake_decoder:
+                pdf["payload"].map(decode_image)  # raises: real decoder absent
+            payload = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payload.map(len).astype("int64"),
+                    "header_hex": payload.map(lambda b: b[:4].hex()),
+                    "byte_checksum": payload.map(
+                        lambda b: sum(b[:64]) % 100000
+                    ).astype("int64"),
+                }
+            )
+
+    return payloads.mapInPandas(_extract, FEATURE_SCHEMA)

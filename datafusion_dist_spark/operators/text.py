@@ -1,0 +1,115 @@
+"""Text-analysis operators over a document corpus (engine extensions).
+
+All hot-path logic is built-in column expressions (JVM-side, inside
+whole-stage codegen) — tokenization is a regex split, scoring is
+arithmetic, fingerprinting is md5 + window mins. Nothing here touches
+Python per row, so each operator scales linearly with executors and
+pushes column pruning down to the parquet scan (only ``doc_id, text``
+are read).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.functions.hashing import hash_hex, tokens
+
+# Tiny deterministic stopword profiles. The corpus vocabulary is
+# synthetic, so these act as fixed n-gram/lexicon profiles: language ID
+# is a deterministic argmax over profile overlap, not a claim about the
+# (random) ``lang`` metadata column.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "fast", "slow", "small", "big"),
+    "fr": ("table", "batch", "join", "merge"),
+    "es": ("data", "row", "column", "value"),
+    "de": ("hash", "sort", "window", "group"),
+}
+STOPWORDS = LANG_PROFILES["en"]
+
+
+def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + alnum-run tokens + chars."""
+    ws = F.split(F.col(text_col), r"\s+")
+    toks = tokens(F.col(text_col))
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(ws, lambda t: t != "")).cast("bigint").alias("n_ws_tokens"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.length(text_col).cast("bigint").alias("n_chars"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring: length / stopword ratio / repetition.
+
+    score ∈ [0,1]; deterministic arithmetic (rounded to 6dp) so the
+    DuckDB oracle matches bit-for-bit.
+    """
+    toks = tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_uniq = F.size(F.array_distinct(toks))
+    mean_len = F.when(n_tok > 0, F.length(F.concat_ws("", toks)) / n_tok).otherwise(0.0)
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0)
+    uniq_ratio = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)
+    len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
+    score = 0.4 * len_score + 0.3 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(mean_len, 6).alias("mean_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(uniq_ratio, 6).alias("unique_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic lexicon-profile language ID (argmax of overlap
+    counts, first-profile-wins tie-break in fixed key order)."""
+    toks = tokens(F.col(text_col))
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_PROFILES)):  # earlier profiles win ties
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    sel = [F.col("doc_id")]
+    sel += [scores[lang].cast("bigint").alias(f"score_{lang}") for lang in LANG_PROFILES]
+    sel.append(pred.alias("pred_lang"))
+    return docs.select(*sel)
+
+
+def winnow_fingerprints(
+    docs: DataFrame, text_col: str = "text", k: int = 3, window: int = 4
+) -> DataFrame:
+    """Document fingerprinting by winnowing (Schleimer et al., SIGMOD'03):
+    rolling k-gram hashes, keep the min hash of every ``window``
+    consecutive k-grams, output the distinct fingerprint set per doc.
+
+    Hashes are md5-hex prefixes (cross-engine stable); the per-doc
+    window-min pass is a bounded ROWS frame — partition-local, no extra
+    shuffle beyond the doc_id repartition.
+    """
+    toks = tokens(F.col(text_col))
+    # Build k-grams via lead() so we stay row-shaped: gram i = tok_i..tok_{i+k-1}
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gram_cols = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
+    grams = (
+        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .withColumn("gram", F.concat_ws(" ", *gram_cols))
+        .withColumn("gram_len", F.size(F.split("gram", " ")))
+        .filter(F.col("gram_len") == k)  # drop ragged tail grams
+        .withColumn("ghash", hash_hex(F.col("gram"), seed="fp"))
+    )
+    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
+    fps = grams.withColumn("wmin", F.min("ghash").over(wmin))
+    return fps.groupBy("doc_id").agg(
+        F.count_distinct("wmin").alias("n_fingerprints"),
+        F.min("wmin").alias("fp_min"),
+        F.max("wmin").alias("fp_max"),
+    )

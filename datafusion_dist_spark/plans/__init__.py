@@ -1,0 +1,43 @@
+"""Physical-plan inspection utilities.
+
+The reference pins golden plan *strings* (``integration-tests/tests/
+planner.rs``); Spark plan text is version-volatile, so per SURVEY §5 we
+pin *behavioral* facts instead: which exchanges exist, which joins went
+broadcast, whether filters reached the scan. These helpers extract
+those facts from ``explain`` output for tests and for the bench's
+plan-quality report.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def plan_facts(df: DataFrame) -> dict:
+    """Extract scale-relevant facts from the physical plan."""
+    plan = formatted_plan(df)
+    return {
+        "n_exchanges": len(re.findall(r"\bExchange\b", plan)),
+        "n_broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "n_sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        "n_shuffledhash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
+        "n_bnl_joins": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        "has_topk": "TakeOrderedAndProject" in plan,
+        "n_wholestage_codegen": len(re.findall(r"WholeStageCodegen", plan)),
+        "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
+        "partial_aggregate": "HashAggregate" in plan or "SortAggregate" in plan,
+    }
+
+
+def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
+    facts = plan_facts(df)
+    joined = "; ".join(facts["pushed_filters"])
+    assert fragment in joined, f"filter '{fragment}' not pushed; got: {joined}"

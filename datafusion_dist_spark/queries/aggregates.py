@@ -1,0 +1,271 @@
+"""Aggregations and set operations (SURVEY §2.C).
+
+All exercise Spark's built-in two-phase hash aggregation
+(HashAggregate(partial) → Exchange → HashAggregate(final)) — the exact
+physical shape the reference cuts stages around
+(``dist/src/planner.rs:135-136``, plan golden at
+``integration-tests/tests/planner.rs:167-183``). Map-side partial
+aggregation is what makes these scale: the shuffle carries one row per
+(partition, group), not per input row.
+
+Money aggregates use the integer-cents technique (see registry.py) so
+the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.registry import register, register_sql
+
+
+def cents(col: str) -> F.Column:
+    """Exact integer cents from a 2-decimal money double."""
+    return F.round(F.col(col) * 100).cast("bigint")
+
+
+@register(
+    "agg_global",
+    oracle="""
+        SELECT count(*) AS n_rows,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100.0
+                 AS sum_price,
+               MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok
+        FROM lineitem
+    """,
+    doc="Global aggregate, no GROUP BY — single 0-key group (slt:149-153).",
+)
+def agg_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"),
+        (F.sum(cents("l_extendedprice")).cast("double") / 100.0).alias("sum_price"),
+        F.min("l_orderkey").alias("min_ok"),
+        F.max("l_orderkey").alias("max_ok"),
+    )
+
+
+@register(
+    "agg_groupby_multi",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="GROUP BY multiple columns (slt:94-125); two-phase hash agg.",
+)
+def agg_groupby_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_null_semantics",
+    oracle="""
+        SELECT NULLIF(o_orderstatus, 'O') AS status_grp,
+               count(*) AS n_rows,
+               count(NULLIF(o_custkey % 7, 0)) AS n_nonnull,
+               CAST(SUM(NULLIF(o_custkey % 7, 0)) AS BIGINT) AS sum_nonnull,
+               MIN(NULLIF(o_custkey % 7, 0)) AS min_nonnull,
+               MAX(NULLIF(o_custkey % 7, 0)) AS max_nonnull
+        FROM orders GROUP BY NULLIF(o_orderstatus, 'O')
+    """,
+    doc="NULL semantics: NULL group key forms its own group "
+    "(slt:136-147) and SUM/MIN/MAX/COUNT skip NULLs (slt:127-134). "
+    "NULLs synthesized via NULLIF (testdata has none).",
+)
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    v = F.nullif(F.col("o_custkey") % 7, F.lit(0))
+    return (
+        o.withColumn("status_grp", F.nullif(F.col("o_orderstatus"), F.lit("O")))
+        .withColumn("v", v)
+        .groupBy("status_grp")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("v").alias("n_nonnull"),
+            F.sum("v").alias("sum_nonnull"),
+            F.min("v").alias("min_nonnull"),
+            F.max("v").alias("max_nonnull"),
+        )
+    )
+
+
+@register(
+    "agg_count_star_empty",
+    oracle="SELECT count(*) AS n FROM orders WHERE o_orderkey = -1",
+    doc="COUNT(*) over empty input returns one row with 0 (slt:73-88).",
+)
+def agg_count_star_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(F.col("o_orderkey") == -1).agg(F.count("*").alias("n"))
+
+
+@register(
+    "agg_groupby_empty",
+    oracle="""
+        SELECT o_orderstatus, count(*) AS n FROM orders
+        WHERE o_orderkey = -1 GROUP BY o_orderstatus
+    """,
+    doc="GROUP BY over empty input returns zero rows (slt:155-158).",
+)
+def agg_groupby_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderkey") == -1)
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@register(
+    "agg_having",
+    oracle="""
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey HAVING count(*) > 12
+    """,
+    doc="HAVING = post-aggregate filter (slt:102-107).",
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") > 12)
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="COUNT(DISTINCT) — expand+two-phase agg in Spark; exact.",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct("l_partkey").alias("n_part"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # sketch values are engine-specific; rows-only check
+    doc="approx_count_distinct (HyperLogLog++) — the scale path for "
+    "distinct counts at 100 TB. No oracle: sketch estimates are "
+    "engine-specific by construction (SURVEY §2.C 'parity stretch').",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders")
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets (SURVEY §2.C aggregations, parity stretch).",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(F.round("l_quantity").cast("bigint")).alias("sum_qty"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets (parity stretch).",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+# -- set operations --------------------------------------------------------
+
+register_sql(
+    "union_distinct",
+    spark_sql="""
+        SELECT c_nationkey AS k FROM customer
+        UNION
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        UNION
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    doc="UNION (distinct) — physical shape = partial+final agg on all "
+    "columns, exactly how the reference plans it (slt:51-56, "
+    "planner.rs tests:167-183). SQL API used because PySpark .union() "
+    "is UNION ALL (SURVEY §7 risk register).",
+)
+
+register_sql(
+    "union_all",
+    spark_sql="""
+        SELECT n_nationkey AS k, n_name AS name FROM nation
+        UNION ALL
+        SELECT r_regionkey AS k, r_name AS name FROM region
+    """,
+    oracle="""
+        SELECT n_nationkey AS k, n_name AS name FROM nation
+        UNION ALL
+        SELECT r_regionkey AS k, r_name AS name FROM region
+    """,
+    doc="UNION ALL (no dedup, no shuffle — pure concatenation).",
+)
+
+register_sql(
+    "intersect_distinct",
+    spark_sql="""
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        INTERSECT
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    doc="INTERSECT (distinct) set op.",
+)
+
+register_sql(
+    "except_distinct",
+    spark_sql="""
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    oracle="""
+        SELECT c_nationkey AS k FROM customer
+        EXCEPT
+        SELECT s_nationkey AS k FROM supplier
+    """,
+    doc="EXCEPT (distinct) set op.",
+)

@@ -1,0 +1,181 @@
+"""Scalar-function surface sampler (SURVEY §2.C 'Scalar functions').
+
+The reference inherits its entire scalar library from the DataFusion
+dependency without exercising it in tests; SURVEY directs us to pin a
+representative sample anyway. Everything here is a built-in
+``pyspark.sql.functions`` call — JVM-side, inside whole-stage codegen;
+no Python in the hot path.
+
+Cross-engine note: transcendental functions (ln/exp/sqrt) may differ in
+the last ulp between JVM Math and libm → results rounded to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.registry import register
+
+
+@register(
+    "fn_string",
+    oracle="""
+        SELECT p_partkey,
+               lower(p_name) AS name_lc,
+               upper(p_brand) AS brand_uc,
+               substr(p_name, 1, 5) AS name_pre,
+               length(p_name) AS name_len,
+               replace(p_type, ' ', '_') AS type_us,
+               concat(p_brand, ':', p_type) AS brand_type,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+               trim('  ' || p_brand || ' ') AS brand_trim,
+               reverse(p_brand) AS brand_rev,
+               len(str_split(p_name, ' ')) AS n_words
+        FROM part WHERE p_partkey < 100
+    """,
+    doc="String functions: lower/upper/substr/length/replace/concat/"
+    "lpad/trim/reverse/split.",
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lc"),
+        F.upper("p_brand").alias("brand_uc"),
+        F.substring("p_name", 1, 5).alias("name_pre"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.size(F.split("p_name", " ")).cast("bigint").alias("n_words"),
+    )
+
+
+@register(
+    "fn_math",
+    oracle="""
+        SELECT s_suppkey,
+               abs(CAST(ROUND(s_acctbal*100) AS BIGINT)) AS bal_abs_c,
+               CAST(ceil(s_acctbal) AS BIGINT) AS bal_ceil,
+               CAST(floor(s_acctbal) AS BIGINT) AS bal_floor,
+               s_suppkey % 7 AS k_mod,
+               CAST(power(s_suppkey, 2) AS BIGINT) AS k_sq,
+               round(sqrt(CAST(s_suppkey AS DOUBLE)), 6) AS k_sqrt,
+               round(ln(CAST(s_suppkey + 1 AS DOUBLE)), 6) AS k_ln,
+               round(exp(CAST(s_suppkey % 5 AS DOUBLE)), 6) AS k_exp,
+               CAST(sign(s_acctbal) AS BIGINT) AS bal_sign
+        FROM supplier
+    """,
+    doc="Math functions: abs/ceil/floor/mod/power/sqrt/ln/exp/sign.",
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    return s.select(
+        "s_suppkey",
+        F.abs(F.round(F.col("s_acctbal") * 100).cast("bigint")).alias("bal_abs_c"),
+        F.ceil("s_acctbal").cast("bigint").alias("bal_ceil"),
+        F.floor("s_acctbal").cast("bigint").alias("bal_floor"),
+        (F.col("s_suppkey") % 7).alias("k_mod"),
+        F.pow("s_suppkey", F.lit(2)).cast("bigint").alias("k_sq"),
+        F.round(F.sqrt(F.col("s_suppkey").cast("double")), 6).alias("k_sqrt"),
+        F.round(F.log((F.col("s_suppkey") + 1).cast("double")), 6).alias("k_ln"),
+        F.round(F.exp((F.col("s_suppkey") % 5).cast("double")), 6).alias("k_exp"),
+        F.signum("s_acctbal").cast("bigint").alias("bal_sign"),
+    )
+
+
+@register(
+    "fn_date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS odate,
+               CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(day(o_orderdate) AS INTEGER) AS d,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+                    AS INTEGER) AS days_since,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date
+        FROM orders WHERE o_orderkey < 200
+    """,
+    doc="Date/time functions: year/month/day/quarter/date_trunc/"
+    "datediff/date_add (timestamps cast to DATE for cross-engine hash).",
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        od.cast("date").alias("odate"),
+        F.year(od).alias("y"),
+        F.month(od).alias("m"),
+        F.dayofmonth(od).alias("d"),
+        F.date_trunc("month", od).cast("date").alias("month_start"),
+        F.quarter(od).alias("q"),
+        F.datediff(od.cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        F.date_add(od.cast("date"), 30).alias("due_date"),
+    )
+
+
+@register(
+    "fn_conditional",
+    oracle="""
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'debt'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'rich' END AS tier,
+               coalesce(NULLIF(c_mktsegment, 'BUILDING'), 'DEFAULT') AS seg,
+               greatest(c_custkey % 10, c_nationkey % 10) AS hi,
+               least(c_custkey % 10, c_nationkey % 10) AS lo,
+               CASE WHEN c_custkey % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        FROM customer WHERE c_custkey < 300
+    """,
+    doc="Conditional expressions: CASE WHEN / coalesce / nullif / "
+    "greatest / least.",
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.when(bal < 0, "debt").when(bal < 5000, "mid").otherwise("rich").alias("tier"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")), F.lit("DEFAULT")
+        ).alias("seg"),
+        F.greatest(F.col("c_custkey") % 10, (F.col("c_nationkey") % 10).cast("bigint")).alias("hi"),
+        F.least(F.col("c_custkey") % 10, (F.col("c_nationkey") % 10).cast("bigint")).alias("lo"),
+        F.when(F.col("c_custkey") % 2 == 0, "even").otherwise("odd").alias("parity"),
+    )
+
+
+@register(
+    "fn_cast",
+    oracle="""
+        SELECT l_orderkey,
+               CAST(l_quantity AS BIGINT) AS qty_int,
+               CAST(l_orderkey AS VARCHAR) AS key_str,
+               CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+               CAST(l_linenumber AS DOUBLE) AS line_dbl,
+               TRY_CAST(l_returnflag AS INTEGER) AS bad_cast
+        FROM lineitem WHERE l_orderkey < 50
+    """,
+    doc="Cast surface incl. failed cast → NULL (TRY_CAST; Spark "
+    "non-ANSI cast matches).",
+)
+def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_orderkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("l_linenumber").cast("double").alias("line_dbl"),
+        F.col("l_returnflag").try_cast("int").alias("bad_cast"),
+    )

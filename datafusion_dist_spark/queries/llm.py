@@ -1,0 +1,478 @@
+"""Training-data pipeline queries: dedup, similarity, text, multimodal.
+
+Each entry delegates to an operator in ``datafusion_dist_spark/
+operators/`` and carries a DuckDB oracle that reproduces the
+computation exactly (md5-based sketch hashes are bit-identical across
+engines; see functions/hashing.py).
+
+Dedup demos run over ``corpus`` = documents ∪ a doc_id-shifted copy of
+every 5th document, so exact/near-duplicate pairs exist
+deterministically (the raw synthetic corpus has no duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.functions.hashing import (
+    hash_hex_oracle,
+    shingle_array_oracle,
+    tokens_oracle,
+)
+from datafusion_dist_spark.operators import dedup, multimodal, similarity, text
+from datafusion_dist_spark.registry import register
+
+# -- shared SQL fragments --------------------------------------------------
+
+CORPUS_CTE = """
+    corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id % 5 = 0
+    )
+"""
+
+TOKS = tokens_oracle("text")
+SHINGLES = shingle_array_oracle(TOKS, k=3)
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return d.unionByName(dup)
+
+
+def _shingle_cte(source: str = "corpus") -> str:
+    return f"""
+    shingles AS (
+        SELECT DISTINCT doc_id, sh.shingle
+        FROM {source}, UNNEST({SHINGLES}) AS sh(shingle)
+    )
+    """
+
+
+def _sig_cte() -> str:
+    mins = ",\n               ".join(
+        f"min({hash_hex_oracle('shingle', seed=i)}) AS mh{i}"
+        for i in range(NUM_HASHES)
+    )
+    return f"""
+    sigs AS (
+        SELECT doc_id,
+               {mins}
+        FROM shingles GROUP BY doc_id
+    )
+    """
+
+
+def _band_cte() -> str:
+    selects = []
+    for b in range(BANDS):
+        key = " || '|' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        selects.append(
+            f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
+        )
+    return "banded AS (\n" + "\nUNION ALL\n".join(selects) + "\n)"
+
+
+# -- dedup -----------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle=f"""
+        WITH {CORPUS_CTE}
+        SELECT md5(text) AS digest, count(*) AS n_copies, min(doc_id) AS keep_id
+        FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """,
+    doc="Exact dedup by content digest: hash-groupBy, keep min doc_id "
+    "per duplicate group. One shuffle of (digest, id) — the payload "
+    "never moves.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup_keep_min(_corpus(spark, sf_dir))
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        {_shingle_cte()},
+        {_sig_cte()},
+        {_band_cte()},
+        cands AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.a_id, c.b_id,
+               round(CAST({
+                   " + ".join(
+                       f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                       for i in range(NUM_HASHES)
+                   )
+               } AS DOUBLE) / {float(NUM_HASHES)}, 6) AS est_jaccard
+        FROM cands c
+        JOIN sigs sa ON c.a_id = sa.doc_id
+        JOIN sigs sb ON c.b_id = sb.doc_id
+        WHERE CAST({
+            " + ".join(
+                f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                for i in range(NUM_HASHES)
+            )
+        } AS DOUBLE) / {float(NUM_HASHES)} >= 0.5
+    """,
+    doc="MinHash(16)+LSH(4 bands × 4 rows) near-dup pairs with "
+    "estimated Jaccard ≥ 0.5. Candidate generation is an equi-join on "
+    "band keys — linear shuffle, no all-pairs. "
+    "(operators/dedup.py:minhash_dedup_pairs)",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(
+        _corpus(spark, sf_dir), bands=BANDS, rows_per_band=ROWS_PER_BAND, threshold=0.5
+    )
+
+
+_SIMHASH_BITS = 16
+
+
+def _simhash_cte(source: str = "corpus") -> str:
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{j}"
+        for j in range(_SIMHASH_BITS)
+    )
+    pack = " + ".join(
+        f"CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END" for j in range(_SIMHASH_BITS)
+    )
+    return f"""
+    doc_tokens AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM {source}, UNNEST({TOKS}) AS t(tok)
+    ),
+    tok_hashes AS (
+        SELECT doc_id, CAST(('0x' || {hash_hex_oracle("tok", seed="sim")}) AS BIGINT) AS h
+        FROM doc_tokens
+    ),
+    bit_sums AS (
+        SELECT doc_id,
+               {sums}
+        FROM tok_hashes GROUP BY doc_id
+    ),
+    simhashes AS (
+        SELECT doc_id, CAST({pack} AS BIGINT) AS simhash FROM bit_sums
+    )
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        {_simhash_cte()}
+        SELECT doc_id, simhash FROM simhashes
+    """,
+    doc="SimHash(16-bit) fingerprint per document (distinct-token ±1 "
+    "bit votes, md5-derived token hashes). (operators/dedup.py:simhash)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash(_corpus(spark, sf_dir), bits=_SIMHASH_BITS)
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        {_simhash_cte()}
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole bit-block "
+    "banding: a pair within distance d agrees on ≥1 of d+1 blocks, so "
+    "the blocked equi-join provably loses nothing vs the oracle's "
+    "all-pairs scan. (operators/dedup.py:simhash_hamming_pairs)",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sims = dedup.simhash(_corpus(spark, sf_dir), bits=_SIMHASH_BITS)
+    return dedup.simhash_hamming_pairs(sims, bits=_SIMHASH_BITS, max_distance=3)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        {_shingle_cte()},
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.a_id, i.b_id,
+               round(CAST(i.n_inter AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+    """,
+    doc="Exact n-gram (3-shingle) Jaccard ≥ 0.5 via inverted-index "
+    "join — intersection counts from a groupBy on shared shingles, "
+    "no pair enumeration beyond docs sharing a shingle. "
+    "(operators/dedup.py:ngram_jaccard_pairs)",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
+
+
+# -- embedding similarity --------------------------------------------------
+
+_COS = (
+    "round(CAST(list_cosine_similarity("
+    "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])"
+    ") AS DOUBLE), 6)"
+)
+
+
+def _bucket_expr(tbl: str) -> str:
+    return " + ".join(
+        f"CASE WHEN {tbl}.embedding[{i + 1}] >= 0 THEN {2**i} ELSE 0 END"
+        for i in range(4)
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COS} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ({_bucket_expr("a")}) = ({_bucket_expr("b")})
+          AND {_COS} >= 0.5
+    """,
+    doc="Embedding-cosine near-dup pairs, sign-bucket blocked (pairs "
+    "must share the 4-bit sign bucket), exact cosine ≥ 0.5 verify. "
+    "(operators/similarity.py:embedding_near_dup_pairs)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.5, nbits=4)
+
+
+@register(
+    "ann_topk_bruteforce",
+    oracle="""
+        SELECT a.vec_id,
+               round(CAST(list_cosine_similarity(
+                   CAST(a.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])
+               ) AS DOUBLE), 6) AS score
+        FROM embeddings a
+        CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ORDER BY score DESC, a.vec_id ASC LIMIT 10
+    """,
+    doc="Exact cosine top-10 for the vec_id=0 query vector: JVM-side "
+    "fold (zip_with + aggregate) + TopK — scan-only, no shuffle. "
+    "(operators/similarity.py:cosine_topk_bruteforce)",
+)
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.cosine_topk_bruteforce(emb, list(qvec), k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT embedding, ({_bucket_expr("embeddings")}) AS qbucket
+            FROM embeddings WHERE vec_id = 0
+        )
+        SELECT a.vec_id, CAST({_bucket_expr("a")} AS INTEGER) AS bucket,
+               {_COS.replace("b.embedding", "q.embedding")} AS score
+        FROM embeddings a CROSS JOIN q
+        WHERE bit_count(xor(CAST({_bucket_expr("a")} AS BIGINT),
+                            CAST(q.qbucket AS BIGINT))) <= 1
+        ORDER BY score DESC, a.vec_id ASC LIMIT 10
+    """,
+    doc="Approximate top-10: sign-bit LSH bucket + Hamming≤1 multi-"
+    "probe, exact cosine within probed buckets. The 100 TB path: "
+    "bucket is a partition key, a probe reads a handful of files. "
+    "(operators/similarity.py:lsh_bucket_topk)",
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.lsh_bucket_topk(emb, list(qvec), k=10, nbits=4)
+
+
+# -- text analysis ---------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(list_filter(str_split_regex(text, '\\s+'), t -> t <> ''))
+                    AS BIGINT) AS n_ws_tokens,
+               CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct({TOKS})) AS BIGINT) AS n_distinct_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    """,
+    doc="Token counting: whitespace tokens, regex (BPE-ish alnum-run) "
+    "tokens, distinct tokens, chars. (operators/text.py:token_stats)",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
+
+@register(
+    "text_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {TOKS} AS toks, text FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tok,
+                   len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop,
+                   len(list_distinct(toks)) AS n_uniq,
+                   length(array_to_string(toks, '')) AS n_alpha
+            FROM t
+        )
+        SELECT doc_id,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               round(CASE WHEN n_tok > 0
+                     THEN CAST(n_alpha AS DOUBLE) / n_tok ELSE 0.0 END, 6)
+                 AS mean_token_len,
+               round(CASE WHEN n_tok > 0
+                     THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END, 6)
+                 AS stopword_ratio,
+               round(CASE WHEN n_tok > 0
+                     THEN CAST(n_uniq AS DOUBLE) / n_tok ELSE 0.0 END, 6)
+                 AS unique_ratio,
+               round(0.4 * least(n_tok / 50.0, 1.0)
+                     + 0.3 * (CASE WHEN n_tok > 0
+                              THEN CAST(n_uniq AS DOUBLE) / n_tok ELSE 0.0 END)
+                     + 0.3 * (1.0 - CASE WHEN n_tok > 0
+                              THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END), 6)
+                 AS quality
+        FROM m
+    """,
+    doc="Heuristic quality scoring: length / stopword ratio / "
+    "repetition ratio → composite score. (operators/text.py:quality_score)",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    score_cols = ",\n               ".join(
+        f"CAST(len(list_filter(toks, x -> x IN "
+        f"({', '.join(repr(w) for w in words)}))) AS BIGINT) AS score_{lang}"
+        for lang, words in text.LANG_PROFILES.items()
+    )
+    langs = list(text.LANG_PROFILES)
+    best = "greatest(" + ", ".join(f"score_{lang}" for lang in langs) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in langs
+    ) + " ELSE 'und' END"
+    return f"""
+        WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        s AS (
+            SELECT doc_id,
+               {score_cols}
+            FROM t
+        )
+        SELECT doc_id, {", ".join(f"score_{lang}" for lang in langs)},
+               {case} AS pred_lang
+        FROM s
+    """
+
+
+@register(
+    "text_langid",
+    oracle=_langid_oracle(),
+    doc="Lexicon-profile language ID: per-language token-overlap scores "
+    "+ deterministic argmax (first profile wins ties). "
+    "(operators/text.py:language_id)",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        g AS (
+            SELECT doc_id,
+                   list_transform(range(1, greatest(len(toks) - 1, 1)),
+                       i -> {hash_hex_oracle(
+                           "array_to_string(list_slice(toks, i, i + 2), ' ')",
+                           seed="fp",
+                       )}) AS ghashes
+            FROM t WHERE len(toks) >= 3
+        ),
+        w AS (
+            SELECT doc_id,
+                   list_transform(range(1, len(ghashes) + 1),
+                       i -> list_aggregate(list_slice(ghashes, i, i + 3), 'min'))
+                     AS wmins
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(len(list_distinct(wmins)) AS BIGINT) AS n_fingerprints,
+               list_aggregate(wmins, 'min') AS fp_min,
+               list_aggregate(wmins, 'max') AS fp_max
+        FROM w
+    """,
+    doc="Winnowing document fingerprints (k=3 grams, window=4): "
+    "rolling md5 k-gram hashes, per-window minima, distinct set per "
+    "doc. (operators/text.py:winnow_fingerprints)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, window=4
+    )
+
+
+# -- multimodal ------------------------------------------------------------
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               lower(hex(substr(text, 1, 4))) AS header_hex,
+               CAST(list_sum(list_transform(
+                   range(1, least(length(text), 64) + 1),
+                   i -> ascii(substr(text, i, 1))
+               )) % 100000 AS BIGINT) AS byte_checksum
+        FROM documents
+    """,
+    doc="Multimodal plumbing: text bytes stand in for an opaque media "
+    "payload; Arrow-batched mapInPandas feature extraction with a "
+    "deterministic fake decoder (real decoders stubbed — libs absent). "
+    "(operators/multimodal.py:extract_features)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.extract_features(multimodal.attach_payload(docs))

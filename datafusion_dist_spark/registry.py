@@ -1,0 +1,97 @@
+"""Query registry: the engine's operator-coverage contract.
+
+Every operator/capability from SURVEY.md §2 gets one named entry:
+a Spark implementation ``(spark, sf_dir) -> DataFrame`` plus (when
+SQL-expressible) a DuckDB oracle SQL string computing the same result
+over the same parquet tables. ``__spark_entry__.py`` exposes this
+registry to the correctness driver.
+
+Cross-engine exactness rules (so value-hashes match bit-for-bit):
+- money columns are exact cents → aggregate as
+  ``SUM(CAST(ROUND(x*100) AS BIGINT))`` then divide once by 100.0;
+- small fixed-length float math (e.g. 64-dim cosines) → ``round(x, 6)``;
+- timestamps → cast to DATE or string in outputs;
+- every computed column aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datafusion_dist_spark import catalog
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+_VIEWS_READY: set[tuple[int, str]] = set()
+
+
+def ensure_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register testdata temp views once per (session, sf_dir)."""
+    key = (id(spark), sf_dir)
+    if key not in _VIEWS_READY:
+        catalog.register_views(spark, sf_dir)
+        _VIEWS_READY.add(key)
+
+
+def register(
+    name: str, oracle: str | None = None, doc: str = ""
+) -> Callable[[Callable[[SparkSession, str], DataFrame]], Callable[[SparkSession, str], DataFrame]]:
+    """Decorator: register a Spark query implementation under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(name, fn, oracle, doc or (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def register_sql(name: str, spark_sql: str, oracle: str | None = None, doc: str = "") -> None:
+    """Register a query whose Spark side is a SQL string over the
+    testdata views (Catalyst produces the same plan as the DataFrame
+    API; SQL is used where it is the clearer declaration)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ensure_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__doc__ = doc
+    register(name, oracle=oracle, doc=doc)(fn)
+
+
+def _load_all() -> None:
+    # Import for registration side effects; order defines display order.
+    from datafusion_dist_spark.queries import (  # noqa: F401
+        aggregates,
+        functions_q,
+        llm,
+        relational,
+        sorts_windows,
+        temporal,
+        tpch,
+    )
+
+
+def all_specs() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {n: s.spark_fn for n, s in all_specs().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {n: s.oracle for n, s in all_specs().items() if s.oracle is not None}
