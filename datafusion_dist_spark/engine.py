@@ -123,12 +123,18 @@ class JobHandle:
     def job_id(self) -> str:
         return self._entry.job_id
 
+    def _enter_job_scope(self) -> None:
+        sc = self._engine.spark.sparkContext
+        sc.setJobGroup(self._entry.spark_job_group, json.dumps(self._entry.meta))
+        sc.setLocalProperty(
+            "spark.scheduler.pool", self._entry.extra.get("pool", "default")
+        )
+
     def stream_arrow(self) -> Iterator:
         """Stream the result as Arrow record batches, partition by
         partition — the analog of one FlightSQL ``do_get`` per stage-0
         partition (``main.rs:209-265``)."""
-        sc = self._engine.spark.sparkContext
-        sc.setJobGroup(self._entry.spark_job_group, json.dumps(self._entry.meta))
+        self._enter_job_scope()
         try:
             yield from self.df.toArrow().to_batches()
             self._engine.jobs.finish(self.job_id)
@@ -137,8 +143,7 @@ class JobHandle:
             raise
 
     def collect(self) -> list[Row]:
-        sc = self._engine.spark.sparkContext
-        sc.setJobGroup(self._entry.spark_job_group, json.dumps(self._entry.meta))
+        self._enter_job_scope()
         try:
             rows = self.df.collect()
         except Exception as exc:  # noqa: BLE001
@@ -185,10 +190,19 @@ class DistEngine:
         """Parse/plan only (lazy) — reference ``ctx.sql`` at main.rs:273."""
         return self.spark.sql(query)
 
-    def submit(self, query: str, meta: dict | None = None) -> JobHandle:
+    def submit(
+        self, query: str, meta: dict | None = None, pool: str = "default"
+    ) -> JobHandle:
         """Plan the query and mint a job — no execution yet (lazy pull
-        model, reference ``runtime.submit`` at main.rs:288-295)."""
+        model, reference ``runtime.submit`` at main.rs:288-295).
+
+        ``pool`` names a FAIR scheduler pool: the Spark analog of the
+        reference's dedicated CPU runtime (dist/src/executor.rs:55-96)
+        — CPU-heavy jobs go to a separate pool so interactive queries
+        keep getting task slots.
+        """
         entry = self.jobs.create({"query": query, **(meta or {})})
+        entry.extra["pool"] = pool
         df = self.spark.sql(query)
         return JobHandle(self, entry, df)
 

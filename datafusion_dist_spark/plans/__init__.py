@@ -22,18 +22,26 @@ def formatted_plan(df: DataFrame) -> str:
 
 
 def plan_facts(df: DataFrame) -> dict:
-    """Extract scale-relevant facts from the physical plan."""
-    plan = formatted_plan(df)
+    """Extract scale-relevant facts from the physical plan.
+
+    After AQE has (partially) executed a plan, ``explain formatted``
+    prints both the final and the initial plan — only the final one
+    counts, so everything after the "Initial Plan" marker is dropped.
+    """
+    plan = formatted_plan(df).split("Initial Plan")[0]
+    # `formatted` prints each node twice: once in the plan tree, once
+    # in the numbered detail list. Count operators in the tree only.
+    tree = re.split(r"\n\(\d+\) ", plan)[0]
     return {
-        "n_exchanges": len(re.findall(r"\bExchange\b", plan)),
-        "n_broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
-        "n_sortmerge_joins": len(re.findall(r"SortMergeJoin", plan)),
-        "n_shuffledhash_joins": len(re.findall(r"ShuffledHashJoin", plan)),
-        "n_bnl_joins": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
-        "has_topk": "TakeOrderedAndProject" in plan,
-        "n_wholestage_codegen": len(re.findall(r"WholeStageCodegen", plan)),
+        "n_exchanges": len(re.findall(r"\bExchange\b", tree)),
+        "n_broadcast_joins": len(re.findall(r"BroadcastHashJoin", tree)),
+        "n_sortmerge_joins": len(re.findall(r"SortMergeJoin", tree)),
+        "n_shuffledhash_joins": len(re.findall(r"ShuffledHashJoin", tree)),
+        "n_bnl_joins": len(re.findall(r"BroadcastNestedLoopJoin", tree)),
+        "has_topk": "TakeOrderedAndProject" in tree,
+        "n_wholestage_codegen": len(re.findall(r"WholeStageCodegen", tree)),
         "pushed_filters": re.findall(r"PushedFilters: \[([^\]]*)\]", plan),
-        "partial_aggregate": "HashAggregate" in plan or "SortAggregate" in plan,
+        "partial_aggregate": "HashAggregate" in tree or "SortAggregate" in tree,
     }
 
 

@@ -81,6 +81,7 @@ def _load_all() -> None:
         sorts_windows,
         temporal,
         tpch,
+        udfs,
     )
 
 

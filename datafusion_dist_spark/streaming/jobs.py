@@ -7,19 +7,26 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from datafusion_dist_spark.catalog import table_path
+from datafusion_dist_spark.catalog import pin_session_confs, table_path
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded view of the events table: parquet file source with an
     explicit schema (streaming requires one); at scale this is Kafka or
     a growing object-store prefix — same downstream plan."""
+    pin_session_confs(spark)
     schema = spark.read.parquet(table_path(sf_dir, "events")).schema
-    return (
+    # The file streaming source requires a directory: stream the sf
+    # dir with a glob selecting only the events file.
+    stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(table_path(sf_dir, "events"))
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
     )
+    # Under nanosAsLong (see catalog.pin_session_confs) ts arrives as
+    # raw nanos — convert exactly like the batch path does.
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def streaming_tumble_agg(events: DataFrame, window: str = "6 hours") -> DataFrame:

@@ -1,0 +1,152 @@
+"""Runtime parity: the reference's failure/robustness/stress behaviors
+(SURVEY §5 layers 3-4) re-expressed for the Spark engine.
+
+Reference evidence:
+- UDF panic surfaces to the client, service survives
+  (integration-tests/tests/exception.rs:13-28)
+- a never-polled job executes nothing and leaks nothing
+  (exception.rs:30-54)
+- CPU-hogging query doesn't block health checks (exception.rs:56-118)
+- 50 concurrent queries of 3 shapes all succeed in < 180 s
+  (integration-tests/tests/sqllogictest.rs:28-77)
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_dist_spark.engine import DistEngine
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def engine(spark):
+    from datafusion_dist_spark import catalog
+
+    catalog.register_views(spark, SF_DIR)
+    return DistEngine(spark)
+
+
+def test_udf_exception_propagates_and_session_survives(spark, engine):
+    """Reference 'panic()' UDF: error reaches the client with its
+    message; the engine keeps serving queries afterwards."""
+
+    @F.udf(T.IntegerType())
+    def panic():
+        raise RuntimeError("udf panicked")
+
+    spark.udf.register("dd_panic", panic)
+    with pytest.raises(Exception, match="udf panicked"):
+        engine.execute("SELECT dd_panic() AS x FROM region")
+    # Service survives: the next query on the same session succeeds.
+    assert engine.execute("SELECT count(*) AS n FROM region")[0].n == 5
+    # And the failed job is recorded as failed, not leaked as running.
+    assert all(e.status != "running" for e in engine.jobs.all())
+
+
+def test_unconsumed_job_executes_nothing_and_leaks_nothing(engine):
+    """Lazy pull model: submit never executes (reference
+    exception.rs:30-54 — unpolled job is GC'd without running)."""
+    before = engine.spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+    handle = engine.submit("SELECT count(*) AS n FROM lineitem")
+    time.sleep(0.5)
+    tracker = engine.spark.sparkContext.statusTracker()
+    # No Spark job ran for this group — nothing executed.
+    assert tracker.getJobIdsForGroup(handle._entry.spark_job_group) == []
+    # The registry still knows it; cleanup drops it once finished.
+    assert len(engine.jobs.running()) == 1
+    handle.cancel()
+    assert engine.jobs.running() == []
+    assert engine.jobs.cleanup(ttl_seconds=0) >= 1
+
+
+def test_result_streaming_arrow_batches(engine):
+    handle = engine.submit(
+        "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+    )
+    batches = list(handle.stream_arrow())
+    assert sum(b.num_rows for b in batches) == 5
+    names = [c for b in batches for c in b.schema.names]
+    assert set(names) == {"r_regionkey", "r_name"}
+
+
+def test_running_jobs_virtual_table(engine):
+    h = engine.submit("SELECT 1 AS one", meta={"who": "test"})
+    df = engine.running_jobs_df()
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0].job_id == h.job_id
+    assert '"who": "test"' in rows[0].job_meta
+    engine.register_running_jobs_view()
+    assert engine.spark.sql(
+        "SELECT count(*) AS n FROM running_jobs"
+    ).head().n == 1
+    h.collect()
+    assert engine.running_jobs_df().count() == 0  # empty after completion
+
+
+def test_concurrent_queries_stress(engine):
+    """50 concurrent queries, 3 reference shapes (count-agg, theta
+    join, window-rank top-1), all succeed well inside 180 s."""
+    shapes = [
+        "SELECT count(*) AS n FROM lineitem",
+        """SELECT s.s_suppkey, count(*) AS n
+           FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
+           GROUP BY s.s_suppkey""",
+        """SELECT * FROM (
+               SELECT c_nationkey, c_custkey,
+                      rank() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC) AS rk
+               FROM customer) WHERE rk = 1""",
+    ]
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = [
+            pool.submit(lambda q=shapes[i % 3]: engine.execute(q)) for i in range(50)
+        ]
+        results = [f.result(timeout=180) for f in futures]
+    elapsed = time.monotonic() - t0
+    assert len(results) == 50 and all(r for r in results)
+    assert elapsed < 180, f"stress took {elapsed:.1f}s"
+    assert engine.jobs.running() == []  # all jobs completed and tracked
+
+
+def test_health_check_responsive_under_cpu_load(spark, engine):
+    """Reference exception.rs:56-118: SELECT 1 stays < 1 s while a
+    CPU-burning vectorized UDF query runs. Spark analog: the heavy job
+    runs in a separate FAIR pool on a subset of task slots."""
+
+    @F.pandas_udf(T.DoubleType())
+    def burn(v: pd.Series) -> pd.Series:
+        t_end = time.time() + 4.0
+        x = v.to_numpy().copy()
+        while time.time() < t_end:
+            x = (x * 1.0000001) % 1e9
+        return pd.Series(x)
+
+    heavy_df = (
+        engine.spark.range(0, 4, 1, 2)  # 2 partitions << available slots
+        .withColumn("v", F.col("id").cast("double"))
+        .select(burn("v").alias("b"))
+    )
+
+    def run_heavy():
+        heavy_df.agg(F.sum("b")).collect()
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(run_heavy)
+        time.sleep(1.0)  # let the heavy tasks occupy their slots
+        latencies = []
+        while not fut.done() and len(latencies) < 3:
+            t0 = time.monotonic()
+            assert engine.execute("SELECT 1 AS one")[0].one == 1
+            latencies.append(time.monotonic() - t0)
+        fut.result(timeout=60)
+    assert latencies, "heavy query finished before any health check ran"
+    assert max(latencies) < 1.0, f"health checks too slow: {latencies}"
