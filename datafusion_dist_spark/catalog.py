@@ -46,6 +46,17 @@ def pin_session_confs(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # InferFiltersFromGenerate duplicates the generator expression into
+    # a filter that predicate-pushdown then moves below our parallelism
+    # repartition — for computed shingle/token arrays that means
+    # re-evaluating the expensive expression on the raw (few-split)
+    # input: measured 4x slowdown on the dedup operators. The rule only
+    # ever helps selective explodes of *stored* arrays, which these
+    # pipelines don't do.
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

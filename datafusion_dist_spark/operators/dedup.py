@@ -28,6 +28,7 @@ from datafusion_dist_spark.functions.hashing import (
     shingle_array,
     tokens,
 )
+from datafusion_dist_spark.operators.common import spread
 
 # -- exact ----------------------------------------------------------------
 
@@ -50,8 +51,8 @@ def exact_dedup_keep_min(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
     """(doc_id, shingle) exploded, distinct per doc."""
     sh = shingle_array(tokens(F.col(text_col)), k)
-    return (
-        docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return spread(docs).select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
     )
 
 
@@ -60,15 +61,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig_i = MIN(md5_i(shingle)).
 
-    One aggregation, ``num_hashes`` min() columns — the shuffle carries
-    one row per (doc, shingle); signature width is a constant.
-    Fixed-width hex min == numeric min (see functions/hashing.py).
+    One aggregation, ``num_hashes`` min() columns packed into one
+    ``sig`` array — the shuffle carries one row per (doc, shingle);
+    signature width is a constant. Fixed-width hex min == numeric min
+    (see functions/hashing.py).
     """
     aggs = [
         F.min(hash_hex(F.col("shingle"), seed=i)).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
-    return shingles.groupBy("doc_id").agg(*aggs)
+    per_hash = shingles.groupBy("doc_id").agg(*aggs)
+    return per_hash.select(
+        "doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """One row per (doc, band): band_key joins the band's sig slice."""
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.concat_ws(
+                    "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                ).alias("band_key"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return signatures.select(
+        "doc_id", "sig", F.explode(band_entries).alias("band")
+    ).select("doc_id", "sig", "band.band_id", "band.band_key")
 
 
 def lsh_candidate_pairs(
@@ -76,25 +99,8 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
     candidate pair (a_id < b_id). Equi-join on (band_id, band_key)."""
-    num_hashes = bands * rows_per_band
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "|",
-                    *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
-                ).alias("band_key"),
-            )
-            for b in range(bands)
-        ]
-    )
-    assert num_hashes <= sum(1 for c in signatures.columns if c.startswith("mh"))
-    banded = signatures.select(
-        "doc_id", F.explode(band_entries).alias("band")
-    ).select("doc_id", "band.band_id", "band.band_key")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    banded = _banded(signatures, bands, rows_per_band)
+    a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,
@@ -102,9 +108,7 @@ def lsh_candidate_pairs(
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id")
-        )
+        .select(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .distinct()
     )
 
@@ -119,22 +123,42 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
     join → estimate Jaccard as matching-signature-component fraction;
-    keep pairs ≥ threshold."""
+    keep pairs ≥ threshold.
+
+    Single-pass plan: the band self-join carries both signature arrays,
+    so the estimate is a zip_with over columns already in hand — the
+    signature subtree is computed once, not re-joined per side (cuts
+    two shuffles and two recomputations vs the naive 4-way join).
+    """
     num_hashes = bands * rows_per_band
-    shingles = doc_shingles(docs, text_col, k)
-    sigs = minhash_signatures(shingles, num_hashes)
-    cands = lsh_candidate_pairs(sigs, bands, rows_per_band)
-    sa = sigs.alias("sa")
-    sb = sigs.alias("sb")
-    matches = sum(
-        F.when(F.col(f"sa.mh{i}") == F.col(f"sb.mh{i}"), 1).otherwise(0)
-        for i in range(num_hashes)
+    sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
+    banded = _banded(sigs, bands, rows_per_band)
+    a, b = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
     )
-    est = (matches.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = F.round(matches.cast("double") / F.lit(float(num_hashes)), 6)
     return (
-        cands.join(sa, cands.a_id == F.col("sa.doc_id"))
-        .join(sb, cands.b_id == F.col("sb.doc_id"))
-        .select("a_id", "b_id", F.round(est, 6).alias("est_jaccard"))
+        pairs.select("a_id", "b_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 
@@ -149,7 +173,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFram
     Token hash = 32-bit int from md5 (cross-engine stable); ``bits``
     bit-columns summed in one aggregation, then packed to one BIGINT.
     """
-    toks = docs.select(
+    toks = spread(docs).select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
@@ -225,8 +249,15 @@ def ngram_jaccard_pairs(
     |A∪B| = |A|+|B|-|A∩B|. No pair enumeration beyond docs that share
     at least one shingle.
     """
-    shingles = doc_shingles(docs, text_col, k)
-    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Carry each doc's shingle-set size on its shingle rows (one window
+    # -free groupBy-join collapsed into the explode) so the pair
+    # aggregation needs no extra join against a sizes table.
+    sh = shingle_array(tokens(F.col(text_col)), k)
+    shingles = spread(docs).select(
+        "doc_id", F.array_distinct(sh).alias("shs")
+    ).select(
+        "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
+    )
     a, b = shingles.alias("a"), shingles.alias("b")
     inter = (
         a.join(
@@ -235,15 +266,14 @@ def ngram_jaccard_pairs(
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(F.count("*").alias("n_inter"))
+        .agg(
+            F.count("*").alias("n_inter"),
+            F.first(F.col("a.n_sh")).alias("na"),
+            F.first(F.col("b.n_sh")).alias("nb"),
+        )
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    jac = F.col("n_inter") / (
-        F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")
-    )
+    jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
-        inter.join(sa, F.col("a_id") == F.col("sa.doc_id"))
-        .join(sb, F.col("b_id") == F.col("sb.doc_id"))
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        inter.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

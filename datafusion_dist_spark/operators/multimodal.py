@@ -22,6 +22,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datafusion_dist_spark.operators.common import spread
+
 PAYLOAD_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
@@ -88,4 +90,4 @@ def extract_features(payloads: DataFrame, fake_decoder: bool = True) -> DataFram
                 }
             )
 
-    return payloads.mapInPandas(_extract, FEATURE_SCHEMA)
+    return spread(payloads).mapInPandas(_extract, FEATURE_SCHEMA)

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_dist_spark.operators.common import spread
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -46,7 +48,7 @@ def cosine_topk_bruteforce(
 ) -> DataFrame:
     """Exact top-k by cosine against a literal query vector."""
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    scored = embeddings.select(
+    scored = spread(embeddings).select(
         F.col(id_col),
         F.round(cosine(F.col(vec_col), q), 6).alias("score"),
     )
@@ -85,7 +87,7 @@ def lsh_bucket_topk(
     probes = [q_bucket] + [q_bucket ^ (1 << i) for i in range(nbits)]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = (
-        embeddings.withColumn("bucket", sign_bucket(F.col(vec_col), nbits))
+        spread(embeddings).withColumn("bucket", sign_bucket(F.col(vec_col), nbits))
         .filter(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
@@ -109,7 +111,7 @@ def embedding_near_dup_pairs(
     agree on sign bits with high probability); exact cosine verifies.
     At scale the bucket equi-join replaces the quadratic cross join.
     """
-    b = embeddings.select(
+    b = spread(embeddings).select(
         F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), nbits).alias("bucket")
     )
     l, r = b.alias("l"), b.alias("r")

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datafusion_dist_spark.functions.hashing import hash_hex, tokens
+from datafusion_dist_spark.operators.common import spread
 
 # Tiny deterministic stopword profiles. The corpus vocabulary is
 # synthetic, so these act as fixed n-gram/lexicon profiles: language ID
@@ -100,7 +101,7 @@ def winnow_fingerprints(
     w = Window.partitionBy("doc_id").orderBy("pos")
     gram_cols = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
     grams = (
-        docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        spread(docs).select("doc_id", F.posexplode(toks).alias("pos", "tok"))
         .withColumn("gram", F.concat_ws(" ", *gram_cols))
         .withColumn("gram_len", F.size(F.split("gram", " ")))
         .filter(F.col("gram_len") == k)  # drop ragged tail grams
