@@ -1,0 +1,364 @@
+"""Advanced SQL surface: subqueries, CTEs, VALUES, pivot/unpivot,
+JSON/array expressions, statistical aggregates.
+
+None of these are exercised by the reference's test corpus (its SQL
+surface comes wholesale from the DataFusion dependency, SURVEY §2.C
+"Scalar functions" note) — they are pinned here so the engine's parity
+claim covers the query shapes a DataFusion user would actually run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.registry import register, register_sql
+
+# -- subqueries ------------------------------------------------------------
+
+register_sql(
+    "subquery_scalar",
+    spark_sql="""
+        SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+    """,
+    oracle="""
+        SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        FROM orders
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.8 FROM orders)
+    """,
+    doc="Uncorrelated scalar subquery in a predicate (threshold is "
+    "computed once and broadcast).",
+)
+
+register_sql(
+    "subquery_in",
+    spark_sql="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+        )
+    """,
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (
+            SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+        )
+    """,
+    doc="IN subquery → left semi join.",
+)
+
+register_sql(
+    "subquery_not_in_3vl",
+    spark_sql="""
+        SELECT s_suppkey FROM supplier
+        WHERE s_nationkey NOT IN (
+            SELECT NULLIF(n_nationkey, 3) FROM nation WHERE n_regionkey = 1
+        )
+    """,
+    oracle="""
+        SELECT s_suppkey FROM supplier
+        WHERE s_nationkey NOT IN (
+            SELECT NULLIF(n_nationkey, 3) FROM nation WHERE n_regionkey = 1
+        )
+    """,
+    doc="NOT IN against a list containing NULL — three-valued-logic "
+    "semantics (null-aware anti join); the clause is NULL-poisoned "
+    "only when the probe value matches nothing.",
+)
+
+register_sql(
+    "subquery_correlated_exists",
+    spark_sql="""
+        SELECT n_nationkey, n_name FROM nation n
+        WHERE EXISTS (
+            SELECT 1 FROM supplier s
+            WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000
+        )
+    """,
+    oracle="""
+        SELECT n_nationkey, n_name FROM nation n
+        WHERE EXISTS (
+            SELECT 1 FROM supplier s
+            WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 5000
+        )
+    """,
+    doc="Correlated EXISTS subquery (decorrelated to a semi join).",
+)
+
+register_sql(
+    "cte_multi",
+    spark_sql="""
+        WITH big_orders AS (
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000
+        ),
+        per_cust AS (
+            SELECT o_custkey, count(*) AS n_big FROM big_orders GROUP BY o_custkey
+        )
+        SELECT c.c_nationkey, CAST(SUM(p.n_big) AS BIGINT) AS total_big
+        FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    oracle="""
+        WITH big_orders AS (
+            SELECT o_orderkey, o_custkey FROM orders WHERE o_totalprice > 300000
+        ),
+        per_cust AS (
+            SELECT o_custkey, count(*) AS n_big FROM big_orders GROUP BY o_custkey
+        )
+        SELECT c.c_nationkey, CAST(SUM(p.n_big) AS BIGINT) AS total_big
+        FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
+    """,
+    doc="Chained CTEs feeding a join + aggregation.",
+)
+
+register_sql(
+    "values_inline",
+    spark_sql="""
+        SELECT v.k, v.label, r.r_name
+        FROM VALUES (0, 'zero'), (2, 'two'), (4, 'four') AS v(k, label)
+        JOIN region r ON r.r_regionkey = v.k
+    """,
+    oracle="""
+        SELECT v.k, v.label, r.r_name
+        FROM (VALUES (0, 'zero'), (2, 'two'), (4, 'four')) AS v(k, label)
+        JOIN region r ON r.r_regionkey = v.k
+    """,
+    doc="Inline VALUES relation joined to a table (the MemTable-style "
+    "literal source, reference data.rs:36-57 analog).",
+)
+
+register_sql(
+    "select_distinct",
+    spark_sql="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    oracle="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    doc="SELECT DISTINCT — same physical shape as UNION-distinct "
+    "(partial+final agg on all columns).",
+)
+
+
+# -- pivot / unpivot -------------------------------------------------------
+
+
+@register(
+    "pivot_status",
+    oracle="""
+        SELECT o_orderpriority,
+               count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+               count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        FROM orders GROUP BY o_orderpriority
+    """,
+    doc="Pivot (explicit value list → conditional aggregates).",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    pv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pv.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("f_cnt"),
+        F.coalesce("O", F.lit(0)).alias("o_cnt"),
+        F.coalesce("P", F.lit(0)).alias("p_cnt"),
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+        SELECT s_suppkey, 'acctbal_c' AS measure,
+               CAST(ROUND(s_acctbal*100) AS BIGINT) AS val
+        FROM supplier
+        UNION ALL
+        SELECT s_suppkey, 'nationkey' AS measure, CAST(s_nationkey AS BIGINT) AS val
+        FROM supplier
+    """,
+    doc="Unpivot / melt: wide columns → (measure, value) rows.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.round(F.col("s_acctbal") * 100).cast("bigint").alias("acctbal_c"),
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+    )
+    return s.unpivot(
+        "s_suppkey", ["acctbal_c", "nationkey"], "measure", "val"
+    )
+
+
+# -- JSON / arrays ---------------------------------------------------------
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+               CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+                    THEN 'high' ELSE 'low' END AS k_band
+        FROM events WHERE event_id < 500
+    """,
+    doc="JSON extraction from a string column (events.props) + derived "
+    "banding — Spark get_json_object ≡ DuckDB json_extract_string.",
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.select(
+        "event_id",
+        k.alias("k_val"),
+        F.when(k >= 50, "high").otherwise("low").alias("k_band"),
+    )
+
+
+@register(
+    "array_ops",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               toks[1] AS first_tok,
+               toks[len(toks)] AS last_tok,
+               CAST(len(toks) AS INTEGER) AS n,
+               array_to_string(list_slice(toks, 1, 3), '-') AS head3,
+               CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS has_spark,
+               list_sort(list_distinct(list_slice(toks, 1, 5)))[1] AS min_head
+        FROM t
+    """,
+    doc="Array expression surface: index, slice, contains, distinct, "
+    "sort — all JVM-side higher-order functions.",
+)
+def array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dist_spark.functions.hashing import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    return t.select(
+        "doc_id",
+        F.element_at("toks", 1).alias("first_tok"),
+        F.element_at("toks", -1).alias("last_tok"),
+        F.size("toks").alias("n"),
+        F.concat_ws("-", F.slice("toks", 1, 3)).alias("head3"),
+        F.array_contains("toks", "spark").cast("int").alias("has_spark"),
+        F.element_at(F.array_sort(F.array_distinct(F.slice("toks", 1, 5))), 1).alias(
+            "min_head"
+        ),
+    )
+
+
+@register(
+    "struct_nested",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey < 100
+    """,
+    doc="Struct construction + field access (nested types round-trip; "
+    "oracle compares the flattened projection).",
+)
+def struct_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 100)
+    nested = o.select(
+        "o_orderkey",
+        F.struct(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_c"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("info"),
+    )
+    return nested.select(
+        "o_orderkey",
+        F.col("info.price_c").alias("price_c"),
+        F.col("info.status").alias("status"),
+    )
+
+
+@register(
+    "fn_regexp",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+               CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INTEGER)
+                 AS vowel_runs,
+               regexp_replace(p_type, '[AEIOU]', '*', 'g') AS type_masked,
+               CASE WHEN regexp_matches(p_name, '^[a-z]+ ') THEN 1 ELSE 0 END
+                 AS starts_word
+        FROM part WHERE p_partkey < 150
+    """,
+    doc="Regexp surface: extract / extract_all count / replace / match.",
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"#([0-9]+)", 1).alias("brand_num"),
+        F.size(F.regexp_extract_all("p_name", F.lit(r"[aeiou]+"), F.lit(0))).alias(
+            "vowel_runs"
+        ),
+        F.regexp_replace("p_type", r"[AEIOU]", "*").alias("type_masked"),
+        F.col("p_name").rlike(r"^[a-z]+ ").cast("int").alias("starts_word"),
+    )
+
+
+# -- statistical aggregates ------------------------------------------------
+
+
+@register(
+    "agg_stats",
+    oracle="""
+        SELECT c_nationkey,
+               round(stddev_samp(c_acctbal), 2) AS sd_bal,
+               round(var_samp(c_acctbal), 1) AS var_bal,
+               round(avg(c_acctbal), 4) AS avg_bal,
+               round(corr(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key
+        FROM customer GROUP BY c_nationkey
+    """,
+    doc="Statistical aggregates: stddev/variance/avg/corr (merged "
+    "moment sketches; rounded to absorb sub-ulp engine differences).",
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.stddev_samp("c_acctbal"), 2).alias("sd_bal"),
+        F.round(F.var_samp("c_acctbal"), 1).alias("var_bal"),
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.corr("c_acctbal", F.col("c_custkey").cast("double")), 6).alias(
+            "corr_bal_key"
+        ),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+        SELECT l_returnflag,
+               round(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.25), 4)
+                 AS p25_c,
+               round(median(CAST(ROUND(l_extendedprice*100) AS BIGINT)), 4) AS p50_c,
+               round(quantile_cont(CAST(ROUND(l_extendedprice*100) AS BIGINT), 0.75), 4)
+                 AS p75_c
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact percentiles/median over integer cents (continuous "
+    "interpolation — deterministic on exact ints).",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return li.select("l_returnflag", cents.alias("price_c")).groupBy(
+        "l_returnflag"
+    ).agg(
+        F.round(F.percentile("price_c", F.lit(0.25)), 4).alias("p25_c"),
+        F.round(F.median("price_c"), 4).alias("p50_c"),
+        F.round(F.percentile("price_c", F.lit(0.75)), 4).alias("p75_c"),
+    )

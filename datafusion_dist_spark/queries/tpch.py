@@ -243,3 +243,252 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
+
+
+@register(
+    "tpch_q4",
+    oracle="""
+        SELECT o.o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND EXISTS (
+              SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48
+          )
+        GROUP BY o.o_orderpriority
+    """,
+    doc="TPC-H Q4 order-priority checking (adapted: EXISTS on quantity "
+    "since commitdate/receiptdate are absent): semi join + aggregation.",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q7",
+    oracle="""
+        SELECT supp_nation, cust_nation, l_year,
+               CAST(SUM(vol_c4) AS DOUBLE) / 10000.0 AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+                   CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)) AS vol_c4
+            FROM supplier s
+            JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7 volume shipping between two nations: 6-way join with "
+    "a disjunctive nation-pair predicate, grouped by year.",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = n.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    vol_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg((F.sum(vol_c4).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q14",
+    oracle="""
+        SELECT round(
+            100.0 * CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                     THEN CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                          * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))
+                     ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                       * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS DOUBLE),
+            6) AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+    """,
+    doc="TPC-H Q14 promotion effect: conditional aggregation over a "
+    "broadcast join, single-row ratio output.",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    vol_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), vol_c4).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0 * F.sum(promo).cast("double") / F.sum(vol_c4).cast("double"), 6
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    "tpch_q18",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        FROM orders o
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 180
+        )
+        GROUP BY c.c_custkey, c.c_name, o.o_orderkey
+        ORDER BY total_qty DESC, o.o_orderkey ASC
+        LIMIT 20
+    """,
+    doc="TPC-H Q18 large-volume customers: HAVING-filtered IN subquery "
+    "(semi join on an aggregated key set) + re-aggregation + TopK.",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    qty = F.round("l_quantity").cast("bigint")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("oq"))
+        .filter(F.col("oq") > 180)
+        .select("l_orderkey")
+    )
+    return (
+        o.join(big_orders, o.o_orderkey == big_orders.l_orderkey, "left_semi")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey")
+        .agg(F.sum(qty).alias("total_qty"))
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q19",
+    oracle="""
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))) AS DOUBLE)
+                 / 10000.0 AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+    """,
+    doc="TPC-H Q19 discounted revenue: disjunction of conjunctive "
+    "brand/size/quantity predicates over a broadcast join (predicate "
+    "simplification + pushdown shape).",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    vol_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    q = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & q.between(1, 21)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & q.between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & q.between(20, 40)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg((F.sum(vol_c4).cast("double") / 10000.0).alias("revenue"))
+    )
+
+
+@register(
+    "tpch_q22",
+    oracle="""
+        SELECT c.c_nationkey,
+               count(*) AS numcust,
+               CAST(SUM(CAST(ROUND(c.c_acctbal*100) AS BIGINT)) AS DOUBLE) / 100.0
+                 AS totacctbal
+        FROM customer c
+        WHERE c.c_acctbal > (
+            SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 200000
+        )
+        GROUP BY c.c_nationkey
+    """,
+    doc="TPC-H Q22 global-sales-opportunity (adapted to nationkey): "
+    "scalar subquery threshold + anti join + aggregation.",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a")).head().a
+    )
+    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).cast("double") / 100.0).alias(
+                "totacctbal"
+            ),
+        )
+    )

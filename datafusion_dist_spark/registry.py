@@ -74,6 +74,7 @@ def register_sql(name: str, spark_sql: str, oracle: str | None = None, doc: str 
 def _load_all() -> None:
     # Import for registration side effects; order defines display order.
     from datafusion_dist_spark.queries import (  # noqa: F401
+        advanced,
         aggregates,
         functions_q,
         llm,
