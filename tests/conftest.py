@@ -18,10 +18,16 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
+    wh = tempfile.mkdtemp(prefix="ddspark-warehouse-")
     spark = build_session(
         "ddspark-tests",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.execution.pyspark.udf.faulthandler.enabled": "false"},
+        extra_conf={
+            "spark.sql.execution.pyspark.udf.faulthandler.enabled": "false",
+            "spark.sql.warehouse.dir": wh,
+        },
     )
     yield spark
     spark.stop()

@@ -1,0 +1,99 @@
+"""Sources/sinks + physical-layout features (bucketing, partitioned
+writes) — the storage-side half of the 100 TB design.
+
+The reference has no file sinks (results stream to the client only,
+SURVEY §2.C sinks row); Spark's writers are part of this engine's
+surface, so they're pinned here: round-trip fidelity, partition
+pruning on partitioned layouts, and bucketed joins eliminating the
+shuffle entirely.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.plans import formatted_plan, plan_facts
+from datafusion_dist_spark.sources import read_csv, read_json, write_parquet
+from tests.conftest import SF_DIR
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "nation_out")
+    n = load_table(spark, SF_DIR, "nation")
+    write_parquet(n, out)
+    back = spark.read.parquet(out)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, n.collect()))
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    out = str(tmp_path / "orders_by_status")
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_parquet(o, out, partition_by=["o_orderstatus"])
+    back = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = formatted_plan(back)
+    # Partition pruning: the filter is resolved against directory
+    # partitions, not data (PartitionFilters, zero PushedFilters rows).
+    assert "PartitionFilters" in plan
+    assert back.count() == o.filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_bucketed_join_eliminates_shuffle(spark, tmp_path):
+    """Bucketing both join sides on the key co-locates matching rows at
+    write time: the join plan has ZERO exchanges — at 100 TB this is
+    the difference between re-shuffling the fact table per query and
+    reading pre-colocated buckets."""
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable(
+        "li_bucketed"
+    )
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable(
+        "o_bucketed"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_bucketed").join(
+            spark.table("o_bucketed"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        facts = plan_facts(joined)
+        assert facts["n_exchanges"] == 0, (
+            f"bucketed join must not shuffle: {facts}"
+        )
+        # Same result as the plain shuffle join.
+        assert joined.count() == li.join(
+            o, li.l_orderkey == o.o_orderkey
+        ).count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS li_bucketed")
+        spark.sql("DROP TABLE IF EXISTS o_bucketed")
+
+
+def test_csv_json_sources_roundtrip(spark, tmp_path):
+    n = load_table(spark, SF_DIR, "nation")
+    csv_path, json_path = str(tmp_path / "n_csv"), str(tmp_path / "n_json")
+    n.write.option("header", "true").csv(csv_path)
+    n.write.json(json_path)
+    csv_back = read_csv(spark, csv_path, schema=n.schema)
+    json_back = read_json(spark, json_path, schema=n.schema)
+    expect = sorted(map(tuple, n.collect()))
+    assert sorted(map(tuple, csv_back.collect())) == expect
+    assert sorted(map(tuple, json_back.collect())) == expect
+
+
+def test_result_sink_is_arrow_stream(spark):
+    """Reference sink = Arrow stream to the client (server.rs:109-141);
+    engine analog: toArrow batches carry the full result."""
+    df = load_table(spark, SF_DIR, "region").orderBy("r_regionkey")
+    table = df.toArrow()
+    assert table.num_rows == 5
+    assert table.column_names[0] == "r_regionkey"
