@@ -179,3 +179,94 @@ def fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_linenumber").cast("double").alias("line_dbl"),
         F.col("l_returnflag").try_cast("int").alias("bad_cast"),
     )
+
+
+@register(
+    "fn_date_parts",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(isodow(o_orderdate) - 1 AS INTEGER) AS wd,
+               CAST(weekofyear(o_orderdate) AS INTEGER) AS woy,
+               CAST(dayofyear(o_orderdate) AS INTEGER) AS doy,
+               CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+               CAST(date_trunc('week', o_orderdate) AS DATE) AS week_start
+        FROM orders WHERE o_orderkey < 150
+    """,
+    doc="Date-part surface: weekday (Monday=0) / ISO week / day-of-"
+    "year / last_day / add_months / week truncation.",
+)
+def fn_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 150)
+    od = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.weekday(od).alias("wd"),
+        F.weekofyear(od).alias("woy"),
+        F.dayofyear(od).alias("doy"),
+        F.last_day(od.cast("date")).alias("month_end"),
+        F.add_months(od.cast("date"), 3).alias("plus3m"),
+        F.date_trunc("week", od).cast("date").alias("week_start"),
+    )
+
+
+@register(
+    "fn_string_extra",
+    oracle="""
+        SELECT p_partkey,
+               translate(p_brand, '#', '-') AS brand_dash,
+               repeat(left(p_type, 2), 3) AS type_rep,
+               CAST(strpos(p_name, ' ') AS INTEGER) AS first_space,
+               CAST(ascii(p_brand) AS INTEGER) AS first_code,
+               chr(65 + CAST(p_partkey % 26 AS INTEGER)) AS letter,
+               right(p_name, 4) AS name_tail,
+               CASE WHEN contains(p_type, 'ANOD') THEN 1 ELSE 0 END AS has_anod,
+               CASE WHEN starts_with(p_brand, 'Brand#1') THEN 1 ELSE 0 END AS b1,
+               split_part(p_type, ' ', 1) AS type_head
+        FROM part WHERE p_partkey < 120
+    """,
+    doc="String surface 2: translate / repeat / strpos / ascii / chr / "
+    "right / contains / starts_with / split_part.",
+)
+def fn_string_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 120)
+    return p.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_dash"),
+        F.repeat(F.substring("p_type", 1, 2), 3).alias("type_rep"),
+        F.instr("p_name", " ").alias("first_space"),
+        F.ascii("p_brand").alias("first_code"),
+        F.chr(F.lit(65) + (F.col("p_partkey") % 26).cast("int")).alias("letter"),
+        F.substring("p_name", -4, 4).alias("name_tail"),
+        F.col("p_type").contains("ANOD").cast("int").alias("has_anod"),
+        F.startswith(F.col("p_brand"), F.lit("Brand#1")).cast("int").alias("b1"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@register(
+    "fn_bits",
+    oracle="""
+        SELECT s_suppkey,
+               s_suppkey & 15 AS b_and,
+               s_suppkey | 16 AS b_or,
+               xor(s_suppkey, 21) AS b_xor,
+               s_suppkey << 2 AS b_shl,
+               s_suppkey >> 1 AS b_shr,
+               CAST(bit_count(s_suppkey) AS INTEGER) AS b_pop
+        FROM supplier
+    """,
+    doc="Bitwise surface: and / or / xor / shifts / popcount.",
+)
+def fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    return s.select(
+        "s_suppkey",
+        k.bitwiseAND(15).alias("b_and"),
+        k.bitwiseOR(16).alias("b_or"),
+        k.bitwiseXOR(21).alias("b_xor"),
+        F.shiftleft(k, 2).alias("b_shl"),
+        F.shiftright(k, 1).alias("b_shr"),
+        F.bit_count(k).alias("b_pop"),
+    )

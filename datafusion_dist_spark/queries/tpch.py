@@ -492,3 +492,215 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "tpch_q8",
+    oracle="""
+        SELECT o_year,
+               round(CAST(SUM(CASE WHEN supp_nation = 'NATION_1'
+                                   THEN vol_c4 ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(vol_c4) AS DOUBLE), 6) AS mkt_share
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   n2.n_name AS supp_nation,
+                   CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT)) AS vol_c4
+            FROM lineitem l
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'ASIA'
+        ) all_nations
+        GROUP BY o_year
+    """,
+    doc="TPC-H Q8 national market share: 7-way join, conditional "
+    "ratio per year.",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_rk"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation"))
+    vol_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    natl = F.when(F.col("supp_nation") == "NATION_1", F.col("vol_c4")).otherwise(F.lit(0))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select(F.year("o_orderdate").alias("o_year"), F.col("supp_nation"), vol_c4.alias("vol_c4"))
+        .groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(natl).cast("double") / F.sum("vol_c4").cast("double"), 6
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "tpch_q9",
+    oracle="""
+        SELECT nation, o_year,
+               CAST(SUM(amount_c4) AS DOUBLE) / 10000.0 AS sum_profit
+        FROM (
+            SELECT n.n_name AS nation,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   CAST(ROUND(l.l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(ROUND(l.l_discount*100) AS BIGINT))
+                   - CAST(ROUND(l.l_quantity) AS BIGINT)
+                     * CAST(ROUND(p.p_retailprice*100) AS BIGINT) * 50 AS amount_c4
+            FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            WHERE p.p_name LIKE '%a%'
+        ) profit
+        GROUP BY nation, o_year
+    """,
+    doc="TPC-H Q9 product-type profit (adapted: supply cost = half "
+    "retail price, no partsupp table in the schema): 5-way join, "
+    "profit expression, group by nation x year.",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount")) - (
+        F.round("l_quantity").cast("bigint") * _cents("p_retailprice") * F.lit(50)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            amount_c4.alias("amount_c4"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("amount_c4").cast("double") / 10000.0).alias("sum_profit"))
+    )
+
+
+@register(
+    "tpch_q12",
+    oracle="""
+        SELECT CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY year(l_shipdate)
+    """,
+    doc="TPC-H Q12 shipping-priority counts (adapted: year buckets for "
+    "the absent shipmode): conditional counts over a shuffle join.",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.year("l_shipdate").alias("ship_year"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q15",
+    oracle="""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)
+                            * (100 - CAST(ROUND(l_discount*100) AS BIGINT)))
+                        AS BIGINT) AS total_rev_c4
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name,
+               CAST(r.total_rev_c4 AS DOUBLE) / 10000.0 AS total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_rev_c4 = (SELECT max(total_rev_c4) FROM revenue)
+    """,
+    doc="TPC-H Q15 top supplier: aggregated CTE + scalar-subquery max "
+    "(exact integer-cents revenue makes the equality deterministic).",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    rev_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(rev_c4).cast("bigint").alias("total_rev_c4")
+    )
+    max_rev = revenue.agg(F.max("total_rev_c4").alias("m")).head().m
+    return (
+        s.join(F.broadcast(revenue.filter(F.col("total_rev_c4") == max_rev)),
+               s.s_suppkey == F.col("supplier_no"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("total_rev_c4").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "tpch_q17",
+    oracle="""
+        SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS DOUBLE)
+                 / 100.0 / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#5'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l_quantity) FROM lineitem
+              WHERE l_partkey = l.l_partkey
+          )
+    """,
+    doc="TPC-H Q17 small-quantity-order revenue: correlated scalar "
+    "aggregate subquery (decorrelated to an aggregate + join).",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5")
+    avg_per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (0.2 * F.avg("l_quantity")).alias("qty_threshold")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_per_part), li.l_partkey == F.col("ap_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_threshold"))
+        .agg(
+            (
+                F.sum(_cents("l_extendedprice")).cast("double") / 100.0 / 7.0
+            ).alias("avg_yearly")
+        )
+    )

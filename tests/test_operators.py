@@ -1,0 +1,102 @@
+"""Operator-level semantics tests (beyond the oracle gate)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.operators import dedup, joins, similarity
+from tests.conftest import SF_DIR
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_custkey")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_quantity", "o_custkey"
+    )
+    salted = joins.salted_join(li, o, "l_orderkey", "o_orderkey", salt=4).select(
+        "l_orderkey", "l_quantity", "o_custkey"
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_salted_join_left_outer(spark):
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey")
+    o = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_custkey")
+    )
+    plain = c.join(o, c.c_custkey == o.o_custkey, "left_outer").select(
+        "c_custkey", "o_orderkey"
+    )
+    salted = joins.salted_join(c, o, "c_custkey", "o_custkey", salt=4, how="left_outer").select(
+        "c_custkey", "o_orderkey"
+    )
+    assert sorted(
+        map(tuple, salted.collect()), key=str
+    ) == sorted(map(tuple, plain.collect()), key=str)
+
+
+def test_skew_stats(spark):
+    e = load_table(spark, SF_DIR, "events")
+    top = joins.skew_stats(e, "event_type", top=3).collect()
+    assert len(top) == 3
+    assert top[0].cnt >= top[1].cnt >= top[2].cnt
+    assert 0 < top[0].fraction <= 1
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    """Plant a near-duplicate (one token changed) and an exact dup;
+    LSH must surface both pairs with sensible estimates."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(50)
+    rows = docs.collect()
+    base = rows[0].text
+    mutated = base.rsplit(" ", 1)[0] + " zzz"
+    planted = spark.createDataFrame(
+        [(90001, base), (90002, mutated)], "doc_id long, text string"
+    )
+    corpus = docs.unionByName(planted)
+    pairs = dedup.minhash_dedup_pairs(corpus, threshold=0.3).collect()
+    by_pair = {(r.a_id, r.b_id): r.est_jaccard for r in pairs}
+    exact_est = by_pair.get((rows[0].doc_id, 90001))
+    assert exact_est == 1.0, f"exact dup must estimate 1.0: {by_pair}"
+    near_keys = [k for k in by_pair if 90002 in k and rows[0].doc_id in k or k == (90001, 90002)]
+    assert near_keys, f"near-dup pair not found: {by_pair}"
+
+
+def test_simhash_exact_dup_distance_zero(spark):
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(30)
+    first = docs.first()
+    planted = spark.createDataFrame(
+        [(90010, first.text)], "doc_id long, text string"
+    )
+    sims = dedup.simhash(docs.unionByName(planted))
+    vals = {r.doc_id: r.simhash for r in sims.collect()}
+    assert vals[first.doc_id] == vals[90010]
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark):
+    """Multi-probe LSH top-10 must overlap substantially with exact
+    top-10 (same-bucket near vectors)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 3).select("embedding").head()[0])
+    exact = {r.vec_id for r in similarity.cosine_topk_bruteforce(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in similarity.lsh_bucket_topk(emb, q, k=10, nbits=4).collect()}
+    assert len(exact & approx) >= 5, f"recall too low: {exact & approx}"
+
+
+def test_embedding_near_dup_planted(spark):
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    first = emb.first()
+    clone = spark.createDataFrame(
+        [(99001, list(first.embedding), 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    pairs = similarity.embedding_near_dup_pairs(
+        emb.unionByName(clone), threshold=0.99
+    ).collect()
+    found = [(r.a_id, r.b_id) for r in pairs]
+    assert (first.vec_id, 99001) in found, found
