@@ -16,6 +16,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F
+
 from datafusion_dist_spark import registry
 from datafusion_dist_spark.session import build_session
 
@@ -48,11 +50,30 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def warmup(spark, sf_dir: str) -> None:
+    """Absorb one-time environment spin-up so timings measure query
+    work: JVM/task-scheduler start, whole-stage-codegen infrastructure,
+    the shuffle path, the parquet reader, and the Python worker pool
+    (daemon fork + pandas/pyarrow import on every core). None of this
+    touches the benchmark tables' data beyond a single tiny scan."""
+    from datafusion_dist_spark.catalog import load_table
+
+    spark.range(1_000_000).selectExpr("sum(id * 2) AS s").collect()
+    spark.range(10_000).groupBy((F.col("id") % 7).alias("k")).count().collect()
+    load_table(spark, sf_dir, "region").count()  # parquet reader path
+    par = spark.sparkContext.defaultParallelism
+    tiny = spark.range(par * 4).repartition(par)
+    tiny.mapInPandas(lambda it: it, tiny.schema).write.mode("overwrite").format(
+        "noop"
+    ).save()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session("ddspark-bench")
     specs = registry.all_specs()
+    warmup(spark, sf_dir)
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].spark_fn

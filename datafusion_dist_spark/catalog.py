@@ -10,6 +10,9 @@ at a distributed store and every operator below still works.
 from __future__ import annotations
 
 import os
+import pathlib
+import tempfile
+import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -57,6 +60,34 @@ def pin_session_confs(spark: SparkSession) -> None:
         "spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     )
+    _ship_package(spark)
+
+
+_SHIPPED_APPS: set[str] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Ship this package to Python workers via ``addPyFile``.
+
+    Pandas-UDF / mapInPandas closures are pickled by module reference,
+    so workers must be able to ``import datafusion_dist_spark``. The
+    driver's session is not ours — its cwd/PYTHONPATH may not reach this
+    repo — and on a real cluster executors share no filesystem with the
+    driver at all. One zip per session makes both cases work.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _SHIPPED_APPS:
+        return
+    pkg_dir = pathlib.Path(__file__).resolve().parent
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"datafusion_dist_spark_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for p in sorted(pkg_dir.rglob("*.py")):
+                z.write(p, arcname=str(pkg_dir.name / p.relative_to(pkg_dir)))
+    spark.sparkContext.addPyFile(zpath)
+    _SHIPPED_APPS.add(app_id)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

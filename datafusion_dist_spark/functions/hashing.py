@@ -46,6 +46,31 @@ def hash_hex_oracle(value_expr: str, seed: int | str = 0, width: int = 8) -> str
     return f"substr(md5('{seed}:' || {value_expr}), 1, {width})"
 
 
+def wide_hash_window(i: int, width: int = 8) -> tuple[int, int]:
+    """Map hash index i → (digest seed group, 1-based hex offset).
+
+    One md5 digest is 32 hex chars = ``32 // width`` disjoint fixed-width
+    windows, each uniformly distributed — so k hash functions need only
+    ``ceil(k * width / 32)`` md5 evaluations instead of k.
+    """
+    per_digest = 32 // width
+    group, slot = divmod(i, per_digest)
+    return group, 1 + slot * width
+
+
+def hash_hex_wide(value: Column, i: int, width: int = 8) -> Column:
+    """i-th member of a family of hashes, 4-per-md5 (see
+    ``wide_hash_window``). Same cross-engine guarantees as ``hash_hex``."""
+    group, start = wide_hash_window(i, width)
+    digest = F.md5(F.concat(F.lit(f"{group}:"), value))
+    return F.substring(digest, start, width)
+
+
+def hash_hex_wide_oracle(value_expr: str, i: int, width: int = 8) -> str:
+    group, start = wide_hash_window(i, width)
+    return f"substr(md5('{group}:' || {value_expr}), {start}, {width})"
+
+
 def hash_int32(value: Column, seed: int | str = 0) -> Column:
     """Stable 32-bit unsigned int from the hex hash (for bit tests)."""
     return F.conv(hash_hex(value, seed, 8), 16, 10).cast("bigint")

@@ -27,6 +27,7 @@ from datafusion_dist_spark.functions.hashing import (
     hash_hex,
     shingle_array,
     tokens,
+    wide_hash_window,
 )
 from datafusion_dist_spark.operators.common import spread
 
@@ -59,18 +60,31 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFra
 def minhash_signatures(
     shingles: DataFrame, num_hashes: int = 16
 ) -> DataFrame:
-    """Per-doc MinHash signature: sig_i = MIN(md5_i(shingle)).
+    """Per-doc MinHash signature: sig_i = MIN(hash_i(shingle)).
 
     One aggregation, ``num_hashes`` min() columns packed into one
     ``sig`` array — the shuffle carries one row per (doc, shingle);
-    signature width is a constant. Fixed-width hex min == numeric min
-    (see functions/hashing.py).
+    signature width is a constant. Fixed-width hex min == numeric min,
+    and each md5 digest feeds 4 hash functions (disjoint hex windows,
+    functions/hashing.py:wide_hash_window), so 16 hashes cost 4 md5
+    evaluations per shingle. Digests are materialized in a projection
+    before the aggregation so each is computed exactly once per row.
     """
-    aggs = [
-        F.min(hash_hex(F.col("shingle"), seed=i)).alias(f"mh{i}")
-        for i in range(num_hashes)
-    ]
-    per_hash = shingles.groupBy("doc_id").agg(*aggs)
+    n_digests = -(-num_hashes // 4)
+    digests = shingles.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{g}:"), F.col("shingle"))).alias(f"_d{g}")
+            for g in range(n_digests)
+        ],
+    )
+    aggs = []
+    for i in range(num_hashes):
+        g, start = wide_hash_window(i)
+        aggs.append(
+            F.min(F.substring(F.col(f"_d{g}"), start, 8)).alias(f"mh{i}")
+        )
+    per_hash = digests.groupBy("doc_id").agg(*aggs)
     return per_hash.select(
         "doc_id", F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig")
     )

@@ -3,10 +3,9 @@
 Two strategies, one semantics:
 
 - ``cosine_topk_bruteforce`` — exact: score every vector against the
-  query with a JVM-side fold (zip_with + aggregate, no Python, no UDF),
-  then TopK. The right baseline and, at 100 TB, still the right
-  *verifier* for sampled queries: one scan, no shuffle (TopK is
-  partial-per-partition then merged).
+  query with a JVM-side dot product, then TopK. The right baseline and,
+  at 100 TB, still the right *verifier* for sampled queries: one scan,
+  no shuffle (TopK is partial-per-partition then merged).
 - ``lsh_bucket_topk`` — approximate scale path: sign-bit bucketing
   (axis-aligned random-hyperplane LSH) assigns every vector to a
   2^nbits bucket at write time; queries probe only the buckets within
@@ -14,8 +13,16 @@ Two strategies, one semantics:
   selective scan. On a cluster the bucket id is a partition/cluster
   key, so a probe reads a handful of files.
 
+Dot products: when the dimension is known (probed once from the data)
+the sum is unrolled into a fixed chain of ``element_at`` products —
+plain codegen-able expressions that stay inside WholeStageCodegen. The
+higher-order ``aggregate``/``zip_with`` fold (interpreted per element,
+~5-10x slower) remains the fallback for unknown dims. Both produce the
+identical left-to-right double summation, so results are bit-equal.
+
 All scores are computed in double and rounded to 6dp (see registry.py
-exactness rules).
+exactness rules). Near-dup pair scoring pre-computes each row's norm
+once (N norms instead of one per pair).
 """
 
 from __future__ import annotations
@@ -26,7 +33,8 @@ from pyspark.sql import functions as F
 from datafusion_dist_spark.operators.common import spread
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot_fold(a: Column, b: Column) -> Column:
+    """Interpreted fallback when the dimension is unknown."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -34,9 +42,25 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Dot product; identical summation order in both implementations."""
+    if dim is None:
+        return _dot_fold(a, b)
+    s = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
+    for i in range(2, dim + 1):
+        s = s + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+    return s
+
+
+def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
+    """One-row action to learn the (assumed uniform) vector length."""
+    row = df.select(F.size(F.col(vec_col)).alias("d")).head()
+    return int(row.d) if row and row.d is not None and row.d > 0 else None
+
+
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     """Cosine similarity of two float arrays, computed in double."""
-    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return _dot(a, b, dim) / (F.sqrt(_dot(a, a, dim)) * F.sqrt(_dot(b, b, dim)))
 
 
 def cosine_topk_bruteforce(
@@ -46,11 +70,13 @@ def cosine_topk_bruteforce(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine against a literal query vector."""
+    """Exact top-k by cosine against a literal query vector. The
+    query-side norm is a foldable expression Catalyst evaluates once."""
+    dim = len(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     scored = spread(embeddings).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+        F.round(cosine(F.col(vec_col), q, dim), 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -80,6 +106,7 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: probe the query's sign bucket plus all buckets
     at Hamming distance 1 (multi-probe), exact cosine within probes."""
+    dim = len(query_vec)
     q_bucket = 0
     for i in range(nbits):
         if float(query_vec[i]) >= 0:
@@ -92,7 +119,7 @@ def lsh_bucket_topk(
         .select(
             F.col(id_col),
             F.col("bucket"),
-            F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+            F.round(cosine(F.col(vec_col), q, dim), 6).alias("score"),
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
@@ -110,9 +137,15 @@ def embedding_near_dup_pairs(
     Only pairs sharing a bucket are scored (near-identical vectors
     agree on sign bits with high probability); exact cosine verifies.
     At scale the bucket equi-join replaces the quadratic cross join.
+    Each row's norm is computed once before the join, so a pair costs
+    one dot product, not three.
     """
+    dim = _probe_dim(embeddings, vec_col)
     b = spread(embeddings).select(
-        F.col(id_col), F.col(vec_col), sign_bucket(F.col(vec_col), nbits).alias("bucket")
+        F.col(id_col),
+        F.col(vec_col),
+        sign_bucket(F.col(vec_col), nbits).alias("bucket"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_norm"),
     )
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
@@ -120,7 +153,11 @@ def embedding_near_dup_pairs(
         (F.col("l.bucket") == F.col("r.bucket"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
-    score = F.round(cosine(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}")), 6)
+    score = F.round(
+        _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), dim)
+        / (F.col("l._norm") * F.col("r._norm")),
+        6,
+    )
     return (
         pairs.select(
             F.col(f"l.{id_col}").alias("a_id"),

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from datafusion_dist_spark.catalog import load_table
 from datafusion_dist_spark.functions.hashing import (
     hash_hex_oracle,
+    hash_hex_wide_oracle,
     shingle_array_oracle,
     tokens_oracle,
 )
@@ -62,7 +63,7 @@ def _shingle_cte(source: str = "corpus") -> str:
 
 def _sig_cte() -> str:
     mins = ",\n               ".join(
-        f"min({hash_hex_oracle('shingle', seed=i)}) AS mh{i}"
+        f"min({hash_hex_wide_oracle('shingle', i)}) AS mh{i}"
         for i in range(NUM_HASHES)
     )
     return f"""
