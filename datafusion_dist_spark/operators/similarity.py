@@ -125,6 +125,76 @@ def lsh_bucket_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: assign every vector to its nearest
+    centroid (max cosine, deterministic centroid-id tiebreak).
+
+    Centroids here are the first ``n_centroids`` vectors by id — a
+    deterministic stand-in for a k-means codebook (training a codebook
+    is an offline iterative job; the *serving* plan shape, which is
+    what scales, is identical). The assignment is a broadcast cross
+    join (N × K rows) + per-vector top-1 — one scan, no shuffle of the
+    vector column beyond the window partition.
+    """
+    from pyspark.sql import Window
+
+    dim = _probe_dim(embeddings, vec_col)
+    cents = embeddings.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = spread(embeddings).join(F.broadcast(cents)).select(
+        id_col,
+        vec_col,
+        "cid",
+        F.round(cosine(F.col(vec_col), F.col("cvec"), dim), 6).alias("csim"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
+    assigned = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, vec_col, "cid", "csim")
+    )
+    return assigned, cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k: score the query against the codebook, probe the
+    ``nprobe`` nearest inverted lists, exact cosine within them.
+
+    At 100 TB the assignment is precomputed at ingest and ``cid`` is
+    the partition key, so a probe reads nprobe/n_centroids of the data.
+    """
+    dim = len(query_vec)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    assigned, cents = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    probe_rows = (
+        cents.select("cid", F.round(cosine(F.col("cvec"), q, dim), 6).alias("qsim"))
+        .orderBy(F.desc("qsim"), F.asc("cid"))
+        .limit(nprobe)
+        .collect()
+    )
+    probe_cids = [r.cid for r in probe_rows]
+    scored = assigned.filter(F.col("cid").isin(probe_cids)).select(
+        id_col,
+        "cid",
+        F.round(cosine(F.col(vec_col), q, dim), 6).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

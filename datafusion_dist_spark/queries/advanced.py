@@ -412,3 +412,39 @@ register_sql(
     "no commit/receipt dates): correlated EXISTS + NOT EXISTS with "
     "inequality correlation, aggregation, TopK.",
 )
+
+
+register_sql(
+    "subquery_lateral",
+    spark_sql="""
+        SELECT c.c_custkey, t.o_orderkey, t.price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0
+                     AS price
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+    """,
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.price
+        FROM customer c,
+        LATERAL (
+            SELECT o_orderkey,
+                   CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0
+                     AS price
+            FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+            ORDER BY o_totalprice DESC, o_orderkey ASC
+            LIMIT 2
+        ) t
+        WHERE c.c_custkey < 100
+    """,
+    doc="Correlated LATERAL subquery with per-row ORDER BY + LIMIT "
+    "(top-2 orders per customer). Catalyst decorrelates to a ranked "
+    "join; deterministic via the o_orderkey tiebreak.",
+)

@@ -269,3 +269,112 @@ register_sql(
     """,
     doc="EXCEPT (distinct) set op.",
 )
+
+
+register_sql(
+    "agg_grouping_sets",
+    spark_sql="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               count(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """,
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+                 AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), (o_orderpriority), ())
+    """,
+    doc="Explicit GROUPING SETS with grouping() indicator columns "
+    "(generalizes the cube/rollup entries; one Expand + single "
+    "two-phase aggregation in Spark).",
+)
+
+
+@register(
+    "agg_listagg",
+    oracle="""
+        SELECT n_nationkey,
+               string_agg(s_name, ',' ORDER BY s_name) AS suppliers,
+               count(*) AS n_suppliers
+        FROM nation JOIN supplier ON s_nationkey = n_nationkey
+        GROUP BY n_nationkey
+    """,
+    doc="String aggregation (LISTAGG/string_agg): deterministic via "
+    "in-group ORDER BY; Spark side sorts the collected array before "
+    "joining (same total order, no sort-in-agg shuffle pressure).",
+)
+def agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        n.join(s, s.s_nationkey == n.n_nationkey)
+        .groupBy("n_nationkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias(
+                "suppliers"
+            ),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "agg_bool_bitwise",
+    oracle="""
+        SELECT o_orderstatus,
+               bool_and(o_totalprice > 1000) AS all_over_1k,
+               bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+               bit_and(o_orderkey) AS key_and,
+               bit_or(o_orderkey % 256) AS key_or,
+               bit_xor(o_orderkey) AS key_xor
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="Boolean and bitwise aggregates: bool_and/bool_or, "
+    "bit_and/bit_or/bit_xor (all built-in, map-side-combinable).",
+)
+def agg_bool_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.bit_and("o_orderkey").alias("key_and"),
+        F.bit_or(F.col("o_orderkey") % 256).alias("key_or"),
+        F.bit_xor("o_orderkey").alias("key_xor"),
+    )
+
+
+@register(
+    "agg_argmax",
+    oracle="""
+        SELECT o_custkey,
+               arg_max(CAST(o_orderdate AS DATE), o_orderkey) AS latest_key_date,
+               arg_min(CAST(o_orderdate AS DATE), o_orderkey) AS first_key_date,
+               max(o_orderkey) AS max_key
+        FROM orders WHERE o_custkey < 200
+        GROUP BY o_custkey
+    """,
+    doc="max_by/min_by (argmax/argmin) aggregates keyed on the unique "
+    "o_orderkey, so results are deterministic across engines.",
+)
+def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    return o.groupBy("o_custkey").agg(
+        F.max_by(F.col("o_orderdate").cast("date"), "o_orderkey").alias(
+            "latest_key_date"
+        ),
+        F.min_by(F.col("o_orderdate").cast("date"), "o_orderkey").alias(
+            "first_key_date"
+        ),
+        F.max("o_orderkey").alias("max_key"),
+    )

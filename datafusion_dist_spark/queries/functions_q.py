@@ -270,3 +270,86 @@ def fn_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(k, 1).alias("b_shr"),
         F.bit_count(k).alias("b_pop"),
     )
+
+
+@register(
+    "fn_misc",
+    oracle="""
+        SELECT p_partkey,
+               greatest(p_size, 25) AS g,
+               least(p_size, 25) AS l,
+               coalesce(nullif(p_brand, 'Brand#1'), 'OTHER') AS brand_or_other,
+               ifnull(nullif(p_size, 10), -1) AS size_not_10,
+               CASE WHEN p_size BETWEEN 10 AND 20 THEN 1 ELSE 0 END AS mid_size
+        FROM part WHERE p_partkey < 200
+    """,
+    doc="Conditional scalar surface: greatest / least / coalesce / "
+    "nullif / ifnull / BETWEEN.",
+)
+def fn_misc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 200)
+    return p.select(
+        "p_partkey",
+        F.greatest("p_size", F.lit(25)).alias("g"),
+        F.least("p_size", F.lit(25)).alias("l"),
+        F.coalesce(F.nullif("p_brand", F.lit("Brand#1")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
+        F.ifnull(F.nullif("p_size", F.lit(10)), F.lit(-1)).alias("size_not_10"),
+        F.col("p_size").between(10, 20).cast("int").alias("mid_size"),
+    )
+
+
+@register(
+    "fn_map_ops",
+    oracle="""
+        SELECT n_nationkey,
+               array_to_string(map_keys(map(['name','region'],
+                   [n_name, CAST(n_regionkey AS VARCHAR)])), ',') AS ks,
+               array_to_string(map_values(map(['name','region'],
+                   [n_name, CAST(n_regionkey AS VARCHAR)])), ',') AS vs,
+               map(['name','region'],
+                   [n_name, CAST(n_regionkey AS VARCHAR)])['name'][1] AS name_val,
+               CAST(cardinality(map(['name','region'],
+                   [n_name, CAST(n_regionkey AS VARCHAR)])) AS INTEGER) AS n_entries
+        FROM nation
+    """,
+    doc="Map-typed column surface: map_from_arrays construction, "
+    "map_keys / map_values / element_at / size. Keys/values project as "
+    "joined strings (raw map/array output columns are not value-"
+    "hashable by the driver compare; DuckDB map extraction returns a "
+    "1-element list, unwrapped with [1]).",
+)
+def fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = load_table(spark, sf_dir, "nation")
+    m = F.map_from_arrays(
+        F.array(F.lit("name"), F.lit("region")),
+        F.array(F.col("n_name"), F.col("n_regionkey").cast("string")),
+    )
+    return n.select(
+        "n_nationkey",
+        F.array_join(F.map_keys(m), ",").alias("ks"),
+        F.array_join(F.map_values(m), ",").alias("vs"),
+        F.element_at(m, "name").alias("name_val"),
+        F.size(m).alias("n_entries"),
+    )
+
+
+@register(
+    "fn_posexplode",
+    oracle="""
+        SELECT p_partkey, CAST(u.i AS INTEGER) AS pos,
+               str_split(p_type, ' ')[u.i + 1] AS word
+        FROM part, UNNEST(range(0, len(str_split(p_type, ' ')))) AS u(i)
+        WHERE p_partkey < 150
+    """,
+    doc="posexplode / LATERAL VIEW with ordinality: one output row per "
+    "array element with its position (generator stays partition-local, "
+    "no shuffle).",
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 150)
+    return p.select(
+        "p_partkey",
+        F.posexplode(F.split("p_type", " ")).alias("pos", "word"),
+    )

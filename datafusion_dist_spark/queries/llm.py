@@ -477,3 +477,96 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return multimodal.extract_features(multimodal.attach_payload(docs))
+
+
+# -- sampling --------------------------------------------------------------
+
+from datafusion_dist_spark.operators import sampling  # noqa: E402
+
+
+@register(
+    "sample_hash_bernoulli",
+    oracle=f"""
+        SELECT doc_id, source
+        FROM documents
+        WHERE {sampling.bucket_oracle("doc_id", "smp")} < {int(0.2 * 65536)}
+    """,
+    doc="Deterministic Bernoulli sampling: keep rows whose 16-bit "
+    "md5-hash of the key falls under rate*2^16. A pure function of the "
+    "row — reproducible across engines, cluster sizes, and reruns, and "
+    "monotone under data growth. (operators/sampling.py:hash_sample)",
+)
+def sample_hash_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.hash_sample(docs, "doc_id", rate=0.2)
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+        SELECT doc_id, source
+        FROM documents
+        WHERE {sampling.bucket_oracle("doc_id", "smp")} <
+              CASE WHEN source = 'src1' THEN {int(1.0 * 65536)}
+                   WHEN source = 'src2' THEN {int(0.5 * 65536)}
+                   ELSE {int(0.1 * 65536)} END
+    """,
+    doc="Stratified deterministic sampling: per-source keep rates "
+    "(keep rare strata whole, downsample common ones) — the "
+    "training-mix knob of a data pipeline. "
+    "(operators/sampling.py:stratified_hash_sample)",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.stratified_hash_sample(
+        docs, "doc_id", "source", {"src1": 1.0, "src2": 0.5}, default_rate=0.1
+    )
+
+
+# -- IVF ANN ---------------------------------------------------------------
+
+_COSQ = (
+    "round(CAST(list_cosine_similarity("
+    "CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) AS DOUBLE), 6)"
+)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT a.vec_id, a.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_COSQ.format(a="a.embedding", b="c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        probes AS (
+            SELECT cid FROM cents, q
+            ORDER BY {_COSQ.format(a="cvec", b="qvec")} DESC, cid ASC
+            LIMIT 2
+        )
+        SELECT a.vec_id, a.cid,
+               {_COSQ.format(a="a.embedding", b="q.qvec")} AS score
+        FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN q
+        ORDER BY score DESC, a.vec_id ASC LIMIT 10
+    """,
+    doc="IVF approximate top-10: coarse-quantize every vector to its "
+    "nearest of 8 deterministic centroids (broadcast codebook + top-1 "
+    "window), probe the 2 centroids nearest the query, exact cosine "
+    "within the probed inverted lists. At scale cid is the partition "
+    "key → a probe reads nprobe/K of the data. "
+    "(operators/similarity.py:ivf_topk)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return similarity.ivf_topk(emb, list(qvec), k=10, n_centroids=8, nprobe=2)

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from datafusion_dist_spark.catalog import load_table
-from datafusion_dist_spark.registry import register
+from datafusion_dist_spark.registry import register, register_sql
 
 
 @register(
@@ -187,3 +187,74 @@ def window_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("drk"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+register_sql(
+    "window_frames_rows",
+    spark_sql="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE)/100.0 AS rolling3_price,
+               first_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS first_key,
+               last_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_key,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_key
+        FROM orders WHERE o_custkey < 100
+    """,
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE)/100.0 AS rolling3_price,
+               first_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS first_key,
+               last_value(o_orderkey) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS last_key,
+               nth_value(o_orderkey, 2) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS second_key
+        FROM orders WHERE o_custkey < 100
+    """,
+    doc="ROWS frame specs: 3-row rolling sum, first/last/nth_value over "
+    "the full-partition frame (ordered by the unique o_orderkey → "
+    "deterministic).",
+)
+
+
+register_sql(
+    "window_range_frame",
+    spark_sql="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               count(*) OVER (
+                   PARTITION BY l_returnflag ORDER BY CAST(ROUND(l_quantity) AS BIGINT)
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+               ) AS n_within_5qty
+        FROM lineitem WHERE l_orderkey < 400
+    """,
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               count(*) OVER (
+                   PARTITION BY l_returnflag ORDER BY CAST(ROUND(l_quantity) AS BIGINT)
+                   RANGE BETWEEN 5 PRECEDING AND CURRENT ROW
+               ) AS n_within_5qty
+        FROM lineitem WHERE l_orderkey < 400
+    """,
+    doc="RANGE (value-based) frame: count of rows within 5 quantity "
+    "units preceding, per returnflag partition.",
+)

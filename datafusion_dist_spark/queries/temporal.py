@@ -159,3 +159,151 @@ def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     return joined.groupBy("event_id").agg(F.count("o_orderkey").alias("n_orders_7d"))
+
+
+@register(
+    "events_hopping",
+    oracle="""
+        WITH hopped AS (
+            SELECT time_bucket(INTERVAL 3 HOUR, ts) AS win_start, event_type, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL 3 HOUR, ts) - INTERVAL 3 HOUR, event_type, value
+            FROM events
+        )
+        SELECT CAST(win_start AS VARCHAR) AS win_start, event_type,
+               count(*) AS n,
+               CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_value_c
+        FROM hopped
+        GROUP BY win_start, event_type
+    """,
+    doc="Hopping (sliding) event-time window: 6h length, 3h slide — "
+    "every event lands in exactly 2 windows. Batch twin of "
+    "Structured Streaming's F.window(ts, '6 hours', '3 hours'); the "
+    "oracle expands the window membership as a 2-way UNION ALL of "
+    "shifted tumbles.",
+)
+def events_hopping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_c"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+@register(
+    "events_rollup_reagg",
+    oracle="""
+        WITH hourly AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h, user_id,
+                   count(*) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+            FROM events GROUP BY 1, 2
+        )
+        SELECT CAST(CAST(h AS DATE) AS VARCHAR) AS day, user_id,
+               CAST(SUM(n) AS BIGINT) AS n_events,
+               CAST(SUM(sum_c) AS BIGINT) AS sum_value_c,
+               count(*) AS n_active_hours
+        FROM hourly
+        GROUP BY CAST(h AS DATE), user_id
+    """,
+    doc="Hypertable-style rollup re-aggregation: hourly partial "
+    "aggregates re-aggregated to daily (sum-of-sums + active-hour "
+    "counts). The continuous-aggregate pattern: at scale the hourly "
+    "table is materialized once and daily/weekly views re-aggregate "
+    "the partials instead of the raw events.",
+)
+def events_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "user_id"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_c"),
+    )
+    return hourly.groupBy(
+        F.col("h").cast("date").cast("string").alias("day"), "user_id"
+    ).agg(
+        F.sum("n").cast("bigint").alias("n_events"),
+        F.sum("sum_c").cast("bigint").alias("sum_value_c"),
+        F.count("*").alias("n_active_hours"),
+    )
+
+
+@register(
+    "timeseries_gapfill",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, CAST(ts AS DATE) AS day,
+                   count(*) AS n,
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS sum_c
+            FROM events WHERE user_id < 40
+            GROUP BY user_id, CAST(ts AS DATE)
+        ),
+        spans AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY user_id
+        ),
+        grid AS (
+            SELECT s.user_id, CAST(g.d AS DATE) AS day
+            FROM spans s, UNNEST(range(s.d0, s.d1 + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS g(d)
+        )
+        SELECT g.user_id, CAST(g.day AS VARCHAR) AS day,
+               coalesce(d.n, 0) AS n_events,
+               CASE WHEN d.user_id IS NULL THEN 1 ELSE 0 END AS gap_filled,
+               last_value(d.sum_c IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS sum_value_c_locf
+        FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+    """,
+    doc="Time-series gap filling + LOCF: per-user daily grid from "
+    "sequence()/explode, left join onto observed days, "
+    "last-observation-carried-forward via last(ignorenulls) window. "
+    "The grid explode is partition-local (no shuffle beyond the "
+    "daily aggregation); LOCF is one window pass per user.",
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    daily = e.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_c"),
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    d = daily.alias("d")
+    g = grid.alias("g")
+    w = (
+        Window.partitionBy("g.user_id")
+        .orderBy("g.day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        g.join(
+            d,
+            (F.col("g.user_id") == F.col("d.user_id"))
+            & (F.col("g.day") == F.col("d.day")),
+            "left_outer",
+        )
+        .select(
+            F.col("g.user_id").alias("user_id"),
+            F.col("g.day").cast("string").alias("day"),
+            F.coalesce(F.col("d.n"), F.lit(0)).alias("n_events"),
+            F.when(F.col("d.user_id").isNull(), 1).otherwise(0).alias("gap_filled"),
+            F.last(F.col("d.sum_c"), ignorenulls=True)
+            .over(w)
+            .alias("sum_value_c_locf"),
+        )
+    )

@@ -100,3 +100,46 @@ def test_embedding_near_dup_planted(spark):
     ).collect()
     found = [(r.a_id, r.b_id) for r in pairs]
     assert (first.vec_id, 99001) in found, found
+
+
+def test_hash_sample_deterministic_and_monotone(spark):
+    from datafusion_dist_spark.operators import sampling
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    s1 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.2).collect()}
+    assert s1 == s2, "same rate must select identical rows"
+    bigger = {r.doc_id for r in sampling.hash_sample(docs, "doc_id", 0.5).collect()}
+    assert s1 <= bigger, "sample at higher rate must be a superset"
+    n = docs.count()
+    assert 0.1 * n < len(s1) < 0.35 * n, f"rate far off: {len(s1)}/{n}"
+
+
+def test_stratified_sample_rates_respected(spark):
+    from datafusion_dist_spark.operators import sampling
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    out = sampling.stratified_hash_sample(
+        docs, "doc_id", "source", {"src1": 1.0}, default_rate=0.0
+    )
+    rows = out.collect()
+    assert rows, "rate-1.0 stratum must survive"
+    assert {r.source for r in rows} == {"src1"}
+    n_src1 = docs.filter(F.col("source") == "src1").count()
+    assert len(rows) == n_src1, "rate 1.0 must keep the whole stratum"
+
+
+def test_ivf_topk_overlaps_bruteforce(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 5).select("embedding").head()[0])
+    exact = {r.vec_id for r in similarity.cosine_topk_bruteforce(emb, q, k=10).collect()}
+    approx = {r.vec_id for r in similarity.ivf_topk(emb, q, k=10, n_centroids=8, nprobe=3).collect()}
+    assert len(exact & approx) >= 4, f"IVF recall too low: {exact & approx}"
+
+
+def test_ivf_assignment_is_total_partition(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, cents = similarity.ivf_assignments(emb, n_centroids=8)
+    n = emb.count()
+    assert assigned.count() == n, "every vector must get exactly one centroid"
+    assert assigned.select("cid").distinct().count() <= 8
