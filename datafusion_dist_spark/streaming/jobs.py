@@ -69,3 +69,120 @@ def run_stream_to_memory(
             q.processAllAvailable()
         finally:
             q.stop()
+
+
+def streaming_hopping_agg(events: DataFrame) -> DataFrame:
+    """Sliding-window twin of queries/temporal.py:events_hopping
+    (6 h windows every 3 h; each event lands in exactly two windows)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("sum_value_c"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "n",
+            "sum_value_c",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Gap-based session aggregation via the built-in session_window
+    (works identically over a stream with a watermark or a batch
+    DataFrame — the batch form is the exactness oracle in tests)."""
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark("ts", "1 hour")
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful operator: per-user sessionization with
+    ``applyInPandasWithState`` (the escape hatch for stateful logic the
+    built-in windowed aggs cannot express — reference has no stateful
+    streaming at all, SURVEY §1.4).
+
+    Emits every *closed* session (a newer event arrived more than
+    ``gap_minutes`` later); the still-open tail session stays in state.
+    State per user is one (start, last_ts, count) triple — constant
+    size, shuffle-partitioned by user, exactly the
+    `applyInPandasWithState` scale model.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("start_us", LongType()),
+            StructField("last_us", LongType()),
+            StructField("n", LongType()),
+        ]
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        ts_us = []
+        for pdf in pdfs:
+            ts_us.extend(int(t.value // 1000) for t in pd.to_datetime(pdf["ts"]))
+        ts_us.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start = last = None
+            n = 0
+        closed = []
+        for t in ts_us:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= gap_us:
+                last, n = t, n + 1
+            else:
+                closed.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [c[0] for c in closed],
+                    "session_start": [pd.Timestamp(c[1], unit="us") for c in closed],
+                    "session_end": [pd.Timestamp(c[2], unit="us") for c in closed],
+                    "n_events": [c[3] for c in closed],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -17,3 +17,135 @@ def test_streaming_tumble_matches_batch(spark):
     streamed = spark.sql("SELECT * FROM stream_tumble").toPandas()
     batch = events_window_tumble(spark, SF_DIR).toPandas()
     assert_frames_match(streamed, batch, "streaming_tumble_vs_batch")
+
+
+def test_streaming_hopping_matches_batch(spark):
+    from datafusion_dist_spark.queries.temporal import events_hopping
+    from datafusion_dist_spark.streaming.jobs import streaming_hopping_agg
+
+    stream = read_events_stream(spark, SF_DIR)
+    run_stream_to_memory(
+        streaming_hopping_agg(stream), "stream_hop", output_mode="complete"
+    )
+    streamed = spark.sql("SELECT * FROM stream_hop").toPandas()
+    batch = events_hopping(spark, SF_DIR).toPandas()
+    assert_frames_match(streamed, batch, "streaming_hopping_vs_batch")
+
+
+def test_streaming_session_window_matches_batch(spark):
+    """session_window over the stream == session_window over the same
+    data as a batch DataFrame (complete mode, all data in one run)."""
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.streaming.jobs import session_window_agg
+
+    stream = read_events_stream(spark, SF_DIR)
+    run_stream_to_memory(
+        session_window_agg(stream), "stream_sess", output_mode="complete"
+    )
+    streamed = spark.sql("SELECT * FROM stream_sess").toPandas()
+    batch = session_window_agg(load_table(spark, SF_DIR, "events")).toPandas()
+    assert_frames_match(streamed, batch, "streaming_session_vs_batch")
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append-mode windowed agg with a watermark: rows arriving after
+    the watermark passed their window are dropped, earlier finalized
+    windows are emitted exactly once."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    import time
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_batch(rows, name):
+        df = spark.createDataFrame(rows, "id long, ts_s string").select(
+            "id", F.col("ts_s").cast("timestamp").alias("ts")
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    # Batch 0 opens the [00:00, 01:00) window; batch 1 advances the
+    # watermark past its end (10:00 - 1h = 09:00); batch 2 is the batch
+    # in which that window is finalized+evicted (eviction happens in
+    # the first batch that RUNS with the advanced watermark, not at the
+    # moment the watermark advances); batch 3's 00:20 event then hits
+    # evicted state and must be dropped as late.
+    write_batch([(1, "2024-01-01 00:10:00")], "f1")
+    write_batch([(2, "2024-01-01 10:00:00")], "f2")
+    write_batch([(4, "2024-01-01 10:05:00")], "f3")
+    write_batch([(3, "2024-01-01 00:20:00")], "f4")
+    schema = "id long, ts timestamp"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(str(src / "*"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
+    )
+    run_stream_to_memory(agg, "late_test", output_mode="append")
+    got = {
+        r.ws: r.n for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # The 00:00 window was finalized with ONLY the on-time event; the
+    # late id=3 event (00:20 after watermark 01:30) must not reopen it.
+    assert got.get("2024-01-01 00:00:00") == 1, got
+
+
+def test_stateful_sessions_match_batch_closed_sessions(spark):
+    """applyInPandasWithState sessionization: emitted (closed) sessions
+    equal the batch sessionization minus each user's final session."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.streaming.jobs import stateful_sessions
+
+    stream_events = (
+        read_events_stream(spark, SF_DIR)
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+    run_stream_to_memory(
+        stateful_sessions(stream_events, gap_minutes=30),
+        "stateful_sess",
+        output_mode="append",
+    )
+    out = spark.sql("SELECT * FROM stateful_sess").toPandas()
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("user_id") < 20)
+        .select("user_id", "ts")
+    )
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    sess = (
+        events.withColumn(
+            "new_sess",
+            (
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+                > 1800
+            ).cast("int"),
+        )
+        .withColumn("sess_id", F.sum(F.coalesce("new_sess", F.lit(0))).over(w))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    wlast = Window.partitionBy("user_id")
+    closed_batch = (
+        sess.withColumn("max_sess", F.max("sess_id").over(wlast))
+        .filter(F.col("sess_id") < F.col("max_sess"))
+        .select("user_id", "session_start", "session_end", "n_events")
+        .toPandas()
+    )
+    assert_frames_match(out, closed_batch, "stateful_sessions_vs_batch")
