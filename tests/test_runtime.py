@@ -150,3 +150,30 @@ def test_health_check_responsive_under_cpu_load(spark, engine):
         fut.result(timeout=60)
     assert latencies, "heavy query finished before any health check ran"
     assert max(latencies) < 1.0, f"health checks too slow: {latencies}"
+
+
+def test_select_one_is_driver_local(spark):
+    """SELECT 1 must be a sourceless one-row plan (the reference's
+    health-check fast path executes only on the connected node,
+    dist/src/util.rs:31-51; Spark's analog is OneRowRelation →
+    LocalTableScan, which never touches executors' data)."""
+    df = spark.sql("SELECT 1 AS one")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan or "OneRowRelation" in plan, plan
+    assert "Exchange" not in plan
+    assert df.collect() == [type(df.collect()[0])(one=1)]
+
+
+def test_schema_qualified_table_names(spark):
+    """Reference queries use '"public"."tbl"' qualification
+    (sqllogictest.slt:67,80). Spark analog: database-qualified names —
+    global_temp views and catalog-qualified identifiers."""
+    from datafusion_dist_spark.catalog import load_table
+
+    nation = load_table(spark, SF_DIR, "nation")
+    nation.createOrReplaceGlobalTempView("nation_g")
+    qualified = spark.sql("SELECT count(*) AS n FROM global_temp.nation_g").head().n
+    quoted = spark.sql(
+        "SELECT count(*) AS n FROM `global_temp`.`nation_g`"
+    ).head().n
+    assert qualified == quoted == nation.count()

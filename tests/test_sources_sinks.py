@@ -97,3 +97,55 @@ def test_result_sink_is_arrow_stream(spark):
     table = df.toArrow()
     assert table.num_rows == 5
     assert table.column_names[0] == "r_regionkey"
+
+
+def test_python_datasource_synth_partitioned(spark):
+    """Custom Python DataSource (the reference's TableProvider analog,
+    integration-tests/app/src/table.rs:14-61): partition-parallel
+    deterministic generation."""
+    from datafusion_dist_spark.sources.python_ds import register_sources
+
+    register_sources(spark)
+    df = (
+        spark.read.format("ddspark_synth")
+        .option("partitions", "8")
+        .option("rows_per_partition", "50")
+        .option("seed", "s1")
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    assert df.count() == 400
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, (
+        spark.read.format("ddspark_synth")
+        .option("partitions", "8")
+        .option("rows_per_partition", "50")
+        .option("seed", "s1")
+        .load()
+    ).collect()))
+    assert a == b, "same seed must reproduce identical data"
+    from pyspark.sql import functions as F
+    assert df.filter(F.col("part_id") == 3).count() == 50
+
+
+def test_python_datasource_jobs_snapshot(spark):
+    from datafusion_dist_spark.engine import JobRegistry
+    from datafusion_dist_spark.sources.python_ds import (
+        jobs_snapshot_json,
+        register_sources,
+    )
+
+    register_sources(spark)
+    reg = JobRegistry()
+    e1 = reg.create({"query": "SELECT 1"})
+    e2 = reg.create({"query": "SELECT 2"})
+    reg.finish(e2.job_id)
+    df = (
+        spark.read.format("ddspark_jobs")
+        .option("snapshot", jobs_snapshot_json(reg.all()))
+        .load()
+    )
+    rows = {r.job_id: r for r in df.collect()}
+    assert set(rows) == {e1.job_id, e2.job_id}
+    assert '"query": "SELECT 1"' in rows[e1.job_id].job_meta
+    assert '"status": "completed"' in rows[e2.job_id].stages
