@@ -448,3 +448,34 @@ register_sql(
     "(top-2 orders per customer). Catalyst decorrelates to a ranked "
     "join; deterministic via the o_orderkey tiebreak.",
 )
+
+
+@register(
+    "agg_salted_twophase",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                 AS sum_price_c
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Skew-proof salted aggregation: partial aggregate on "
+    "(key, salt) spreads a hot key over N reducers, final aggregate "
+    "re-combines per key — provably equal to the plain groupBy (the "
+    "oracle). The manual form of what AQE skew handling + map-side "
+    "partial aggregation do; pinned as an operator because hot-key "
+    "aggs at 100 TB sometimes need explicit salt. "
+    "(operators/joins.py documents the join-side equivalent)",
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = li.withColumn("_salt", (F.crc32(F.col("l_orderkey").cast("string")) % 16))
+    partial = salted.groupBy("l_returnflag", "_salt").agg(
+        F.count("*").alias("pn"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias("ps"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").cast("bigint").alias("n"),
+        F.sum("ps").cast("bigint").alias("sum_price_c"),
+    )

@@ -570,3 +570,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
     return similarity.ivf_topk(emb, list(qvec), k=10, n_centroids=8, nprobe=2)
+
+
+@register(
+    "text_top_ngrams",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {SHINGLES} AS shs FROM documents),
+        g AS (
+            SELECT doc_id, sh.shingle
+            FROM t, UNNEST(list_distinct(shs)) AS sh(shingle)
+        )
+        SELECT shingle,
+               count(*) AS doc_freq
+        FROM g
+        GROUP BY shingle
+        ORDER BY doc_freq DESC, shingle ASC
+        LIMIT 25
+    """,
+    doc="Corpus-level n-gram document frequency: distinct 3-gram per "
+    "doc, global count, top-25. The df side of tf-idf and the "
+    "stop-phrase detector of a dedup pipeline; one explode + one "
+    "two-phase count + TopK.",
+)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dist_spark.functions.hashing import shingle_array, tokens
+    from datafusion_dist_spark.operators.common import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = shingle_array(tokens(F.col("text")), 3)
+    return (
+        spread(d)
+        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("shingle"))
+        .limit(25)
+    )
