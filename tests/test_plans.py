@@ -72,3 +72,63 @@ def test_broadcast_join_no_shuffle_of_fact(spark):
     facts = plan_facts(df)
     assert facts["n_broadcast_joins"] == 1
     assert facts["n_exchanges"] == 0, "broadcast join must not shuffle the fact side"
+
+
+def test_ivf_codebook_is_broadcast(spark):
+    """The IVF coarse quantizer must broadcast the codebook — the
+    vector table never shuffles for assignment."""
+    from datafusion_dist_spark.operators.similarity import ivf_assignments
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assigned, _ = ivf_assignments(emb, n_centroids=8)
+    facts = plan_facts(assigned)
+    assert facts["n_broadcast_joins"] + facts["n_bnl_joins"] >= 1, facts
+    assert facts["n_sortmerge_joins"] == 0, facts
+
+
+def test_hash_sample_prunes_columns(spark):
+    """Deterministic sampling must not widen the scan: only the key
+    and projected columns are read."""
+    from datafusion_dist_spark.operators.sampling import hash_sample
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "source")
+    plan = formatted_plan(hash_sample(docs, "doc_id", 0.2))
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, plan
+    assert all("text" not in s for s in schemas), schemas
+
+
+def test_minhash_signature_single_aggregation(spark):
+    """The whole signature (16 hash mins) must come from ONE
+    aggregation — one shuffle of (doc, digest) rows, not one per hash
+    function."""
+    from datafusion_dist_spark.operators.dedup import (
+        doc_shingles,
+        minhash_signatures,
+    )
+    from datafusion_dist_spark.queries.llm import _corpus
+
+    sigs = minhash_signatures(doc_shingles(_corpus(spark, SF_DIR)), 16)
+    facts = plan_facts(sigs)
+    # spread() repartition + the aggregation exchange; nothing more.
+    assert facts["n_exchanges"] <= 2, facts
+
+
+def test_salted_agg_two_exchanges_max(spark):
+    from datafusion_dist_spark.queries.advanced import agg_salted_twophase
+
+    facts = plan_facts(agg_salted_twophase(spark, SF_DIR))
+    # (key,salt) agg exchange + key agg exchange; partial agg present.
+    assert facts["n_exchanges"] <= 2, facts
+    assert facts["partial_aggregate"], facts
+
+
+def test_gapfill_no_extra_shuffles(spark):
+    """Gap filling: daily agg shuffle + span agg + grid join + window.
+    The explode itself must add no exchange."""
+    from datafusion_dist_spark.queries.temporal import timeseries_gapfill
+
+    facts = plan_facts(timeseries_gapfill(spark, SF_DIR))
+    assert facts["n_exchanges"] <= 5, facts
