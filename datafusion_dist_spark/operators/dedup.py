@@ -291,3 +291,64 @@ def ngram_jaccard_pairs(
         inter.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# -- duplicate clusters (connected components) ----------------------------
+
+
+def duplicate_clusters(
+    pairs: DataFrame, max_iters: int = 8
+) -> DataFrame:
+    """Resolve near-dup pairs into duplicate clusters: every node gets
+    ``cluster_id`` = the minimum doc_id reachable through the pair
+    graph (connected components via min-label propagation).
+
+    Iterative: each round every node takes the min label among itself
+    and its neighbors; a chain of length L converges in ≤ ceil(log2 L)
+    + 1 rounds, with early exit when a round changes nothing. Each
+    round is one shuffle join + aggregation; ``localCheckpoint`` cuts
+    the lineage so plans stay constant-size (at cluster scale use a
+    checkpoint dir). This is the standard large-graph CC pattern —
+    the reference has no iterative operators at all.
+
+    Returns (doc_id, cluster_id); singletons are absent (a doc with no
+    pair is its own implicit cluster).
+    """
+    fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    rev = pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
+    edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    labels = (
+        edges.select("src")
+        .distinct()
+        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left_outer")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
+                    "new_label"
+                ),
+                F.col("label").alias("old_label"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = updated.filter(F.col("new_label") != F.col("old_label")).count()
+        labels = updated.select("node", F.col("new_label").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def cluster_summary(clusters: DataFrame) -> DataFrame:
+    """Per-cluster size + canonical keep id (== cluster_id, the min)."""
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"))
+        .withColumn("keep_id", F.col("cluster_id"))
+    )

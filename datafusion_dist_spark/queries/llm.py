@@ -606,3 +606,18 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
         .limit(25)
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle=None,  # iterative (label propagation) — rows-only per contract
+    doc="Duplicate-cluster resolution: MinHash near-dup pairs → "
+    "connected components via iterative min-label propagation "
+    "(each round = one join + one aggregation, early exit on "
+    "convergence, lineage cut per round). Output: (doc_id, "
+    "cluster_id=min reachable id). Verified by planted-chain tests "
+    "(tests/test_operators.py). (operators/dedup.py:duplicate_clusters)",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup.minhash_dedup_pairs(_corpus(spark, sf_dir), threshold=0.5)
+    return dedup.duplicate_clusters(pairs)

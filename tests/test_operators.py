@@ -143,3 +143,38 @@ def test_ivf_assignment_is_total_partition(spark):
     n = emb.count()
     assert assigned.count() == n, "every vector must get exactly one centroid"
     assert assigned.select("cid").distinct().count() <= 8
+
+
+def test_duplicate_clusters_resolves_chains(spark):
+    """A~B and B~C (no direct A~C) must land in one cluster with
+    cluster_id = min; disjoint pairs stay separate."""
+    pairs = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (100, 200), (500, 150)],
+        "a_id long, b_id long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        10: 10, 20: 10, 30: 10, 40: 10,
+        100: 100, 200: 100,
+        150: 150, 500: 150,
+    }, got
+
+
+def test_duplicate_clusters_from_minhash_pairs(spark):
+    """End-to-end: corpus near-dup pairs → clusters; every planted
+    copy (doc_id+100000) must share a cluster with its original."""
+    corpus = _corpus_for_test(spark)
+    pairs = dedup.minhash_dedup_pairs(corpus, threshold=0.9)
+    clusters = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    originals = [d for d in clusters if d < 100000 and d + 100000 in clusters]
+    assert originals, "no copy pairs found"
+    for d in originals:
+        assert clusters[d] == clusters[d + 100000], (d, clusters[d], clusters[d + 100000])
+
+
+def _corpus_for_test(spark):
+    from datafusion_dist_spark.queries.llm import _corpus
+
+    return _corpus(spark, SF_DIR)
