@@ -353,3 +353,61 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.posexplode(F.split("p_type", " ")).alias("pos", "word"),
     )
+
+
+@register(
+    "fn_trig",
+    oracle="""
+        SELECT s_suppkey,
+               round(sin(CAST(s_suppkey AS DOUBLE)), 6) AS v_sin,
+               round(cos(CAST(s_suppkey AS DOUBLE)), 6) AS v_cos,
+               round(atan2(CAST(s_suppkey AS DOUBLE), 7.0), 6) AS v_atan2,
+               round(degrees(CAST(s_suppkey AS DOUBLE) / 100), 6) AS v_deg,
+               round(radians(CAST(s_suppkey AS DOUBLE)), 6) AS v_rad,
+               round(pi(), 6) AS v_pi
+        FROM supplier
+    """,
+    doc="Trigonometric surface: sin / cos / atan2 / degrees / radians "
+    "/ pi (IEEE correctly-rounded libm, stable at 6dp).",
+)
+def fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey").cast("double")
+    return s.select(
+        "s_suppkey",
+        F.round(F.sin(k), 6).alias("v_sin"),
+        F.round(F.cos(k), 6).alias("v_cos"),
+        F.round(F.atan2(k, F.lit(7.0)), 6).alias("v_atan2"),
+        F.round(F.degrees(k / 100), 6).alias("v_deg"),
+        F.round(F.radians(k), 6).alias("v_rad"),
+        F.round(F.lit(3.141592653589793), 6).alias("v_pi"),
+    )
+
+
+@register(
+    "fn_try_arithmetic",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               CASE WHEN l_linenumber - 3 = 0 THEN NULL
+                    ELSE CAST(l_orderkey AS DOUBLE) / (l_linenumber - 3) END
+                 AS safe_div,
+               TRY_CAST(l_returnflag AS INTEGER) AS try_int,
+               CASE WHEN l_linenumber = 0 THEN NULL
+                    ELSE l_orderkey % nullif(l_linenumber, 0) END AS safe_mod
+        FROM lineitem WHERE l_orderkey < 200
+    """,
+    doc="NULL-on-error arithmetic: try_divide / try_cast / "
+    "nullif-guarded mod — permissive semantics matching DataFusion "
+    "and DuckDB defaults (no ANSI aborts).",
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_orderkey").cast("double"), F.col("l_linenumber") - 3
+        ).alias("safe_div"),
+        F.col("l_returnflag").try_cast("int").alias("try_int"),
+        (F.col("l_orderkey") % F.nullif("l_linenumber", F.lit(0))).alias("safe_mod"),
+    )

@@ -258,3 +258,24 @@ register_sql(
     doc="RANGE (value-based) frame: count of rows within 5 quantity "
     "units preceding, per returnflag partition.",
 )
+
+
+register_sql(
+    "window_cume_percent",
+    spark_sql="""
+        SELECT s_suppkey,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM supplier
+        WINDOW w AS (ORDER BY s_suppkey)
+    """,
+    oracle="""
+        SELECT s_suppkey,
+               round(percent_rank() OVER w, 6) AS pr,
+               round(cume_dist() OVER w, 6) AS cd
+        FROM supplier
+        WINDOW w AS (ORDER BY s_suppkey)
+    """,
+    doc="Distribution window functions: percent_rank / cume_dist over "
+    "a named WINDOW clause.",
+)
