@@ -34,11 +34,16 @@ HEADLINE = [
     # temporal
     "events_sessionize",
     "join_asof",
+    "events_hopping",
+    "timeseries_gapfill",
     # LLM-pipeline operators
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_clusters",
     "ann_topk_bruteforce",
+    "ann_ivf_topk",
+    "sample_stratified",
     "text_fingerprint",
     "text_quality",
     "multimodal_features",

@@ -130,6 +130,7 @@ def ivf_assignments(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: assign every vector to its nearest
     centroid (max cosine, deterministic centroid-id tiebreak).
@@ -143,7 +144,8 @@ def ivf_assignments(
     """
     from pyspark.sql import Window
 
-    dim = _probe_dim(embeddings, vec_col)
+    if dim is None:
+        dim = _probe_dim(embeddings, vec_col)
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
@@ -179,9 +181,12 @@ def ivf_topk(
     """
     dim = len(query_vec)
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    assigned, cents = ivf_assignments(embeddings, n_centroids, id_col, vec_col)
+    assigned, cents = ivf_assignments(embeddings, n_centroids, id_col, vec_col, dim)
+    # Probe ranking touches only K codebook rows — the interpreted
+    # fold avoids compiling another unrolled expression for 8 rows
+    # (identical summation order, so the rounded scores are bit-equal).
     probe_rows = (
-        cents.select("cid", F.round(cosine(F.col("cvec"), q, dim), 6).alias("qsim"))
+        cents.select("cid", F.round(cosine(F.col("cvec"), q, None), 6).alias("qsim"))
         .orderBy(F.desc("qsim"), F.asc("cid"))
         .limit(nprobe)
         .collect()
