@@ -114,3 +114,74 @@ def winnow_fingerprints(
         F.min("wmin").alias("fp_min"),
         F.max("wmin").alias("fp_max"),
     )
+
+
+# -- scrubbing / decontamination -------------------------------------------
+
+# PII-style patterns: email, international-ish phone, URL. Applied in
+# one pass each via regexp_replace (JVM regex, fully codegen'd).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+    (r"https?://[^\s]+", "<URL>"),
+)
+
+
+def redact(
+    docs: DataFrame,
+    text_col: str = "text",
+    entities: tuple[str, ...] = (),
+    patterns: tuple[tuple[str, str], ...] = PII_PATTERNS,
+) -> DataFrame:
+    """Scrub sensitive content: PII regexes plus optional literal
+    entity masking (case-insensitive whole words → ``<ENT>``). One
+    projection, no shuffle — the shape of a 100 TB scrubbing pass."""
+    col = F.col(text_col)
+    for pat, repl in patterns:
+        col = F.regexp_replace(col, pat, repl)
+    for ent in entities:
+        col = F.regexp_replace(col, rf"(?i)\b{ent}\b", "<ENT>")
+    return docs.withColumn(f"{text_col}_redacted", col)
+
+
+def decontaminate_overlap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ≥
+    ``min_shared`` distinct k-gram shingles with any benchmark doc.
+
+    Inverted-index join on shingles (benchmark side broadcast — it is
+    tiny relative to the corpus), count shared shingles per
+    (corpus doc, benchmark doc), keep the worst overlap per corpus
+    doc. No cross join; the corpus is touched once.
+    """
+    from datafusion_dist_spark.functions.hashing import shingle_array, tokens
+    from datafusion_dist_spark.operators.common import spread
+
+    def shingles(df: DataFrame, id_alias: str) -> DataFrame:
+        sh = shingle_array(tokens(F.col(text_col)), k)
+        return df.select(
+            F.col("doc_id").alias(id_alias),
+            F.explode(F.array_distinct(sh)).alias("shingle"),
+        )
+
+    corp = shingles(spread(corpus), "doc_id")
+    bench = shingles(benchmark, "bench_id")
+    overlap = (
+        corp.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    w_best = (
+        overlap.groupBy("doc_id")
+        .agg(
+            F.max("n_shared").alias("max_shared"),
+            F.count("*").alias("n_benchmarks_hit"),
+        )
+    )
+    return w_best

@@ -621,3 +621,124 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.minhash_dedup_pairs(_corpus(spark, sf_dir), threshold=0.5)
     return dedup.duplicate_clusters(pairs)
+
+
+@register(
+    "text_redact",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(text,
+                               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                               '<EMAIL>', 'g'),
+                           '\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g'),
+                       'https?://[^\\s]+', '<URL>', 'g'),
+                   '(?i)\\bcustomer\\b', '<ENT>', 'g') AS text_redacted
+        FROM documents WHERE doc_id < 100
+    """,
+    doc="PII-style scrubbing: email/phone/URL regex redaction + "
+    "case-insensitive entity masking, one codegen'd projection, no "
+    "shuffle. Pattern efficacy on planted PII is unit-tested "
+    "(tests/test_operators.py). (operators/text.py:redact)",
+)
+def text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return text.redact(docs, entities=("customer",)).select(
+        "doc_id", "text_redacted"
+    )
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+        WITH corp AS (
+            SELECT doc_id, sh.shingle
+            FROM (SELECT doc_id, list_distinct({SHINGLES}) AS shs
+                  FROM documents WHERE doc_id >= 20) t,
+                 UNNEST(shs) AS sh(shingle)
+        ),
+        bench AS (
+            SELECT doc_id AS bench_id, sh.shingle
+            FROM (SELECT doc_id, list_distinct({SHINGLES}) AS shs
+                  FROM documents WHERE doc_id < 20) t,
+                 UNNEST(shs) AS sh(shingle)
+        ),
+        overlap AS (
+            SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+            FROM corp c JOIN bench b ON c.shingle = b.shingle
+            GROUP BY c.doc_id, b.bench_id
+            HAVING count(*) >= 3
+        )
+        SELECT doc_id,
+               CAST(max(n_shared) AS BIGINT) AS max_shared,
+               count(*) AS n_benchmarks_hit
+        FROM overlap GROUP BY doc_id
+    """,
+    doc="Benchmark decontamination: corpus docs sharing >= 3 distinct "
+    "3-gram shingles with any benchmark doc (docs 0-19 stand in for "
+    "the eval set). Inverted-index join with the benchmark side "
+    "broadcast — the corpus is scanned once, never cross-joined. "
+    "(operators/text.py:decontaminate_overlap)",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.decontaminate_overlap(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20),
+        min_shared=3,
+    )
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source, text, {TOKS} AS toks FROM documents
+        ), m AS (
+            SELECT doc_id, lang, source, text,
+                   len(toks) AS n_tok,
+                   len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop,
+                   len(list_distinct(toks)) AS n_uniq
+            FROM t
+        ), scored AS (
+            SELECT doc_id, lang, source, text,
+                   0.4 * least(n_tok / 50.0, 1.0)
+                   + 0.3 * (CASE WHEN n_tok > 0
+                            THEN CAST(n_uniq AS DOUBLE) / n_tok ELSE 0.0 END)
+                   + 0.3 * (1.0 - CASE WHEN n_tok > 0
+                            THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END)
+                     AS quality
+            FROM m
+        ), kept AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY md5(text) ORDER BY doc_id
+            ) AS rn
+            FROM scored
+            WHERE quality >= 0.55 AND lang = 'en' AND length(text) >= 80
+        )
+        SELECT doc_id, source, round(quality, 6) AS quality
+        FROM kept WHERE rn = 1
+    """,
+    doc="End-to-end corpus cleaning pass: quality-score filter + "
+    "language filter + length floor + exact-dedup keep-first — the "
+    "composed shape of a production data-cleaning job (one scan, one "
+    "digest shuffle). Composes operators/text.py:quality_score and "
+    "operators/dedup.py:exact semantics.",
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = text.quality_score(docs).select("doc_id", "quality")
+    enriched = docs.join(scored, "doc_id").filter(
+        (F.col("quality") >= 0.55)
+        & (F.col("lang") == "en")
+        & (F.length("text") >= 80)
+    )
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        enriched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", F.round("quality", 6).alias("quality"))
+    )

@@ -178,3 +178,46 @@ def _corpus_for_test(spark):
     from datafusion_dist_spark.queries.llm import _corpus
 
     return _corpus(spark, SF_DIR)
+
+
+def test_redact_masks_planted_pii(spark):
+    from datafusion_dist_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact me at jane.doe+x@example.co.uk today"),
+            (2, "call +1 (415) 555-0199 or 020-7946-0958 now"),
+            (3, "see https://example.com/a?b=c#frag and more"),
+            (4, "Customer CUSTOMER customerly"),
+            (5, "clean text with nothing sensitive"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text_redacted
+        for r in text_ops.redact(docs, entities=("customer",)).collect()
+    }
+    assert out[1] == "contact me at <EMAIL> today"
+    assert "<PHONE>" in out[2] and "555" not in out[2]
+    assert out[3] == "see <URL> and more"
+    # whole-word, case-insensitive: 'customerly' untouched
+    assert out[4] == "<ENT> <ENT> customerly"
+    assert out[5] == "clean text with nothing sensitive"
+
+
+def test_decontaminate_flags_planted_benchmark_copy(spark):
+    from datafusion_dist_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 5)
+    # Plant a verbatim benchmark copy into the corpus.
+    leak = bench.limit(1).select(
+        (F.col("doc_id") + 900000).alias("doc_id"), "text"
+    )
+    corpus = docs.filter(F.col("doc_id") >= 5).unionByName(leak)
+    flagged = {
+        r.doc_id: r.max_shared
+        for r in text_ops.decontaminate_overlap(corpus, bench, min_shared=5).collect()
+    }
+    assert 900000 in flagged, flagged
+    assert flagged[900000] >= 5
