@@ -241,3 +241,39 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization: per-vector scale = 127 / max|x|,
+    q_i = round(x_i * scale). The storage-side optimization of a
+    100 TB vector store (4x smaller than float32, dot products stay
+    SIMD-able); one projection, no shuffle.
+
+    Output keeps the quantized array plus scalar audit columns
+    (scale, quantized-value checksum, max reconstruction error) so the
+    result is hashable cross-engine.
+    """
+    v = F.col(vec_col)
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    scale = F.lit(127.0) / max_abs
+    quant = F.transform(v, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    recon_err = F.array_max(
+        F.zip_with(
+            quant,
+            v,
+            lambda q, x: F.abs(q.cast("double") / scale - x.cast("double")),
+        )
+    )
+    return embeddings.select(
+        F.col(id_col),
+        quant.alias("q_vec"),
+        F.round(scale, 6).alias("scale"),
+        F.aggregate(quant, F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "q_sum"
+        ),
+        F.round(recon_err, 6).alias("max_err"),
+    )

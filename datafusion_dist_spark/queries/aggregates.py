@@ -378,3 +378,29 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+register_sql(
+    "agg_histogram",
+    spark_sql="""
+        SELECT width_bucket(o_totalprice, 0, 600000, 24) AS bucket,
+               count(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+                 AS bucket_total
+        FROM orders
+        GROUP BY width_bucket(o_totalprice, 0, 600000, 24)
+    """,
+    oracle="""
+        SELECT CAST(CASE WHEN o_totalprice < 0 THEN 0
+                         WHEN o_totalprice >= 600000 THEN 25
+                         ELSE floor(o_totalprice / 25000) + 1 END AS BIGINT)
+                 AS bucket,
+               count(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)/100.0
+                 AS bucket_total
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="Equi-width histogram via width_bucket: 24 price bins, count + "
+    "mass per bin (a single two-phase aggregation).",
+)

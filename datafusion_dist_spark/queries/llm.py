@@ -742,3 +742,37 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "source", F.round("quality", 6).alias("quality"))
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id, embedding,
+                   127.0 / list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
+                           list_max(list_transform(embedding,
+                               y -> abs(CAST(y AS DOUBLE))))) AS INTEGER))
+                     AS q_vec
+            FROM embeddings
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               CAST(list_sum(q_vec) AS BIGINT) AS q_sum,
+               round(list_max(list_transform(range(1, len(q_vec) + 1),
+                   i -> abs(CAST(q_vec[i] AS DOUBLE) / scale
+                            - CAST(embedding[i] AS DOUBLE)))), 6) AS max_err
+        FROM q
+    """,
+    doc="Symmetric int8 embedding quantization: per-vector scale, "
+    "quantized checksum, max reconstruction error — the 4x-compression "
+    "storage path for a 100 TB vector store, one shuffle-free "
+    "projection. (operators/similarity.py:quantize_int8)",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.quantize_int8(emb).select(
+        "vec_id", "scale", "q_sum", "max_err"
+    )

@@ -739,3 +739,60 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("custdist"))
         .orderBy(F.desc("custdist"), F.desc("c_count"))
     )
+
+
+@register(
+    "tpch_q2_shape",
+    oracle="""
+        WITH costs AS (
+            SELECT DISTINCT l.l_partkey AS partkey, s.s_suppkey, s.s_name,
+                   CAST(ROUND(s.s_acctbal*100) AS BIGINT) AS cost_c
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        ),
+        best AS (
+            SELECT partkey, min(cost_c) AS min_cost_c FROM costs GROUP BY partkey
+        )
+        SELECT p.p_partkey, p.p_brand, c.s_suppkey, c.s_name,
+               CAST(c.cost_c AS DOUBLE)/100.0 AS supply_cost
+        FROM part p
+        JOIN best b ON p.p_partkey = b.partkey
+        JOIN costs c ON c.partkey = b.partkey AND c.cost_c = b.min_cost_c
+        WHERE p.p_size = 15
+          AND c.s_suppkey = (
+              SELECT min(c2.s_suppkey) FROM costs c2
+              WHERE c2.partkey = b.partkey AND c2.cost_c = b.min_cost_c
+          )
+    """,
+    doc="TPC-H Q2-shaped minimum-cost supplier (adapted: the schema "
+    "has no partsupp table, so supplier relationships come from "
+    "lineitem history and account balance proxies supply cost; "
+    "deterministic min-suppkey tiebreak): per-part min over a derived "
+    "relationship + join back on the minimum.",
+)
+def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    costs = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            "s_suppkey",
+            "s_name",
+            _cents("s_acctbal").alias("cost_c"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("partkey").orderBy(
+        F.asc("cost_c"), F.asc("s_suppkey")
+    )
+    best = costs.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return p.join(F.broadcast(best), p.p_partkey == best.partkey).select(
+        "p_partkey",
+        "p_brand",
+        "s_suppkey",
+        "s_name",
+        (F.col("cost_c").cast("double") / 100.0).alias("supply_cost"),
+    )
