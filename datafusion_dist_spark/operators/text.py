@@ -185,3 +185,120 @@ def decontaminate_overlap(
         )
     )
     return w_best
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 retrieval: score every document against a fixed bag of
+    query terms, return the top-k.
+
+    Scale shape: term frequencies come from exploding ONLY the tokens
+    that match a query term (the filter runs inside the projection,
+    before the explode, so the shuffle carries |Q| rows per doc at
+    most, not the whole token stream). Corpus stats (N, avgdl) are a
+    1-row broadcast; per-term document frequencies are a |Q|-row
+    broadcast. One groupBy(doc) aggregation + TopK — no full-corpus
+    inverted index is materialized.
+    """
+    toks = tokens(F.col(text_col))
+    base = spread(docs).select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
+    )
+    # tf per (doc, query term): explode only matching tokens.
+    tf = (
+        base.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(F.col("toks"), lambda t: t.isin(*query_terms))
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = base.agg(
+        F.count("*").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
+    )
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token ratio and the
+    fraction of all bigrams taken by the single most frequent bigram.
+
+    High values on either flag boilerplate / degenerate documents for
+    removal from a training corpus. All arithmetic is exact rationals
+    over token counts (rounded once to 6dp), so the DuckDB oracle
+    matches bit-for-bit; one explode + two aggregations, partitioned
+    by doc_id throughout (no global shuffle of token text).
+    """
+    base = spread(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        "toks",
+    )
+    bigrams = F.when(
+        F.col("n_tok") >= 2,
+        F.expr(
+            "transform(sequence(1, size(toks) - 1), "
+            "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_bg = base.withColumn("bigrams", bigrams)
+    bg_counts = (
+        with_bg.select("doc_id", F.explode("bigrams").alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("maxc"),
+            F.sum("c").alias("total_bg"),
+        )
+    )
+    return (
+        with_bg.select("doc_id", "n_tok", "n_uniq")
+        .join(bg_counts, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(
+                F.when(
+                    F.col("n_tok") > 0,
+                    F.lit(1.0) - F.col("n_uniq") / F.col("n_tok"),
+                ).otherwise(0.0),
+                6,
+            ).alias("dup_token_ratio"),
+            F.round(
+                F.coalesce(
+                    F.col("maxc").cast("double") / F.col("total_bg"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )

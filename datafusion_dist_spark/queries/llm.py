@@ -776,3 +776,88 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.quantize_int8(emb).select(
         "vec_id", "scale", "q_sum", "max_err"
     )
+
+
+@register(
+    "text_bm25_topk",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {TOKS} AS toks,
+                   len({TOKS}) AS dl
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, dl, t.term, count(*) AS tf
+            FROM d, UNNEST(list_filter(toks,
+                x -> x IN ('spark', 'join', 'window'))) AS t(term)
+            GROUP BY doc_id, dl, t.term
+        ),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d),
+        dft AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        )
+        SELECT tf.doc_id,
+               round(SUM(
+                   ln(1.0 + (stats.n_docs - dft.df + 0.5) / (dft.df + 0.5))
+                   * (tf.tf * 2.2)
+                     / (tf.tf + 1.2 * (0.25 + 0.75 * (tf.dl / stats.avgdl)))
+               ), 6) AS bm25
+        FROM tf JOIN dft USING (term), stats
+        GROUP BY tf.doc_id
+        ORDER BY bm25 DESC, tf.doc_id ASC
+        LIMIT 20
+    """,
+    doc="BM25 retrieval (k1=1.2, b=0.75) of the top-20 documents for a "
+    "fixed query-term bag: tokens are filtered to query terms BEFORE "
+    "the explode so the aggregation input is |Q| rows/doc max; corpus "
+    "stats and per-term document frequencies are 1-row / |Q|-row "
+    "broadcasts. The full-text ranking primitive of a retrieval "
+    "pipeline. (operators/text.py:bm25_topk)",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.bm25_topk(docs, query_terms=("spark", "join", "window"))
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {TOKS} AS toks FROM documents
+        ),
+        b AS (
+            SELECT doc_id, len(toks) AS n_tok,
+                   len(list_distinct(toks)) AS n_uniq,
+                   CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i + 1])
+                        ELSE CAST([] AS VARCHAR[]) END AS bigrams
+            FROM d
+        ),
+        g AS (
+            SELECT doc_id, u.bg, count(*) AS c
+            FROM b, UNNEST(bigrams) AS u(bg)
+            GROUP BY doc_id, u.bg
+        ),
+        m AS (
+            SELECT doc_id, max(c) AS maxc,
+                   CAST(SUM(c) AS BIGINT) AS total_bg
+            FROM g GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               round(CASE WHEN b.n_tok > 0
+                          THEN 1.0 - b.n_uniq / b.n_tok
+                          ELSE 0.0 END, 6) AS dup_token_ratio,
+               round(coalesce(CAST(m.maxc AS DOUBLE) / m.total_bg, 0.0), 6)
+                 AS top_bigram_frac
+        FROM b LEFT JOIN m USING (doc_id)
+    """,
+    doc="Gopher-style repetition quality filters per document: "
+    "duplicate-token ratio (1 - distinct/total) and the fraction of "
+    "bigram mass held by the most frequent bigram — both exact "
+    "rationals, one bigram explode grouped by doc_id (no global "
+    "token shuffle). (operators/text.py:repetition_stats)",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.repetition_stats(docs)

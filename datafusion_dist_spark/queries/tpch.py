@@ -796,3 +796,154 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_name",
         (F.col("cost_c").cast("double") / 100.0).alias("supply_cost"),
     )
+
+
+@register(
+    "tpch_q11_shape",
+    oracle="""
+        WITH v AS (
+            SELECT l.l_partkey AS partkey,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))
+                        AS BIGINT) AS val_c
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            WHERE s.s_nationkey < 5
+            GROUP BY l.l_partkey
+        )
+        SELECT partkey, CAST(val_c AS DOUBLE)/100.0 AS value
+        FROM v
+        WHERE val_c * (SELECT count(*) FROM v) * 2
+              > (SELECT CAST(SUM(val_c) AS BIGINT) FROM v) * 3
+    """,
+    doc="TPC-H Q11-shaped important-stock query (adapted: no partsupp "
+    "table, so per-part value comes from lineitem revenue of a "
+    "nation-group's suppliers; the threshold is relative — value > "
+    "1.5x the average part share — so it is meaningful at every "
+    "scale factor): group-sum + scalar-subquery threshold, "
+    "integer-cents compare keeps it exact. The 1-row stats are "
+    "broadcast, so the threshold costs no extra shuffle of v.",
+)
+def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 5)
+        .select("s_suppkey")
+    )
+    v = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_cents("l_extendedprice")).alias("val_c"))
+    )
+    stats = v.agg(
+        F.sum("val_c").alias("total_c"), F.count("*").alias("nparts")
+    )
+    return (
+        v.crossJoin(F.broadcast(stats))
+        .filter(F.col("val_c") * F.col("nparts") * 2 > F.col("total_c") * 3)
+        .select(
+            "partkey", (F.col("val_c").cast("double") / 100.0).alias("value")
+        )
+    )
+
+
+@register(
+    "tpch_q16_shape",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p.p_brand, p.p_size,
+               count(DISTINCT ps.l_suppkey) AS supplier_cnt
+        FROM part p
+        JOIN ps ON p.p_partkey = ps.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+          AND ps.l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p.p_brand, p.p_size
+    """,
+    doc="TPC-H Q16-shaped supplier-relationship count (adapted: "
+    "part-supplier pairs derived from lineitem; negative account "
+    "balance proxies the complaints exclusion): NOT IN on a "
+    "non-null key == broadcast anti join, then distinct-count per "
+    "(brand, size).",
+)
+def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ps = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_shape",
+    oracle="""
+        WITH shipped AS (
+            SELECT l.l_suppkey,
+                   CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT)
+                     AS qty
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE 'small%'
+              AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+            GROUP BY l.l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l_suppkey FROM shipped
+            WHERE qty * (SELECT count(*) FROM shipped) * 5
+                  > (SELECT CAST(SUM(qty) AS BIGINT) FROM shipped) * 6
+        )
+    """,
+    doc="TPC-H Q20-shaped excess-shipment suppliers (adapted: 1996 "
+    "shipped quantity of 'small%' parts proxies availqty; a supplier "
+    "qualifies at > 1.2x the average shipped quantity, a relative "
+    "threshold that stays meaningful at every scale factor): IN on "
+    "an aggregated subquery == semi join; the part filter is a "
+    "broadcast join below the aggregation; the 1-row stats row is "
+    "broadcast.",
+)
+def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    shipped = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("qty"))
+    )
+    stats = shipped.agg(
+        F.sum("qty").alias("total_qty"), F.count("*").alias("nsupp")
+    )
+    heavy = (
+        shipped.crossJoin(F.broadcast(stats))
+        .filter(F.col("qty") * F.col("nsupp") * 5 > F.col("total_qty") * 6)
+        .select("l_suppkey")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(heavy), s.s_suppkey == heavy.l_suppkey, "left_semi"
+    ).select("s_suppkey", "s_name")
