@@ -258,10 +258,18 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
-    |A∩B| comes from a groupBy over the shingle-join (each shared
-    shingle contributes once — shingle sets are distinct per doc);
-    |A∪B| = |A|+|B|-|A∩B|. No pair enumeration beyond docs that share
-    at least one shingle.
+    |A∩B| comes from enumerating ordered pairs inside each shingle's
+    posting list (each shared shingle contributes once — shingle sets
+    are distinct per doc); |A∪B| = |A|+|B|-|A∩B|. No pair enumeration
+    beyond docs that share at least one shingle.
+
+    Posting-list enumeration instead of a self-join on the shingle
+    stream: the tokenize+explode pipeline (the dominant per-row cost)
+    runs ONCE and shuffles once, where a self-join would compute and
+    shuffle it twice. At 100 TB the posting lists are the inverted
+    index; a per-list length cap (skew guard) would bound the
+    quadratic explode — not applied here because exact Jaccard
+    requires every co-occurrence.
     """
     # Carry each doc's shingle-set size on its shingle rows (one window
     # -free groupBy-join collapsed into the explode) so the pair
@@ -272,19 +280,23 @@ def ngram_jaccard_pairs(
     ).select(
         "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
     )
-    a, b = shingles.alias("a"), shingles.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
-        .agg(
-            F.count("*").alias("n_inter"),
-            F.first(F.col("a.n_sh")).alias("na"),
-            F.first(F.col("b.n_sh")).alias("nb"),
-        )
+    posting = shingles.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
+    )
+    pairs = posting.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (a, i) -> "
+                "transform(slice(ds, i + 2, size(ds)), b -> "
+                "struct(a.doc_id AS a_id, b.doc_id AS b_id, "
+                "a.n_sh AS na, b.n_sh AS nb))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    inter = pairs.groupBy("a_id", "b_id").agg(
+        F.count("*").alias("n_inter"),
+        F.first("na").alias("na"),
+        F.first("nb").alias("nb"),
     )
     jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
