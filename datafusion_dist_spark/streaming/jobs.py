@@ -186,3 +186,77 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_click_view_join(
+    clicks: DataFrame, views: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each click matched to the same user's
+    views that happen within ``within`` after it.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions, so Spark can size the join state and
+    evict it — the canonical funnel/attribution join. State is
+    shuffle-partitioned by user_id; at scale the watermark delay is
+    the knob that bounds state (reference has no stream joins at all,
+    SURVEY §1.4). Works identically on batch DataFrames (the
+    exactness oracle in tests) — watermarks are streaming-only, so
+    they are applied only when the inputs stream.
+    """
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", "1 hour")
+    if views.isStreaming:
+        views = views.withWatermark("ts", "2 hours")
+    c, v = clicks.alias("c"), views.alias("v")
+    return c.join(
+        v,
+        (F.col("c.user_id") == F.col("v.user_id"))
+        & (F.col("v.ts") >= F.col("c.ts"))
+        & (F.col("v.ts") <= F.col("c.ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("c.event_id").alias("click_id"),
+        F.col("v.event_id").alias("view_id"),
+        F.col("c.user_id").alias("user_id"),
+        F.unix_micros(F.col("c.ts").cast("timestamp")).alias("click_us"),
+        F.unix_micros(F.col("v.ts").cast("timestamp")).alias("view_us"),
+    )
+
+
+def streaming_dedup_keys(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: first event per (user_id, event_type)
+    key, duplicates dropped inside the watermark horizon via
+    ``dropDuplicatesWithinWatermark`` (state evicts once the watermark
+    passes, so state size tracks the delay window, not the corpus —
+    the streaming twin of dedup_exact)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def run_stream_foreach_batch_parquet(
+    df: DataFrame, out_dir: str
+) -> None:
+    """Drive a stream through a ``foreachBatch`` parquet sink: each
+    micro-batch is appended as ordinary batch output. foreachBatch is
+    the escape hatch for sinks with no native streaming writer
+    (JDBC, MERGE upserts); idempotence at scale comes from writing
+    by (batch_id)-deterministic paths or transactional targets."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    with tempfile.TemporaryDirectory(prefix="ddspark-ckpt-") as ckpt:
+        q = (
+            df.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
