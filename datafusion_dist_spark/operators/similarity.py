@@ -277,3 +277,56 @@ def quantize_int8(
         ),
         F.round(recon_err, 6).alias("max_err"),
     )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """KNN join: for every query vector, its k nearest corpus vectors
+    by cosine (self-matches excluded) — the batch primitive behind
+    embedding dedup and retrieval-evaluation pipelines.
+
+    Shape for |Q| << |corpus| (the practical case): the query set is
+    broadcast, the corpus scan is the only big side, and each side's
+    norm is computed once before pairing so a pair costs one dot
+    product. Per-query top-k is a row_number window keyed by q_id;
+    at 100 TB you first cut candidates with the IVF/LSH route
+    (ivf_topk, lsh_bucket_topk) and keep this exact join for the
+    shortlist — same output contract.
+    """
+    dim = _probe_dim(corpus, vec_col)
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("q_norm"),
+    )
+    c = spread(corpus).select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("c_norm"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                _dot(F.col("c_vec"), F.col("q_vec"), dim)
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "score", "rn")
+    )

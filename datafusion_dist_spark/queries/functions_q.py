@@ -411,3 +411,53 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").try_cast("int").alias("try_int"),
         (F.col("l_orderkey") % F.nullif("l_linenumber", F.lit(0))).alias("safe_mod"),
     )
+
+
+@register(
+    "fn_url",
+    oracle="""
+        WITH u AS (
+            SELECT o_orderkey,
+                   'https://api.example.com/v1/orders/' || o_orderkey
+                   || '?status=' || o_orderstatus
+                   || '&priority=' || replace(o_orderpriority, ' ', '%20')
+                     AS url
+            FROM orders WHERE o_orderkey % 97 = 0
+        )
+        SELECT o_orderkey,
+               regexp_extract(url, 'https?://([^/?#]+)', 1) AS host,
+               regexp_extract(url, 'https?://[^/?#]+([^?#]*)', 1) AS path,
+               regexp_extract(url, '\\?([^#]*)', 1) AS query_string,
+               regexp_extract(url, '[?&]status=([^&#]*)', 1) AS status,
+               replace(regexp_extract(url, '[?&]priority=([^&#]*)', 1),
+                       '%20', ' ') AS priority
+        FROM u
+    """,
+    doc="URL parsing surface: parse_url HOST/PATH/QUERY, per-key query "
+    "extraction, and url_decode round-trip over deterministically "
+    "constructed (percent-encoded) URLs; the oracle re-parses the "
+    "same strings with regexps, so Spark's parser is checked against "
+    "an independent ground truth.",
+)
+def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 97 == 0
+    )
+    url = F.concat(
+        F.lit("https://api.example.com/v1/orders/"),
+        F.col("o_orderkey").cast("string"),
+        F.lit("?status="),
+        F.col("o_orderstatus"),
+        F.lit("&priority="),
+        F.replace(F.col("o_orderpriority"), F.lit(" "), F.lit("%20")),
+    )
+    return o.select(
+        "o_orderkey",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query_string"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("status")).alias("status"),
+        F.url_decode(
+            F.parse_url(url, F.lit("QUERY"), F.lit("priority"))
+        ).alias("priority"),
+    )

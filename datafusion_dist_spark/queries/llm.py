@@ -861,3 +861,37 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return text.repetition_stats(docs)
+
+
+@register(
+    "ann_knn_join",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS q_vec
+            FROM embeddings WHERE vec_id % 40 = 0
+        ),
+        s AS (
+            SELECT q.q_id, a.vec_id AS c_id,
+                   round(CAST(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]), q.q_vec
+                   ) AS DOUBLE), 6) AS score
+            FROM embeddings a CROSS JOIN q
+            WHERE a.vec_id <> q.q_id
+        )
+        SELECT q_id, c_id, score, rn FROM (
+            SELECT q_id, c_id, score,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, c_id ASC
+                   ) AS rn
+            FROM s
+        ) WHERE rn <= 5
+    """,
+    doc="KNN join: exact cosine top-5 corpus neighbors for every query "
+    "vector (every 40th embedding), self-matches excluded. Query set "
+    "broadcast, norms precomputed per side, per-query top-k window. "
+    "(operators/similarity.py:knn_join)",
+)
+def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 40 == 0)
+    return similarity.knn_join(qs, emb, k=5)
