@@ -46,6 +46,8 @@ HEADLINE = [
     "sample_stratified",
     "text_fingerprint",
     "text_quality",
+    "text_bm25_topk",
+    "pipeline_pack_sequences",
     "multimodal_features",
 ]
 

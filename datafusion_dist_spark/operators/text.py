@@ -302,3 +302,41 @@ def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget_tokens: int = 512,
+    n_shards: int = 16,
+    text_col: str = "text",
+) -> DataFrame:
+    """Sequence packing for LLM training: assign each document to a
+    fixed-token-budget pack by its starting offset in a deterministic
+    concatenation order.
+
+    Packing is done independently inside (source, shard) streams —
+    shard = doc_id % n_shards — so the cumulative-sum window never
+    sees more than 1/n_shards of a source and the operator is
+    embarrassingly parallel: raise n_shards with the cluster, no
+    global ordering required. The assignment is a pure function of
+    (doc_id, token counts), so reruns and engines agree bit-for-bit.
+    """
+    toks = tokens(F.col(text_col))
+    t = spread(docs).select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % n_shards).alias("shard"),
+        F.size(toks).cast("bigint").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return t.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "doc_id",
+        "source",
+        "shard",
+        F.expr(f"(cum - n_tok) DIV {budget_tokens}").alias("pack_id"),
+        "n_tok",
+    )

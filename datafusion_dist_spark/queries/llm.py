@@ -895,3 +895,35 @@ def ann_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 40 == 0)
     return similarity.knn_join(qs, emb, k=5)
+
+
+@register(
+    "pipeline_pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, doc_id % 16 AS shard,
+                   CAST(len({TOKS}) AS BIGINT) AS n_tok
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, source, shard, n_tok,
+                   CAST(SUM(n_tok) OVER (
+                       PARTITION BY source, shard ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM t
+        )
+        SELECT doc_id, source, shard, (cum - n_tok) // 512 AS pack_id,
+               n_tok
+        FROM c
+    """,
+    doc="Sequence packing: each document assigned to a 512-token-budget "
+    "pack by its starting offset within a deterministic (source, "
+    "shard) stream — shard = doc_id % 16 keeps the cumsum window "
+    "embarrassingly parallel at cluster scale. "
+    "(operators/text.py:pack_sequences)",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    return text.pack_sequences(docs, budget_tokens=512, n_shards=16)
