@@ -64,11 +64,18 @@ def minhash_signatures(
 
     One aggregation, ``num_hashes`` min() columns packed into one
     ``sig`` array — the shuffle carries one row per (doc, shingle);
-    signature width is a constant. Fixed-width hex min == numeric min,
-    and each md5 digest feeds 4 hash functions (disjoint hex windows,
-    functions/hashing.py:wide_hash_window), so 16 hashes cost 4 md5
-    evaluations per shingle. Digests are materialized in a projection
-    before the aggregation so each is computed exactly once per row.
+    signature width is a constant. Each md5 digest feeds 4 hash
+    functions (disjoint hex windows, functions/hashing.py:
+    wide_hash_window), so 16 hashes cost 4 md5 evaluations per
+    shingle. Digests are materialized in a projection before the
+    aggregation so each is computed exactly once per row.
+
+    Components are BIGINTs (hex window → conv base 16): min() over a
+    fixed-width lowercase-hex string orders identically, but string
+    min buffers force a SortAggregate — numeric min keeps the
+    aggregation a hash aggregate with a primitive, spill-friendly
+    buffer. Equality/ordering semantics (all LSH needs) are preserved
+    because the hex→int map is injective and monotone.
     """
     n_digests = -(-num_hashes // 4)
     digests = shingles.select(
@@ -82,7 +89,11 @@ def minhash_signatures(
     for i in range(num_hashes):
         g, start = wide_hash_window(i)
         aggs.append(
-            F.min(F.substring(F.col(f"_d{g}"), start, 8)).alias(f"mh{i}")
+            F.min(
+                F.conv(F.substring(F.col(f"_d{g}"), start, 8), 16, 10).cast(
+                    "bigint"
+                )
+            ).alias(f"mh{i}")
         )
     per_hash = digests.groupBy("doc_id").agg(*aggs)
     return per_hash.select(
@@ -112,9 +123,12 @@ def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 4, rows_per_band: int = 4
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become a
-    candidate pair (a_id < b_id). Equi-join on (band_id, band_key)."""
+    candidate pair (a_id < b_id). Equi-join on (band_id, band_key),
+    hinted SHUFFLE_HASH so both sides' identical exchanges collapse to
+    one signature computation (ReuseExchange) — see
+    minhash_dedup_pairs."""
     banded = _banded(signatures, bands, rows_per_band)
-    a, b = banded.alias("a"), banded.alias("b")
+    a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
     return (
         a.join(
             b,
@@ -143,12 +157,28 @@ def minhash_dedup_pairs(
     so the estimate is a zip_with over columns already in hand — the
     signature subtree is computed once, not re-joined per side (cuts
     two shuffles and two recomputations vs the naive 4-way join).
+    The self-join is hinted SHUFFLE_HASH: both sides then produce the
+    *identical* hash-partitioned exchange over the signature subtree,
+    which Spark's ReuseExchange collapses into one computation — a
+    broadcast join would instead rebuild the whole shingle→md5→min
+    pipeline per side (and at 100 TB the banded signatures are far too
+    big to broadcast). The estimate (a scalar) is computed before the
+    per-pair dedup so dropDuplicates hash-aggregates primitive columns
+    only, never signature arrays.
     """
     num_hashes = bands * rows_per_band
     sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
     banded = _banded(sigs, bands, rows_per_band)
-    a, b = banded.alias("a"), banded.alias("b")
-    pairs = (
+    a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
+    matches = F.aggregate(
+        F.zip_with(
+            F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    est = F.round(matches.cast("double") / F.lit(float(num_hashes)), 6)
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -158,21 +188,9 @@ def minhash_dedup_pairs(
         .select(
             F.col("a.doc_id").alias("a_id"),
             F.col("b.doc_id").alias("b_id"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
         .dropDuplicates(["a_id", "b_id"])
-    )
-    matches = F.aggregate(
-        F.zip_with(
-            F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    est = F.round(matches.cast("double") / F.lit(float(num_hashes)), 6)
-    return (
-        pairs.select("a_id", "b_id", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
 
@@ -228,7 +246,10 @@ def simhash_hamming_pairs(
     blocked = sims.select("doc_id", "simhash", F.explode(blocks).alias("blk")).select(
         "doc_id", "simhash", "blk.block_id", "blk.block_key"
     )
-    a, b = blocked.alias("a"), blocked.alias("b")
+    # SHUFFLE_HASH: identical per-side exchanges on (block_id,
+    # block_key) → the token→simhash aggregation runs once
+    # (ReuseExchange); broadcast would rebuild it per side.
+    a, b = blocked.alias("a").hint("shuffle_hash"), blocked.alias("b")
     cands = (
         a.join(
             b,
