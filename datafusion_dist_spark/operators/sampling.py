@@ -16,7 +16,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_dist_spark.functions.hashing import hash_hex, hash_hex_oracle
+from datafusion_dist_spark.functions.hashing import hash_hex, hash_hex_oracle, tokens
+from datafusion_dist_spark.operators.common import spread
 
 # 4 hex chars = 16 bits of hash → rate granularity 1/65536.
 _SPACE = 1 << 16
@@ -53,3 +54,120 @@ def stratified_hash_sample(
             F.col(stratum) == value, F.lit(int(rate * _SPACE))
         ).otherwise(threshold)
     return df.filter(_bucket(F.col(key), seed) < threshold)
+
+
+def mix_rebalance(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    weights: dict[str, float],
+    seed: int | str = "mix",
+) -> DataFrame:
+    """Rebalance strata to target mixture proportions, keeping as much
+    data as possible: the stratum that binds (min n_s/w_s) is kept
+    whole, every other stratum is deterministically downsampled so the
+    surviving counts are ∝ ``weights`` — the training-mix solver of a
+    data pipeline, computed FROM the data in one tiny aggregation.
+
+    Plan: per-stratum counts (one partial-agg shuffle of a few rows) →
+    scalar min ratio (cross join of one row) → broadcast the per-
+    stratum thresholds back onto the stream — the big table is scanned
+    once and never shuffled. Thresholds are integer hash cutoffs
+    (floor(T·w_s/n_s · 65536)), so membership is a pure function of
+    the row key: reproducible on any cluster and in the oracle.
+    Strata missing from ``weights`` are dropped (weight 0).
+    """
+    wcol = F.lit(None).cast("double")
+    for value, w in sorted(weights.items()):
+        wcol = F.when(F.col(stratum) == value, F.lit(float(w))).otherwise(wcol)
+    counts = (
+        df.groupBy(stratum)
+        .agg(F.count("*").alias("n"))
+        .withColumn("w", wcol)
+        .filter(F.col("w").isNotNull())
+    )
+    tmin = counts.select(F.min(F.col("n") / F.col("w")).alias("t"))
+    thresholds = counts.crossJoin(tmin).select(
+        stratum,
+        F.floor(F.col("t") * F.col("w") / F.col("n") * _SPACE)
+        .cast("int")
+        .alias("thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum)
+        .filter(_bucket(F.col(key), seed) < F.col("thr"))
+        .select(key, stratum, "thr")
+    )
+
+
+def importance_weights_dsir(
+    docs: DataFrame,
+    text_col: str = "text",
+    flag_col: str = "lang",
+    target_value: str = "en",
+    n_buckets: int = 1024,
+    seed: int | str = "dsir",
+) -> DataFrame:
+    """DSIR-style importance weights: score each doc by the hashed-unigram
+    log-likelihood ratio of a target distribution (rows where
+    ``flag_col == target_value``) vs the whole corpus — the
+    data-selection scorer for pretraining mixtures (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling";
+    public method).
+
+    Exactness: per-bucket log-ratios are integerized to micro-nats
+    (round(ln·1e6) as BIGINT) so the per-document score is an INTEGER
+    sum — deterministic under any aggregation order, unlike a float
+    sum. Plan: one token explode → (doc, bucket) count shuffle →
+    bucket stats (n_buckets rows, broadcast back) → per-doc integer
+    sum. The corpus is tokenized once; nothing quadratic, no skew
+    (buckets are hash-uniform).
+    """
+    toks = spread(docs).select(
+        "doc_id",
+        # when/otherwise, not a bare boolean cast: NULL flag must score
+        # as non-target (0), matching SQL CASE ... ELSE 0.
+        F.when(F.col(flag_col) == target_value, 1).otherwise(0).alias("is_t"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    )
+    bucket = (
+        F.conv(hash_hex(F.col("tok"), seed), 16, 10).cast("bigint")
+        % n_buckets
+    )
+    occ = (
+        toks.withColumn("bucket", bucket)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n_occ"), F.max("is_t").alias("is_t"))
+    )
+    stats = occ.groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_t") == 1, F.col("n_occ")).otherwise(0)).alias("ct"),
+        F.sum("n_occ").alias("cs"),
+    )
+    totals = stats.select(
+        F.sum("ct").alias("nt"), F.sum("cs").alias("ns")
+    )
+    b = float(n_buckets)
+    lr = stats.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        F.round(
+            (
+                F.log(
+                    (F.col("ct") + 1).cast("double") / (F.col("nt") + b)
+                )
+                - F.log(
+                    (F.col("cs") + 1).cast("double") / (F.col("ns") + b)
+                )
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    return (
+        occ.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("n_occ") * F.col("lr_micro")).alias("score_micro"),
+            F.sum("n_occ").alias("n_tok"),
+        )
+    )

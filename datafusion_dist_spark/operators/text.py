@@ -340,3 +340,43 @@ def pack_sequences(
         F.expr(f"(cum - n_tok) DIV {budget_tokens}").alias("pack_id"),
         "n_tok",
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    text_col: str = "text",
+    size: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap — the context-window
+    splitter of a training pipeline (chunk i covers tokens
+    [i*stride, i*stride+size)).
+
+    Per-row generate + explode: tokenize once, build the chunk-start
+    list with ``sequence`` and slice the token array per start — no
+    join, no shuffle; output rows ≈ input tokens / stride regardless
+    of document skew (a 1 GB document becomes many rows, not one hot
+    task, because explode splits within the scan partition's stream).
+    """
+    toks = tokens(F.col(text_col))
+    t = (
+        spread(docs)
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") > 0)
+    )
+    chunk = F.expr(
+        f"transform(sequence(0, n - 1, {stride}), "
+        f"s -> struct(CAST(s AS BIGINT) AS start_tok, "
+        f"slice(toks, s + 1, {size}) AS ctoks))"
+    )
+    return (
+        t.select("doc_id", F.posexplode(chunk).alias("chunk_idx", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.col("c.start_tok").alias("start_tok"),
+            F.size("c.ctoks").cast("bigint").alias("chunk_tokens"),
+            F.concat_ws(" ", "c.ctoks").alias("chunk_text"),
+        )
+    )

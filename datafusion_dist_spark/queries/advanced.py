@@ -479,3 +479,48 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").cast("bigint").alias("n"),
         F.sum("ps").cast("bigint").alias("sum_price_c"),
     )
+
+
+_REGR_SQL = """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS sy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS syy,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(ROUND(l_discount * 100) AS BIGINT)) AS BIGINT)
+                 AS sxy
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope,
+           round((CAST(sy AS DOUBLE)
+                - CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+           round(CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / (CAST(n * sxx - sx * sx AS DOUBLE)
+                * CAST(n * syy - sy * sy AS DOUBLE)), 6) AS r2
+    FROM m
+"""
+
+register_sql(
+    "agg_regression_moments",
+    spark_sql=_REGR_SQL,
+    oracle=_REGR_SQL,
+    doc="Linear-regression aggregates (regr_slope / intercept / r2 "
+    "semantics) per group, computed from EXACT integer moments: one "
+    "partial-aggregated pass collects n, Σx, Σy, Σx², Σy², Σxy as "
+    "BIGINTs (discount as cents), then the closed forms divide once "
+    "in double — deterministic under any aggregation order, unlike "
+    "native float regr_* which drift per partitioning. Single "
+    "shuffle of 6 integers per group.",
+)

@@ -942,3 +942,121 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "text"
     )
     return text.pack_sequences(docs, budget_tokens=512, n_shards=16)
+
+
+@register(
+    "pipeline_chunk_documents",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        s AS (
+            SELECT doc_id, toks, n, CAST(u.s AS BIGINT) AS start_tok
+            FROM n, UNNEST(range(0, n, 48)) AS u(s)
+        )
+        SELECT doc_id,
+               CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+               start_tok,
+               CAST(len(toks[start_tok + 1 : start_tok + 64]) AS BIGINT)
+                 AS chunk_tokens,
+               array_to_string(toks[start_tok + 1 : start_tok + 64], ' ')
+                 AS chunk_text
+        FROM s
+    """,
+    doc="Context-window chunking: 64-token chunks, stride 48 (16-token "
+    "overlap) — tokenize once, per-row sequence+slice+explode; no "
+    "join, no shuffle, giant documents split inside the scan stream "
+    "instead of becoming one hot task. "
+    "(operators/text.py:chunk_documents)",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.chunk_documents(docs, size=64, stride=48)
+
+
+_MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+
+
+@register(
+    "pipeline_mix_rebalance",
+    oracle=f"""
+        WITH w AS (
+            SELECT source, n,
+                   CASE source WHEN 'src0' THEN 0.5
+                               WHEN 'src1' THEN 0.3
+                               WHEN 'src2' THEN 0.2 END AS w
+            FROM (SELECT source, count(*) AS n FROM documents GROUP BY source)
+            WHERE source IN ('src0', 'src1', 'src2')
+        ),
+        t AS (SELECT min(n / w) AS t FROM w),
+        thr AS (
+            SELECT source,
+                   CAST(floor(t * w / n * 65536) AS INTEGER) AS thr
+            FROM w, t
+        )
+        SELECT d.doc_id, d.source, thr.thr
+        FROM documents d JOIN thr ON d.source = thr.source
+        WHERE {sampling.bucket_oracle("d.doc_id", "mix")} < thr.thr
+    """,
+    doc="Training-mix rebalancing: compute per-source hash-sampling "
+    "thresholds FROM the data so surviving counts match target "
+    "proportions 0.5/0.3/0.2 with the binding stratum kept whole; "
+    "tiny count agg -> scalar min ratio -> thresholds broadcast onto "
+    "a single scan of the corpus. "
+    "(operators/sampling.py:mix_rebalance)",
+)
+def pipeline_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return sampling.mix_rebalance(docs, "doc_id", "source", _MIX_WEIGHTS)
+
+
+@register(
+    "sample_importance_dsir",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t, t.tok
+            FROM documents, UNNEST({TOKS}) AS t(tok)
+        ),
+        occ AS (
+            SELECT doc_id,
+                   CAST(('0x' || {hash_hex_oracle("tok", "dsir", 8)}) AS BIGINT)
+                     % 1024 AS bucket,
+                   CAST(count(*) AS BIGINT) AS n_occ, max(is_t) AS is_t
+            FROM toks GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT bucket,
+                   CAST(SUM(CASE WHEN is_t = 1 THEN n_occ ELSE 0 END)
+                        AS BIGINT) AS ct,
+                   CAST(SUM(n_occ) AS BIGINT) AS cs
+            FROM occ GROUP BY bucket
+        ),
+        tot AS (
+            SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cs) AS BIGINT) AS ns
+            FROM stats
+        ),
+        lr AS (
+            SELECT bucket,
+                   CAST(round((ln(CAST(ct + 1 AS DOUBLE) / (nt + 1024.0))
+                             - ln(CAST(cs + 1 AS DOUBLE) / (ns + 1024.0)))
+                             * 1e6) AS BIGINT) AS lr_micro
+            FROM stats, tot
+        )
+        SELECT occ.doc_id,
+               CAST(SUM(occ.n_occ * lr.lr_micro) AS BIGINT) AS score_micro,
+               CAST(SUM(occ.n_occ) AS BIGINT) AS n_tok
+        FROM occ JOIN lr USING (bucket) GROUP BY occ.doc_id
+    """,
+    doc="DSIR importance weights (Xie et al. 2023): per-doc hashed-"
+    "unigram log-likelihood ratio of the lang='en' target vs the "
+    "whole corpus, integerized to micro-nats so per-doc scores are "
+    "order-independent integer sums. One explode, two small aggs, "
+    "bucket table broadcast back. "
+    "(operators/sampling.py:importance_weights_dsir)",
+)
+def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    return sampling.importance_weights_dsir(docs)

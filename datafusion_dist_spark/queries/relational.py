@@ -312,3 +312,76 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
+
+
+@register(
+    "merge_upsert",
+    oracle="""
+        WITH tgt AS (
+            SELECT c_custkey, c_name,
+                   CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_c
+            FROM customer
+        ),
+        upd AS (
+            SELECT c_custkey AS u_key, c_name AS u_name,
+                   CAST(bal_c + 5000 AS BIGINT) AS u_bal
+            FROM tgt WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, 'NEW:' || c_name, CAST(100 AS BIGINT)
+            FROM tgt WHERE c_custkey % 97 = 0
+        )
+        SELECT coalesce(u.u_key, t.c_custkey) AS c_custkey,
+               coalesce(u.u_name, t.c_name) AS c_name,
+               CAST(coalesce(u.u_bal, t.bal_c) AS BIGINT) AS bal_c,
+               CASE WHEN u.u_key IS NOT NULL AND t.c_custkey IS NOT NULL
+                      THEN 'update'
+                    WHEN t.c_custkey IS NULL THEN 'insert'
+                    ELSE 'keep' END AS action
+        FROM tgt t FULL OUTER JOIN upd u ON t.c_custkey = u.u_key
+    """,
+    doc="MERGE INTO semantics (WHEN MATCHED UPDATE / WHEN NOT MATCHED "
+    "INSERT) as a full-outer join + coalesce — the copy-on-write "
+    "upsert shape of a lakehouse table. Both sides shuffle on the "
+    "merge key once (sort-merge); at scale the update set is usually "
+    "small enough that file-level pruning (or a broadcast existence "
+    "pass) cuts the rewrite to touched partitions. Balances are exact "
+    "cents (BIGINT).",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    tgt = c.select(
+        "c_custkey",
+        "c_name",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_c"),
+    )
+    upd = (
+        tgt.filter(F.col("c_custkey") % 10 == 0)
+        .select(
+            F.col("c_custkey").alias("u_key"),
+            F.col("c_name").alias("u_name"),
+            (F.col("bal_c") + 5000).alias("u_bal"),
+        )
+        .unionByName(
+            tgt.filter(F.col("c_custkey") % 97 == 0).select(
+                (F.col("c_custkey") + 1000000).alias("u_key"),
+                F.concat(F.lit("NEW:"), F.col("c_name")).alias("u_name"),
+                F.lit(100).cast("bigint").alias("u_bal"),
+            )
+        )
+    )
+    t, u = tgt.alias("t"), upd.alias("u")
+    m = t.join(u, F.col("t.c_custkey") == F.col("u.u_key"), "full_outer")
+    action = (
+        F.when(
+            F.col("u.u_key").isNotNull() & F.col("t.c_custkey").isNotNull(),
+            "update",
+        )
+        .when(F.col("t.c_custkey").isNull(), "insert")
+        .otherwise("keep")
+    )
+    return m.select(
+        F.coalesce(F.col("u.u_key"), F.col("t.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.u_name"), F.col("t.c_name")).alias("c_name"),
+        F.coalesce(F.col("u.u_bal"), F.col("t.bal_c")).alias("bal_c"),
+        action.alias("action"),
+    )

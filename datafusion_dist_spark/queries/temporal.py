@@ -307,3 +307,61 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value_c_locf"),
         )
     )
+
+
+@register(
+    "scd2_history",
+    oracle="""
+        WITH ch AS (
+            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        runs AS (
+            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+            FROM ch WHERE prev_status IS NULL
+                       OR prev_status <> o_orderstatus
+        )
+        SELECT o_custkey, o_orderstatus,
+               strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+               coalesce(strftime(lead(o_orderdate) OVER w2,
+                                 '%Y-%m-%d %H:%M:%S'),
+                        '9999-12-31 00:00:00') AS valid_to,
+               CASE WHEN lead(o_orderdate) OVER w2 IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM runs
+        WINDOW w2 AS (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Type-2 slowly-changing dimension from an event log: collapse "
+    "consecutive equal statuses per customer (change detection via "
+    "lag), then open/close validity intervals via lead — the history-"
+    "table builder of a warehouse. Both windows share one "
+    "(partition, order), so the plan is a single hash shuffle + sort "
+    "reused by both window passes.",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = (
+        o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .drop("prev_status")
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return runs.select(
+        "o_custkey",
+        "o_orderstatus",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("valid_from"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
