@@ -350,10 +350,17 @@ def duplicate_clusters(
     fwd = pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
     rev = pairs.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst"))
     edges = fwd.unionByName(rev).distinct().localCheckpoint(eager=False)
+    # Seed with the 1-hop minimum (node vs its direct neighbors) — one
+    # aggregation over the already-materialized edges that makes the
+    # common case (size-2/3 duplicate cliques) converge in the first
+    # verification round instead of needing a full propagation pass.
     labels = (
-        edges.select("src")
-        .distinct()
-        .select(F.col("src").alias("node"), F.col("src").alias("label"))
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("m"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("m")).alias("label"),
+        )
     )
     for _ in range(max_iters):
         neighbor_min = (

@@ -92,27 +92,41 @@ def winnow_fingerprints(
     rolling k-gram hashes, keep the min hash of every ``window``
     consecutive k-grams, output the distinct fingerprint set per doc.
 
-    Hashes are md5-hex prefixes (cross-engine stable); the per-doc
-    window-min pass is a bounded ROWS frame — partition-local, no extra
-    shuffle beyond the doc_id repartition.
+    Hashes are md5-hex prefixes (cross-engine stable). Fingerprinting
+    is row-local, and the plan says so: grams, gram hashes and
+    window-mins are array higher-order expressions inside the scan
+    projection — NO explode, NO window, ZERO shuffles. (The previous
+    shape exploded the token stream and ran lead()/min() windows over
+    (doc, pos), shuffling every token; at 100 TB that shuffle is pure
+    waste because no state ever crosses a document boundary.) Each
+    intermediate array is its own multiply-referenced column, so
+    CollapseProject keeps it evaluated once.
+
+    Tail windows (fewer than ``window`` grams remaining) shrink like a
+    ROWS frame does, preserving the original output exactly.
     """
     toks = tokens(F.col(text_col))
-    # Build k-grams via lead() so we stay row-shaped: gram i = tok_i..tok_{i+k-1}
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    gram_cols = [F.col("tok")] + [F.lead("tok", j).over(w) for j in range(1, k)]
-    grams = (
-        spread(docs).select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-        .withColumn("gram", F.concat_ws(" ", *gram_cols))
-        .withColumn("gram_len", F.size(F.split("gram", " ")))
-        .filter(F.col("gram_len") == k)  # drop ragged tail grams
-        .withColumn("ghash", hash_hex(F.col("gram"), seed="fp"))
+    t = (
+        spread(docs)
+        .select("doc_id", toks.alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .filter(F.col("n") >= k)
     )
-    wmin = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, window - 1)
-    fps = grams.withColumn("wmin", F.min("ghash").over(wmin))
-    return fps.groupBy("doc_id").agg(
-        F.count_distinct("wmin").alias("n_fingerprints"),
-        F.min("wmin").alias("fp_min"),
-        F.max("wmin").alias("fp_max"),
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n") - (k - 1)),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, k)),
+    )
+    g = t.withColumn("ghashes", F.transform(grams, lambda s: hash_hex(s, seed="fp")))
+    wmins = F.transform(
+        F.sequence(F.lit(1), F.size("ghashes")),
+        lambda i: F.array_min(F.slice("ghashes", i, window)),
+    )
+    fps = g.withColumn("wmins", wmins)
+    return fps.select(
+        "doc_id",
+        F.size(F.array_distinct("wmins")).cast("bigint").alias("n_fingerprints"),
+        F.array_min("wmins").alias("fp_min"),
+        F.array_max("wmins").alias("fp_max"),
     )
 
 

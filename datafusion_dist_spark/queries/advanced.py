@@ -524,3 +524,63 @@ register_sql(
     "native float regr_* which drift per partitioning. Single "
     "shuffle of 6 integers per group.",
 )
+
+
+@register(
+    "fn_higher_order",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
+                               x -> x <> '') AS toks
+            FROM documents WHERE doc_id < 50
+        )
+        SELECT doc_id,
+               CAST(len(list_filter(toks, x -> length(x) > 4)) AS INTEGER)
+                 AS n_long,
+               CAST(list_sum(list_transform(toks, x -> length(x)))
+                    AS BIGINT) AS total_chars,
+               CASE WHEN len(list_filter(toks, x -> length(x) = 5)) > 0
+                    THEN 1 ELSE 0 END AS has_len5,
+               CASE WHEN len(list_filter(toks, x -> length(x) = 0)) = 0
+                    THEN 1 ELSE 0 END AS all_nonempty,
+               array_to_string(
+                   list_slice(
+                       list_transform(range(1, len(toks) + 1),
+                           i -> toks[i] || '.' || toks[len(toks) - i + 1]),
+                       1, 3),
+                   '-') AS zip3
+        FROM t
+    """,
+    doc="Higher-order lambda functions over arrays: transform, filter, "
+    "exists, forall, aggregate (fold), zip_with — all evaluated "
+    "JVM-side inside the scan projection, no explode, no shuffle; "
+    "the idiomatic replacement for row-at-a-time UDFs on array "
+    "columns.",
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dist_spark.functions.hashing import tokens
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    zipped = F.zip_with(
+        "toks",
+        F.reverse(F.col("toks")),
+        lambda x, y: F.concat(x, F.lit("."), y),
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.filter("toks", lambda x: F.length(x) > 4)).alias("n_long"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total_chars"),
+        F.exists("toks", lambda x: F.length(x) == 5)
+        .cast("int")
+        .alias("has_len5"),
+        F.forall("toks", lambda x: F.length(x) > 0)
+        .cast("int")
+        .alias("all_nonempty"),
+        F.concat_ws("-", F.slice(zipped, 1, 3)).alias("zip3"),
+    )

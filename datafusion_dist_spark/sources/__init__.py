@@ -32,6 +32,21 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     return reader.json(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same pushdown/pruning contract as parquet."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Line-oriented text source (one `value` column) — raw-corpus
+    ingestion before any parsing."""
+    return spark.read.text(path)
+
+
 def mem_table(spark: SparkSession, rows, schema, num_partitions: int | None = None) -> DataFrame:
     """In-memory table — the analog of the reference's partitioned
     MemTable fixtures (integration-tests/src/data.rs:36-92)."""

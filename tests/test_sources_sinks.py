@@ -149,3 +149,28 @@ def test_python_datasource_jobs_snapshot(spark):
     assert set(rows) == {e1.job_id, e2.job_id}
     assert '"query": "SELECT 1"' in rows[e1.job_id].job_meta
     assert '"status": "completed"' in rows[e2.job_id].stages
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from datafusion_dist_spark.sources import read_orc, write_orc
+
+    n = load_table(spark, SF_DIR, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(n, out)
+    back = read_orc(spark, out).filter(F.col("n_regionkey") == 1)
+    expect = sorted(
+        map(tuple, n.filter(F.col("n_regionkey") == 1).collect())
+    )
+    assert sorted(map(tuple, back.collect())) == expect
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    # ORC scan must receive the pushed filter like parquet does.
+    assert "PushedFilters" in plan and "n_regionkey" in plan
+
+
+def test_text_source_reads_lines(spark, tmp_path):
+    from datafusion_dist_spark.sources import read_text
+
+    p = tmp_path / "lines.txt"
+    p.write_text("alpha\nbeta\ngamma\n")
+    rows = read_text(spark, str(p)).collect()
+    assert sorted(r.value for r in rows) == ["alpha", "beta", "gamma"]
