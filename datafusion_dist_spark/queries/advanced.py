@@ -584,3 +584,53 @@ def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("all_nonempty"),
         F.concat_ws("-", F.slice(zipped, 1, 3)).alias("zip3"),
     )
+
+
+_MOMENTS_SQL = """
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+               CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+        FROM lineitem GROUP BY l_returnflag
+    ),
+    d AS (
+        SELECT l_returnflag, n,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS q2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS q3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS q4
+        FROM m
+    )
+    SELECT l_returnflag, n,
+           round(mean, 6) AS mean,
+           round(q2 - mean * mean, 6) AS var_pop,
+           round((q3 - 3 * mean * q2 + 2 * mean * mean * mean)
+               / ((q2 - mean * mean) * sqrt(q2 - mean * mean)), 6)
+             AS skew_pop,
+           round((q4 - 4 * mean * q3 + 6 * mean * mean * q2
+                - 3 * mean * mean * mean * mean)
+               / ((q2 - mean * mean) * (q2 - mean * mean)) - 3, 6)
+             AS kurt_excess
+    FROM d
+"""
+
+register_sql(
+    "agg_higher_moments",
+    spark_sql=_MOMENTS_SQL,
+    oracle=_MOMENTS_SQL,
+    doc="Population variance, skewness and excess kurtosis per group "
+    "from EXACT integer power sums (n, Σx..Σx⁴ as BIGINTs) — one "
+    "partial-aggregated pass, then closed-form doubles; m2^1.5 is "
+    "written m2·sqrt(m2) because sqrt is correctly rounded in every "
+    "engine while pow() is not. Deterministic under any partitioning, "
+    "unlike native float skewness/kurtosis.",
+)

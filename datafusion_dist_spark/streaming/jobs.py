@@ -260,3 +260,18 @@ def run_stream_foreach_batch_parquet(
             q.awaitTermination()
         finally:
             q.stop()
+
+
+def stream_static_enrich_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join + aggregation: every micro-batch joins the
+    (bounded) dimension — Spark re-broadcasts it per batch, so a
+    dimension refresh is picked up without restarting the query. The
+    canonical streaming-enrichment topology (clickstream × user dim).
+    Counts per dimension attribute in complete mode."""
+    enriched = events.join(F.broadcast(dim), "user_id")
+    # count_distinct is unsupported on streams; exact-cents value sum
+    # keeps the compare vs batch bit-exact.
+    return enriched.groupBy("tier").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
+    )

@@ -226,3 +226,33 @@ def test_foreach_batch_parquet_sink_complete(spark, tmp_path):
     assert checks.n == src_checks.n
     assert checks.sum_c == src_checks.sum_c
     assert checks.n_batches >= 1
+
+
+def test_stream_static_join_matches_batch(spark):
+    from pyspark.sql import functions as F
+
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.streaming.jobs import stream_static_enrich_agg
+
+    batch_events = load_table(spark, SF_DIR, "events")
+    dim = (
+        batch_events.select("user_id")
+        .distinct()
+        .withColumn("tier", F.col("user_id") % 3)
+    )
+    stream = read_events_stream(spark, SF_DIR)
+    agg = stream_static_enrich_agg(stream, dim)
+    run_stream_to_memory(agg, "stream_static_enrich", output_mode="complete")
+    streamed = spark.sql("SELECT * FROM stream_static_enrich").toPandas()
+    expect = (
+        batch_events.join(F.broadcast(dim), "user_id")
+        .groupBy("tier")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                "value_c"
+            ),
+        )
+        .toPandas()
+    )
+    assert_frames_match(streamed, expect, "stream_static_vs_batch")
