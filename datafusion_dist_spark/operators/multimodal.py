@@ -91,3 +91,84 @@ def extract_features(payloads: DataFrame, fake_decoder: bool = True) -> DataFram
             )
 
     return spread(payloads).mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_bytes", T.LongType(), True),
+        T.StructField("resized_md5", T.StringType(), True),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("frame_bytes", T.LongType(), True),
+        T.StructField("frame_md5", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(payloads: DataFrame, max_bytes: int = 256) -> DataFrame:
+    """Image resize plumbing: Arrow-batched mapInPandas, 1 row in →
+    1 row out. The deterministic stand-in "resize" truncates the
+    payload to ``max_bytes`` (a real pipeline calls PIL.thumbnail
+    here; identical schema/batching/partitioning). Output is audit
+    columns only (size + md5 of the resized bytes) so the DuckDB
+    oracle verifies the Python path byte-for-byte."""
+    import hashlib
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["payload"].map(lambda b: bytes(b)[:max_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_bytes": resized.map(len).astype("int64"),
+                    "resized_md5": resized.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                }
+            )
+
+    return spread(payloads).mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def sample_frames(
+    payloads: DataFrame, frame_size: int = 64, max_frames: int = 4
+) -> DataFrame:
+    """Video frame-sampling plumbing: 1 row in → N rows out through
+    mapInPandas (the fan-out shape of ffmpeg keyframe extraction).
+    The payload is treated as concatenated ``frame_size``-byte frames;
+    every ceil(n_frames/max_frames)-th frame is emitted with audit
+    columns (md5 + length), so sampling is deterministic and oracle-
+    checkable."""
+    import hashlib
+
+    def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
+            for doc, b in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(b)
+                if not b:
+                    continue
+                nf = (len(b) + frame_size - 1) // frame_size
+                stride = (nf + max_frames - 1) // max_frames
+                for i in range(0, nf, stride):
+                    fr = b[i * frame_size : (i + 1) * frame_size]
+                    out["doc_id"].append(doc)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(fr))
+                    out["frame_md5"].append(hashlib.md5(fr).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(out["doc_id"], dtype="int64"),
+                    "frame_idx": pd.Series(out["frame_idx"], dtype="int64"),
+                    "frame_bytes": pd.Series(out["frame_bytes"], dtype="int64"),
+                    "frame_md5": pd.Series(out["frame_md5"], dtype="object"),
+                }
+            )
+
+    return spread(payloads).mapInPandas(_sample, FRAME_SCHEMA)

@@ -1060,3 +1060,57 @@ def sample_importance_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "text"
     )
     return sampling.importance_weights_dsir(docs)
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+        SELECT doc_id,
+               CAST(least(length(text), 256) AS BIGINT) AS out_bytes,
+               md5(substring(text, 1, 256)) AS resized_md5
+        FROM documents
+    """,
+    doc="Image-resize plumbing: Arrow-batched mapInPandas 1:1 transform "
+    "over binary payloads (deterministic truncation stands in for "
+    "PIL.thumbnail — identical schema/batching); output audit columns "
+    "(size + md5 of resized bytes) give the Python path a bit-exact "
+    "SQL oracle (payload bytes are the UTF-8 text, ASCII here). "
+    "(operators/multimodal.py:resize_images)",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return multimodal.resize_images(multimodal.attach_payload(docs))
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+        WITH p AS (
+            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS nb
+            FROM documents WHERE length(text) > 0
+        ),
+        s AS (
+            SELECT doc_id, text,
+                   CAST(ceil(CAST(nb AS DOUBLE) / 64) AS BIGINT) AS nf
+            FROM p
+        ),
+        st AS (
+            SELECT doc_id, text, nf,
+                   CAST(ceil(CAST(nf AS DOUBLE) / 4) AS BIGINT) AS stride
+            FROM s
+        )
+        SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx,
+               CAST(length(substring(text, u.i * 64 + 1, 64)) AS BIGINT)
+                 AS frame_bytes,
+               md5(substring(text, u.i * 64 + 1, 64)) AS frame_md5
+        FROM st, UNNEST(range(0, nf, stride)) AS u(i)
+    """,
+    doc="Video frame-sampling plumbing: 1-row-in N-rows-out mapInPandas "
+    "fan-out (the ffmpeg keyframe shape) — payload treated as 64-byte "
+    "frames, every ceil(nf/4)-th emitted with md5+length audit "
+    "columns for an exact oracle. "
+    "(operators/multimodal.py:sample_frames)",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return multimodal.sample_frames(multimodal.attach_payload(docs))
