@@ -11,6 +11,12 @@ number it encodes, so ``MIN(hex)`` *is* numeric min-hash — no
 hex→int conversion needed on either engine. Where an integer is
 required (SimHash bit tests), the first 8 hex chars are parsed as a
 32-bit int — cheap, still codegen'd.
+
+Tokenizer parity caveat: ``lower()`` diverges between the JVM and
+DuckDB on one-to-many Unicode case folds (İ U+0130 → 'i'+combining
+dot vs plain 'i'). Parity is exact on ASCII and case-stable Unicode
+(CJK, emoji, single-codepoint-folding accents) — property-tested in
+tests/test_properties.py, which also pins the İ divergence.
 """
 
 from __future__ import annotations

@@ -1,0 +1,169 @@
+"""Property-based cross-engine parity and operator invariants.
+
+The reference ships no randomized tests (SURVEY §5: "No randomized/
+property-based tests"); these go beyond it. Hypothesis generates
+adversarial inputs once per example and each example is compared in a
+single Spark job + a single DuckDB query (batch-shaped, so the suite
+stays fast).
+
+Known caveat pinned below: Unicode one-to-many case folding (İ,
+U+0130) diverges between java.lang.String.toLowerCase and DuckDB's
+lower(); the tokenizer contract is exact on ASCII and on case-stable
+Unicode. Corpus text in the testdata is pure ASCII (verified:
+octet_length == length for every document).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.functions.hashing import (
+    hash_hex,
+    hash_hex_oracle,
+    shingle_array,
+    shingle_array_oracle,
+    tokens,
+    tokens_oracle,
+)
+
+# Printable ASCII + case-stable non-ASCII (CJK, emoji, accented latin
+# whose lower() is a single codepoint in both engines).
+_ALPHABET = st.sampled_from(
+    list(
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 .,;:!?-_/()[]{}@#$%^&*+='\"\t\n"
+    )
+    + list("汉字日本語한국어éèüñçøå😀🌍")
+)
+_TEXTS = st.lists(
+    st.text(alphabet=_ALPHABET, max_size=60), min_size=20, max_size=20
+)
+
+
+def _both(spark, pdf: pd.DataFrame, spark_cols, oracle_select: str):
+    sdf = (
+        spark.createDataFrame(pdf)
+        .select("i", *spark_cols)
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    odf = con.execute(
+        f"SELECT i, {oracle_select} FROM t ORDER BY i"
+    ).fetchdf()
+    return sdf, odf
+
+
+@settings(max_examples=3, deadline=None)
+@given(_TEXTS)
+def test_tokenizer_and_hash_parity(spark, texts):
+    pdf = pd.DataFrame({"i": range(len(texts)), "text": texts})
+    sdf, odf = _both(
+        spark,
+        pdf,
+        [
+            tokens(F.col("text")).alias("toks"),
+            hash_hex(F.col("text"), seed="p").alias("h"),
+            shingle_array(tokens(F.col("text")), 3).alias("shs"),
+        ],
+        f"{tokens_oracle('text')} AS toks, "
+        f"{hash_hex_oracle('text', 'p', 8)} AS h, "
+        f"{shingle_array_oracle(tokens_oracle('text'), 3)} AS shs",
+    )
+    for i in range(len(texts)):
+        assert list(sdf.toks[i]) == list(odf.toks[i]), repr(texts[i])
+        assert sdf.h[i] == odf.h[i], repr(texts[i])
+        assert list(sdf.shs[i]) == list(odf.shs[i]), repr(texts[i])
+
+
+def test_known_unicode_casefold_divergence(spark):
+    """İ (U+0130) lowercases to 'i' + COMBINING DOT ABOVE in the JVM
+    but to plain 'i' in DuckDB — a real, documented engine divergence.
+    This test pins the behavior so a silent convergence (or any change
+    in either engine) is noticed."""
+    pdf = pd.DataFrame({"i": [0], "text": ["İstanbul"]})
+    sdf, odf = _both(
+        spark,
+        pdf,
+        [tokens(F.col("text")).alias("toks")],
+        f"{tokens_oracle('text')} AS toks",
+    )
+    assert list(sdf.toks[0]) == ["i", "stanbul"]  # JVM: combining mark splits
+    assert list(odf.toks[0]) == ["istanbul"]  # DuckDB: folds to plain i
+
+
+def test_hash_sample_thresholds_nest(spark):
+    """Deterministic sampling must be monotone: the rate-r1 sample is a
+    subset of the rate-r2 sample for r1 < r2 (the property that makes
+    hash sampling reproducible under data growth). One Spark pass
+    computes the buckets; nesting is then checked for every rate pair."""
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.operators.sampling import _SPACE, _bucket
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    buckets = (
+        docs.select(_bucket(F.col("doc_id"), "smp").alias("b")).toPandas().b
+    )
+    rates = [0.05, 0.2, 0.5, 0.9]
+    kept = [set(buckets.index[buckets < int(r * _SPACE)]) for r in rates]
+    for small, big in zip(kept, kept[1:]):
+        assert small <= big
+
+
+def test_chunk_documents_covers_every_token(spark):
+    """Chunk invariants: chunk 0 starts at 0, consecutive starts differ
+    by the stride, and the final chunk reaches the last token — so the
+    chunk set covers the whole document."""
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.functions.hashing import tokens as toks_fn
+    from datafusion_dist_spark.operators.text import chunk_documents
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    chunks = chunk_documents(docs, size=64, stride=48)
+    per_doc = chunks.groupBy("doc_id").agg(
+        F.min("start_tok").alias("first_start"),
+        F.max(F.col("start_tok") + F.col("chunk_tokens")).alias("covered"),
+        F.count("*").alias("n_chunks"),
+        F.max("start_tok").alias("last_start"),
+    )
+    n_tok = docs.select(
+        "doc_id", F.size(toks_fn(F.col("text"))).alias("n")
+    ).filter(F.col("n") > 0)
+    joined = per_doc.join(n_tok, "doc_id").toPandas()
+    assert (joined.first_start == 0).all()
+    assert (joined.covered == joined.n).all()
+    assert (joined.last_start == (joined.n_chunks - 1) * 48).all()
+
+
+def test_minhash_finds_exact_duplicates(spark):
+    """Identical documents have identical signatures, hence share every
+    band: the LSH pipeline must report every exact-duplicate pair with
+    est_jaccard exactly 1.0 (a recall guarantee that holds
+    deterministically, unlike near-dup recall)."""
+    from datafusion_dist_spark.queries.llm import _corpus, dedup_minhash_lsh
+
+    sf = "/root/testdata/sf0.001"
+    pairs = dedup_minhash_lsh(spark, sf).toPandas()
+    docs = _corpus(spark, sf).toPandas()
+    by_text = docs.groupby("text")["doc_id"].apply(list)
+    expected = {
+        (min(a, b), max(a, b))
+        for ids in by_text
+        if len(ids) > 1
+        for a in ids
+        for b in ids
+        if a < b
+    }
+    found = {
+        (r.a_id, r.b_id): r.est_jaccard for r in pairs.itertuples()
+    }
+    for pair in expected:
+        assert pair in found, f"exact duplicate pair {pair} missed"
+        assert found[pair] == 1.0
