@@ -461,3 +461,35 @@ def fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.parse_url(url, F.lit("QUERY"), F.lit("priority"))
         ).alias("priority"),
     )
+
+
+@register(
+    "fn_calendar",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE)
+                 AS plus3m,
+               last_day(CAST(o_orderdate AS DATE)) AS month_end,
+               CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)
+                 AS quarter_start,
+               CAST(week(CAST(o_orderdate AS DATE)) AS INTEGER) AS iso_week,
+               CAST(dayofweek(CAST(o_orderdate AS DATE)) + 1 AS INTEGER)
+                 AS dow
+        FROM orders WHERE o_orderkey < 500
+    """,
+    doc="Calendar arithmetic: add_months (end-of-month clamping — both "
+    "engines clamp Jan 31 + 1 month to Feb 29), last_day, quarter "
+    "truncation, ISO week number, day-of-week (aligned to Spark's "
+    "1=Sunday convention).",
+)
+def fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.add_months(d, 3).alias("plus3m"),
+        F.last_day(d).alias("month_end"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+        F.weekofyear(d).alias("iso_week"),
+        F.dayofweek(d).alias("dow"),
+    )

@@ -174,3 +174,36 @@ def test_text_source_reads_lines(spark, tmp_path):
     p.write_text("alpha\nbeta\ngamma\n")
     rows = read_text(spark, str(p)).collect()
     assert sorted(r.value for r in rows) == ["alpha", "beta", "gamma"]
+
+
+def test_ctas_insert_drop_lifecycle(spark, tmp_path):
+    """Catalog DDL lifecycle over parquet: CTAS with explicit LOCATION,
+    INSERT INTO appends, DROP TABLE removes the catalog entry. The
+    SQL-warehouse surface a reference user would expect from the
+    FlightSQL entry point."""
+    loc = str(tmp_path / "nation_ctas")
+    n = load_table(spark, SF_DIR, "nation")
+    n.createOrReplaceTempView("_nation_src")
+    try:
+        spark.sql(
+            f"CREATE TABLE nation_ctas USING parquet LOCATION '{loc}' "
+            "AS SELECT n_nationkey, n_name FROM _nation_src"
+        )
+        base = spark.sql("SELECT count(*) AS c FROM nation_ctas").head().c
+        assert base == n.count()
+        spark.sql(
+            "INSERT INTO nation_ctas "
+            "SELECT n_nationkey + 100, concat('X_', n_name) "
+            "FROM _nation_src WHERE n_nationkey < 5"
+        )
+        after = spark.sql("SELECT count(*) AS c FROM nation_ctas").head().c
+        assert after == base + min(5, base)
+        got = spark.sql(
+            "SELECT n_name FROM nation_ctas WHERE n_nationkey >= 100 "
+            "ORDER BY n_nationkey"
+        ).collect()
+        assert all(r.n_name.startswith("X_") for r in got)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_ctas")
+        spark.catalog.dropTempView("_nation_src")
+    assert not spark.catalog.tableExists("nation_ctas")
