@@ -36,6 +36,10 @@ HEADLINE = [
     "join_asof",
     "events_hopping",
     "timeseries_gapfill",
+    # warehouse maintenance
+    "merge_upsert",
+    "scd2_history",
+    "agg_regression_moments",
     # LLM-pipeline operators
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
@@ -44,10 +48,12 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "sample_stratified",
+    "sample_importance_dsir",
     "text_fingerprint",
     "text_quality",
     "text_bm25_topk",
     "pipeline_pack_sequences",
+    "pipeline_chunk_documents",
     "multimodal_features",
 ]
 
