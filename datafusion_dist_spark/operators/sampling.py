@@ -130,14 +130,22 @@ def importance_weights_dsir(
         F.when(F.col(flag_col) == target_value, 1).otherwise(0).alias("is_t"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
     )
+    # Count per (doc, token) BEFORE hashing: the partial aggregation
+    # combines repeated tokens map-side (~6x fewer shuffled rows on
+    # natural text) and md5 then runs once per distinct (doc, token)
+    # instead of once per occurrence. Bucket counts are identical, so
+    # the oracle is untouched.
+    per_tok = toks.groupBy("doc_id", "tok", "is_t").agg(
+        F.count("*").alias("n_occ")
+    )
     bucket = (
         F.conv(hash_hex(F.col("tok"), seed), 16, 10).cast("bigint")
         % n_buckets
     )
     occ = (
-        toks.withColumn("bucket", bucket)
+        per_tok.withColumn("bucket", bucket)
         .groupBy("doc_id", "bucket")
-        .agg(F.count("*").alias("n_occ"), F.max("is_t").alias("is_t"))
+        .agg(F.sum("n_occ").alias("n_occ"), F.max("is_t").alias("is_t"))
     )
     stats = occ.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t") == 1, F.col("n_occ")).otherwise(0)).alias("ct"),
