@@ -87,12 +87,19 @@ def main() -> None:
     spark = build_session("ddspark-bench")
     specs = registry.all_specs()
     warmup(spark, sf_dir)
+    # Two passes per query, keep the min: this host shows transient
+    # co-tenant load spikes that inflate single runs 2-6x; min-of-2
+    # reports steady-state query cost. Pass 2 rebuilds the DataFrame
+    # (fresh QueryExecution) — only JVM/codegen warmth carries over.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].spark_fn
-        t0 = time.perf_counter()
-        run_query(fn(spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_query(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -102,6 +109,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "runs_per_query": 2,
             }
         )
     )

@@ -1,0 +1,70 @@
+"""Multi-executor smoke: the same queries, bit-exact, on a REAL
+2-executor cluster (`local-cluster[2,4,2048]`) instead of local[*].
+
+local[*] hides serialization boundaries: closures, broadcasts and
+Python workers all live in one JVM. local-cluster spawns separate
+executor JVMs (each forking its own Python workers), so this exercises
+closure/broadcast serialization, cross-executor shuffles, and package
+shipping — the minimum credible stand-in for the 1000-executor target.
+Runs in a subprocess because one process can hold only one
+SparkContext and the suite's shared local[*] session owns it.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+_SCRIPT = r"""
+import sys
+sys.path.insert(0, "/root/repo")
+import duckdb
+from pyspark.sql import SparkSession
+
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,2048]")
+    .appName("ddspark-cluster-smoke")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.driver.memory", "2g")
+    # Ship the engine package to executor-side Python workers.
+    .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+    .getOrCreate()
+)
+sys.path.insert(0, "/root/repo/tests")
+from oracle_compare import assert_frames_match
+import __spark_entry__ as E
+
+qs, os_ = E.queries(), E.oracle_sql()
+con = duckdb.connect()
+sf = "/root/testdata/sf0.01"
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+# One per execution family: broadcast star join + two-phase agg,
+# sketch dedup (md5 + band self-join), Arrow-batched Python workers.
+for name in ["tpch_q5", "dedup_minhash_lsh", "multimodal_resize"]:
+    sdf = qs[name](spark, sf).toPandas()
+    odf = con.execute(os_[name]).fetchdf()
+    assert_frames_match(sdf, odf, name)
+    print("CLUSTER-OK", name, len(sdf), flush=True)
+spark.stop()
+print("ALL-OK")
+"""
+
+
+def test_queries_match_oracle_on_two_executor_cluster():
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, "-c", _SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd="/root/repo",
+    )
+    assert "ALL-OK" in proc.stdout, (
+        f"stdout:\n{proc.stdout[-3000:]}\n\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert proc.stdout.count("CLUSTER-OK") == 3
