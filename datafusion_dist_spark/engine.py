@@ -48,6 +48,7 @@ class JobEntry:
     status: str = "running"  # running | completed | failed
     error: str | None = None
     spark_job_group: str = ""
+    started_at: float | None = None  # first client pull; None = unpolled
     finished_at: float | None = None
     extra: dict = field(default_factory=dict)
 
@@ -80,16 +81,27 @@ class JobRegistry:
                 e.finished_at = time.time()
 
     def cleanup(self, ttl_seconds: float = 0.0) -> int:
-        """Drop finished jobs older than ttl (reference job GC:
-        ``dist/src/event.rs:353-425``, ttl ``dist/src/config.rs:6-8``)."""
+        """Drop finished jobs older than ttl, AND abandoned jobs —
+        submitted but never pulled by any client — whose ttl has
+        passed (reference job GC cleans unpolled tickets the same way:
+        ``dist/src/event.rs:353-425``, ttl ``dist/src/config.rs:6-8``,
+        proven by ``integration-tests/tests/exception.rs:30-54``).
+        A job a client is actively pulling is never dropped."""
         now = time.time()
         with self._lock:
             dead = [
                 j
                 for j, e in self._jobs.items()
-                if e.status != "running"
-                and e.finished_at is not None
-                and now - e.finished_at >= ttl_seconds
+                if (
+                    e.status != "running"
+                    and e.finished_at is not None
+                    and now - e.finished_at >= ttl_seconds
+                )
+                or (
+                    e.status == "running"
+                    and e.started_at is None
+                    and now - e.created_at >= ttl_seconds
+                )
             ]
             for j in dead:
                 del self._jobs[j]
@@ -124,6 +136,8 @@ class JobHandle:
         return self._entry.job_id
 
     def _enter_job_scope(self) -> None:
+        if self._entry.started_at is None:
+            self._entry.started_at = time.time()
         sc = self._engine.spark.sparkContext
         sc.setJobGroup(self._entry.spark_job_group, json.dumps(self._entry.meta))
         sc.setLocalProperty(
@@ -173,6 +187,33 @@ class DistEngine:
     def __init__(self, spark: SparkSession):
         self.spark = spark
         self.jobs = JobRegistry()
+        self._gc_stop: threading.Event | None = None
+
+    # -- job GC -------------------------------------------------------------
+
+    def start_job_gc(
+        self, ttl_seconds: float = 60.0, interval_seconds: float = 3.0
+    ) -> None:
+        """Background TTL sweeper: finished jobs past their ttl and
+        abandoned (never-pulled) jobs are dropped automatically — the
+        reference's job GC loop (job_ttl=60s / check every 3s,
+        ``integration-tests/app/src/main.rs:53-55``; cleanup proven by
+        ``exception.rs:30-54``). Idempotent; daemon thread."""
+        if self._gc_stop is not None:
+            return
+        stop = threading.Event()
+        self._gc_stop = stop
+
+        def _sweep() -> None:
+            while not stop.wait(interval_seconds):
+                self.jobs.cleanup(ttl_seconds)
+
+        threading.Thread(target=_sweep, name="ddspark-job-gc", daemon=True).start()
+
+    def stop_job_gc(self) -> None:
+        if self._gc_stop is not None:
+            self._gc_stop.set()
+            self._gc_stop = None
 
     @classmethod
     def create(

@@ -177,3 +177,25 @@ def test_schema_qualified_table_names(spark):
         "SELECT count(*) AS n FROM `global_temp`.`nation_g`"
     ).head().n
     assert qualified == quoted == nation.count()
+
+
+def test_job_gc_sweeps_abandoned_jobs(engine):
+    """Automatic TTL GC (reference: job_ttl=60s checked every 3s,
+    exception.rs:30-54, scaled down): an unpolled job is visible in
+    the registry right after submit, then swept by the background GC
+    without any client action; a job a client pulled is finished
+    normally and swept as a finished job."""
+    import time as _t
+
+    engine.start_job_gc(ttl_seconds=1.0, interval_seconds=0.2)
+    try:
+        handle = engine.submit("SELECT count(*) AS n FROM region")
+        assert len(engine.jobs.running()) == 1  # visible after submit
+        deadline = _t.time() + 10
+        while engine.jobs.all() and _t.time() < deadline:
+            _t.sleep(0.2)
+        assert engine.jobs.all() == []  # swept without being polled
+        # A pulled job is never swept mid-pull and finishes normally.
+        assert engine.execute("SELECT count(*) AS n FROM region")[0].n == 5
+    finally:
+        engine.stop_job_gc()
