@@ -634,3 +634,31 @@ register_sql(
     "engine while pow() is not. Deterministic under any partitioning, "
     "unlike native float skewness/kurtosis.",
 )
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE chain(custkey, root, depth) AS (
+        SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+        UNION ALL
+        SELECT c.c_custkey, ch.root, ch.depth + 1
+        FROM customer c
+        JOIN chain ch
+          ON CAST(floor(c.c_custkey / 10.0) AS BIGINT) = ch.custkey
+         AND c.c_custkey >= 10
+    )
+    SELECT root, count(*) AS n_reachable, max(depth) AS max_depth
+    FROM chain GROUP BY root
+"""
+
+register_sql(
+    "cte_recursive",
+    spark_sql=_RECURSIVE_SQL,
+    oracle=_RECURSIVE_SQL,
+    doc="Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure of "
+    "the custkey -> floor(custkey/10) hierarchy from single-digit "
+    "roots — per-root reachable-node counts and chain depth. Each "
+    "recursion step is one join against the previous frontier; the "
+    "engine unions frontiers until fixpoint (the SQL-native form of "
+    "the connected-components / org-chart traversals that otherwise "
+    "need driver-side loops).",
+)

@@ -404,3 +404,37 @@ register_sql(
     doc="Equi-width histogram via width_bucket: 24 price bins, count + "
     "mass per bin (a single two-phase aggregation).",
 )
+
+
+register_sql(
+    "intersect_all",
+    spark_sql="""
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 5
+        INTERSECT ALL
+        SELECT s_suppkey AS k FROM supplier
+    """,
+    oracle="""
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 5
+        INTERSECT ALL
+        SELECT s_suppkey AS k FROM supplier
+    """,
+    doc="INTERSECT ALL: bag-semantics intersection (multiplicity = min "
+    "of the two sides) — physically a count-compare aggregate, one "
+    "shuffle per side.",
+)
+
+register_sql(
+    "except_all",
+    spark_sql="""
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 3
+        EXCEPT ALL
+        SELECT s_suppkey AS k FROM supplier WHERE s_suppkey % 2 = 0
+    """,
+    oracle="""
+        SELECT l_suppkey AS k FROM lineitem WHERE l_quantity < 3
+        EXCEPT ALL
+        SELECT s_suppkey AS k FROM supplier WHERE s_suppkey % 2 = 0
+    """,
+    doc="EXCEPT ALL: bag-semantics difference (multiplicities "
+    "subtract).",
+)
