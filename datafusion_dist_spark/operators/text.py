@@ -33,7 +33,7 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Token counting: whitespace tokens + alnum-run tokens + chars."""
     ws = F.split(F.col(text_col), r"\s+")
     toks = tokens(F.col(text_col))
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         F.size(F.filter(ws, lambda t: t != "")).cast("bigint").alias("n_ws_tokens"),
         F.size(toks).cast("bigint").alias("n_tokens"),
@@ -57,7 +57,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     uniq_ratio = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     score = 0.4 * len_score + 0.3 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
-    return docs.select(
+    return spread(docs).select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
@@ -82,7 +82,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sel = [F.col("doc_id")]
     sel += [scores[lang].cast("bigint").alias(f"score_{lang}") for lang in LANG_PROFILES]
     sel.append(pred.alias("pred_lang"))
-    return docs.select(*sel)
+    return spread(docs).select(*sel)
 
 
 def winnow_fingerprints(
