@@ -625,12 +625,49 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_clusters",
-    oracle=None,  # iterative (label propagation) — rows-only per contract
+    oracle=f"""
+        WITH RECURSIVE {CORPUS_CTE},
+        {_shingle_cte()},
+        {_sig_cte()},
+        {_band_cte()},
+        cands AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.a_id, c.b_id FROM cands c
+            JOIN sigs sa ON c.a_id = sa.doc_id
+            JOIN sigs sb ON c.b_id = sb.doc_id
+            WHERE CAST({
+                " + ".join(
+                    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+                    for i in range(NUM_HASHES)
+                )
+            } AS DOUBLE) / {float(NUM_HASHES)} >= 0.5
+        ),
+        edges AS (
+            SELECT a_id AS src, b_id AS dst FROM pairs
+            UNION
+            SELECT b_id AS src, a_id AS dst FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src AS node, src AS r FROM edges
+            UNION
+            SELECT reach.node, e.dst
+            FROM reach JOIN edges e ON reach.r = e.src
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id
+        FROM reach GROUP BY node
+    """,
     doc="Duplicate-cluster resolution: MinHash near-dup pairs → "
     "connected components via iterative min-label propagation "
     "(each round = one join + one aggregation, early exit on "
     "convergence, lineage cut per round). Output: (doc_id, "
-    "cluster_id=min reachable id). Verified by planted-chain tests "
+    "cluster_id=min reachable id). Oracle: DuckDB recursive-CTE "
+    "transitive closure + min over the reachable set — a full "
+    "hash-check of the iterative algorithm, plus planted-chain tests "
     "(tests/test_operators.py). (operators/dedup.py:duplicate_clusters)",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
