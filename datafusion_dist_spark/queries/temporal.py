@@ -365,3 +365,83 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
     )
+
+
+@register(
+    "events_funnel",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                   event_type
+            FROM events
+        ),
+        l1 AS (
+            SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS t1
+            FROM e
+        ),
+        l2 AS (
+            SELECT *, min(CASE WHEN event_type = 'click' AND ts_us > t1
+                               THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS t2
+            FROM l1
+        ),
+        l3 AS (
+            SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us > t2
+                               THEN ts_us END)
+                      OVER (PARTITION BY user_id) AS t3
+            FROM l2
+        )
+        SELECT user_id, min(t1) AS view_us, min(t2) AS click_us,
+               min(t3) AS purchase_us,
+               CAST(CASE WHEN min(t3) IS NOT NULL THEN 3
+                         WHEN min(t2) IS NOT NULL THEN 2
+                         WHEN min(t1) IS NOT NULL THEN 1
+                         ELSE 0 END AS INTEGER) AS funnel_stage
+        FROM l3 GROUP BY user_id
+    """,
+    doc="Ordered funnel analysis (view -> click -> purchase): stage k's "
+    "timestamp is the first qualifying event AFTER stage k-1, computed "
+    "with three stacked conditional window-mins over ONE user "
+    "partitioning — a single shuffle reused by all three passes, no "
+    "self-joins (the MATCH_RECOGNIZE-style sequential pattern "
+    "expressed in portable SQL).",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts_us"))
+    ).over(w)
+    l1 = e.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("t1")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    l2 = l1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts_us") > F.col("t2")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    l3 = l2.withColumn("t3", t3)
+    stage = (
+        F.when(F.min("t3").isNotNull(), 3)
+        .when(F.min("t2").isNotNull(), 2)
+        .when(F.min("t1").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return l3.groupBy("user_id").agg(
+        F.min("t1").alias("view_us"),
+        F.min("t2").alias("click_us"),
+        F.min("t3").alias("purchase_us"),
+        stage.cast("int").alias("funnel_stage"),
+    )

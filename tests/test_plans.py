@@ -140,3 +140,20 @@ def test_gapfill_no_extra_shuffles(spark):
 
     facts = plan_facts(timeseries_gapfill(spark, SF_DIR))
     assert facts["n_exchanges"] <= 5, facts
+
+
+def test_funnel_single_shuffle(spark):
+    """Three stacked conditional window-mins + the final per-user agg
+    must share ONE user_id exchange — no per-stage re-shuffle, no
+    self-joins."""
+    from datafusion_dist_spark.queries.temporal import events_funnel
+
+    facts = plan_facts(events_funnel(spark, SF_DIR))
+    assert facts["n_exchanges"] <= 1, facts
+    n_joins = (
+        facts["n_broadcast_joins"]
+        + facts["n_bnl_joins"]
+        + facts["n_sortmerge_joins"]
+        + facts["n_shuffledhash_joins"]
+    )
+    assert n_joins == 0, facts
