@@ -445,3 +445,44 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("t3").alias("purchase_us"),
         stage.cast("int").alias("funnel_stage"),
     )
+
+
+@register(
+    "events_retention_cohorts",
+    oracle="""
+        WITH f AS (
+            SELECT user_id,
+                   CAST(min(epoch_us(ts)) AS BIGINT) AS first_us
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(floor(f.first_us / 604800000000.0) AS BIGINT)
+                 AS cohort_week,
+               CAST(floor((CAST(epoch_us(e.ts) AS BIGINT) - f.first_us)
+                          / 604800000000.0) AS BIGINT) AS week_offset,
+               CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events e JOIN f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    doc="Cohort retention: users grouped by first-activity epoch-week, "
+    "activity counted per weeks-since-cohort offset. Plan: tiny "
+    "first-touch aggregate broadcast back onto one scan of the event "
+    "log, then a two-phase (cohort, offset) aggregate - the event "
+    "table never shuffles twice.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
+    )
+    first = e.groupBy("user_id").agg(F.min("ts_us").alias("first_us"))
+    week = 604800000000.0
+    joined = e.join(F.broadcast(first), "user_id")
+    return joined.groupBy(
+        F.floor(F.col("first_us") / week).cast("bigint").alias("cohort_week"),
+        F.floor((F.col("ts_us") - F.col("first_us")) / week)
+        .cast("bigint")
+        .alias("week_offset"),
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
