@@ -465,23 +465,24 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     """,
     doc="Cohort retention: users grouped by first-activity epoch-week, "
-    "activity counted per weeks-since-cohort offset. Plan: tiny "
-    "first-touch aggregate broadcast back onto one scan of the event "
-    "log, then a two-phase (cohort, offset) aggregate - the event "
-    "table never shuffles twice.",
+    "activity counted per weeks-since-cohort offset. Plan: first_us "
+    "is a window min over the user partitioning — ONE scan of the "
+    "event log and one shuffle, with no driver-side collection of the "
+    "per-user aggregate (a broadcast of one row per user is unbounded "
+    "at scale) — then a two-phase (cohort, offset) aggregate.",
 )
 def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros(F.col("ts")).alias("ts_us")
     )
-    first = e.groupBy("user_id").agg(F.min("ts_us").alias("first_us"))
+    w = Window.partitionBy("user_id")
     week = 604800000000.0
-    joined = e.join(F.broadcast(first), "user_id")
-    return joined.groupBy(
-        F.floor(F.col("first_us") / week).cast("bigint").alias("cohort_week"),
-        F.floor((F.col("ts_us") - F.col("first_us")) / week)
-        .cast("bigint")
-        .alias("week_offset"),
+    withf = e.withColumn("first_us", F.min("ts_us").over(w))
+    return withf.groupBy(
+        F.floor(F.col("first_us") / week).alias("cohort_week"),
+        F.floor((F.col("ts_us") - F.col("first_us")) / week).alias(
+            "week_offset"
+        ),
     ).agg(
         F.count_distinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
