@@ -250,7 +250,7 @@ def bm25_topk(
         + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
     )
     return (
-        tf.join(F.broadcast(df_t), "term")
+        tf.join(df_t, "term")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))

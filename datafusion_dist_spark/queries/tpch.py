@@ -106,7 +106,7 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             "l_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -156,9 +156,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -235,7 +235,7 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg((F.sum(rev_c4).cast("double") / 10000.0).alias("revenue"))
@@ -316,8 +316,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -357,7 +357,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     vol_c4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), vol_c4).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 100.0 * F.sum(promo).cast("double") / F.sum(vol_c4).cast("double"), 6
@@ -400,7 +400,7 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(big_orders, o.o_orderkey == big_orders.l_orderkey, "left_semi")
         .join(li, o.o_orderkey == li.l_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name", "o_orderkey")
         .agg(F.sum(qty).alias("total_qty"))
         .orderBy(F.col("total_qty").desc(), F.col("o_orderkey").asc())
@@ -449,7 +449,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg((F.sum(vol_c4).cast("double") / 10000.0).alias("revenue"))
     )
@@ -533,10 +533,10 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     natl = F.when(F.col("supp_nation") == "NATION_1", F.col("vol_c4")).otherwise(F.lit(0))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
         .join(F.broadcast(r), F.col("n1_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
         .select(F.year("o_orderdate").alias("o_year"), F.col("supp_nation"), vol_c4.alias("vol_c4"))
         .groupBy("o_year")
@@ -583,8 +583,8 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity").cast("bigint") * _cents("p_retailprice") * F.lit(50)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(o, li.l_orderkey == o.o_orderkey)
         .select(
@@ -695,7 +695,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qty_threshold")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(F.broadcast(avg_per_part), li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
@@ -776,7 +776,7 @@ def tpch_q2_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
     costs = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .select(
             F.col("l_partkey").alias("partkey"),
             "s_suppkey",
@@ -832,7 +832,7 @@ def tpch_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     v = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(_cents("l_extendedprice")).alias("val_c"))
     )
@@ -885,7 +885,7 @@ def tpch_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ps.join(F.broadcast(bad), ps.l_suppkey == bad.s_suppkey, "left_anti")
-        .join(F.broadcast(p), ps.l_partkey == p.p_partkey)
+        .join(p, ps.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -931,7 +931,7 @@ def tpch_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
     )
     shipped = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.sum(F.round("l_quantity").cast("bigint")).alias("qty"))
     )
