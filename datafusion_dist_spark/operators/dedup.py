@@ -102,15 +102,26 @@ def minhash_signatures(
 
 
 def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
-    """One row per (doc, band): band_key joins the band's sig slice."""
+    """One row per (doc, band): band_key joins the band's sig slice.
+
+    Keys are built with null-propagating concat (not concat_ws, which
+    silently SKIPS nulls): if bands × rows_per_band overruns the
+    signature width, the out-of-range elements are NULL and the band
+    key becomes NULL — null keys never equi-join, so a misconfiguration
+    yields zero candidates instead of a quadratic blowup of colliding
+    empty keys."""
+
+    def _key(b: int):
+        parts: list = []
+        for r in range(rows_per_band):
+            if r:
+                parts.append(F.lit("|"))
+            parts.append(F.col("sig")[b * rows_per_band + r].cast("string"))
+        return F.concat(*parts)
+
     band_entries = F.array(
         *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.concat_ws(
-                    "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-                ).alias("band_key"),
-            )
+            F.struct(F.lit(b).alias("band_id"), _key(b).alias("band_key"))
             for b in range(bands)
         ]
     )
@@ -334,15 +345,19 @@ def duplicate_clusters(
 ) -> DataFrame:
     """Resolve near-dup pairs into duplicate clusters: every node gets
     ``cluster_id`` = the minimum doc_id reachable through the pair
-    graph (connected components via min-label propagation).
+    graph (connected components via min-label propagation with
+    pointer jumping).
 
-    Iterative: each round every node takes the min label among itself
-    and its neighbors; a chain of length L converges in ≤ ceil(log2 L)
-    + 1 rounds, with early exit when a round changes nothing. Each
-    round is one shuffle join + aggregation; ``localCheckpoint`` cuts
+    Each round does (a) a neighbor-min pass — every node takes the min
+    label among itself and its neighbors (one hop) — and (b) a
+    pointer-jumping pass — label(v) := min(label(v), label(label(v)))
+    — which doubles how far labels have propagated, so a chain of
+    length L converges in O(log L) rounds (neighbor-min alone is one
+    hop per round: a 20-node chain would silently exhaust the loop).
+    Early exit when a round changes nothing; ``localCheckpoint`` cuts
     the lineage so plans stay constant-size (at cluster scale use a
-    checkpoint dir). This is the standard large-graph CC pattern —
-    the reference has no iterative operators at all.
+    checkpoint dir). Raises if the loop exhausts without converging —
+    wrong labels must never be returned silently.
 
     Returns (doc_id, cluster_id); singletons are absent (a doc with no
     pair is its own implicit cluster).
@@ -368,21 +383,41 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nlabel"))
         )
-        updated = (
+        hop = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left_outer")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias(
-                    "new_label"
+                    "label"
                 ),
                 F.col("label").alias("old_label"),
+            )
+        )
+        # Pointer jumping: follow each node's label to THAT node's
+        # label (labels are node ids, so the label table joins itself).
+        lab2 = hop.select(
+            F.col("node").alias("l_node"), F.col("label").alias("l_label")
+        )
+        updated = (
+            hop.join(lab2, hop.label == lab2.l_node, "left_outer")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("l_label", "label")).alias(
+                    "new_label"
+                ),
+                "old_label",
             )
         ).localCheckpoint(eager=True)
         changed = updated.filter(F.col("new_label") != F.col("old_label")).count()
         labels = updated.select("node", F.col("new_label").alias("label"))
         if changed == 0:
-            break
-    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+            return labels.select(
+                F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+            )
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iters} rounds; "
+        "raise max_iters (component diameter exceeds 2^max_iters)"
+    )
 
 
 def cluster_summary(clusters: DataFrame) -> DataFrame:

@@ -29,8 +29,18 @@ def salted_join(
 
     Cost model: right side shuffle volume × salt — use for a moderate
     right side against a skewed-heavy left. Result is identical to the
-    plain join (verified in tests/test_operators.py).
+    plain join for inner / left joins (verified in
+    tests/test_operators.py). Right/full outer are rejected: the right
+    side is replicated per salt value, so an unmatched right row would
+    surface ``salt`` null-padded times instead of once — salting that
+    direction requires salting the other side instead.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            "replicated-side rows; salt the other side instead"
+        )
     salted_left = left.withColumn(
         "_salt", (F.rand(seed=42) * salt).cast("int")
     )
@@ -47,12 +57,17 @@ def salted_join(
 
 def skew_stats(df: DataFrame, key: str, top: int = 5) -> DataFrame:
     """Per-key frequency for skew diagnosis: the planning input for
-    choosing between AQE skew-split, salting, and broadcast."""
-    n = df.count()
+    choosing between AQE skew-split, salting, and broadcast.
+
+    One scan: the total row count is derived from the per-key counts
+    (a one-row aggregate cross-joined back) instead of a second
+    ``df.count()`` pass over the full table."""
+    counts = df.groupBy(key).agg(F.count("*").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("_n"))
     return (
-        df.groupBy(key)
-        .agg(F.count("*").alias("cnt"))
-        .withColumn("fraction", F.round(F.col("cnt") / F.lit(float(n)), 6))
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("fraction", F.round(F.col("cnt") / F.col("_n").cast("double"), 6))
+        .drop("_n")
         .orderBy(F.col("cnt").desc(), F.col(key).asc())
         .limit(top)
     )

@@ -76,6 +76,9 @@ def extract_features(payloads: DataFrame, fake_decoder: bool = True) -> DataFram
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            # NULL payloads carry no media: skip instead of crashing
+            # the task on len(None).
+            pdf = pdf[pdf["payload"].notna()]
             if not fake_decoder:
                 pdf["payload"].map(decode_image)  # raises: real decoder absent
             payload = pdf["payload"]
@@ -122,6 +125,7 @@ def resize_images(payloads: DataFrame, max_bytes: int = 256) -> DataFrame:
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]  # no media -> no output row
             resized = pdf["payload"].map(lambda b: bytes(b)[:max_bytes])
             yield pd.DataFrame(
                 {
@@ -151,6 +155,8 @@ def sample_frames(
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_md5": []}
             for doc, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    continue  # no media -> no frames
                 b = bytes(b)
                 if not b:
                     continue

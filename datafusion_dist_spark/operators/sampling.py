@@ -87,9 +87,14 @@ def mix_rebalance(
         .filter(F.col("w").isNotNull())
     )
     tmin = counts.select(F.min(F.col("n") / F.col("w")).alias("t"))
+    # round(), not floor(): the binding stratum's ratio t*w/n is
+    # exactly 1.0 mathematically but can land at 0.999... in doubles;
+    # floor would then drop bucket 65535 (~1/65536 of the stratum the
+    # spec says is kept whole). Nearest-int keeps it whole and is
+    # within half a bucket of proportional for every other stratum.
     thresholds = counts.crossJoin(tmin).select(
         stratum,
-        F.floor(F.col("t") * F.col("w") / F.col("n") * _SPACE)
+        F.round(F.col("t") * F.col("w") / F.col("n") * _SPACE)
         .cast("int")
         .alias("thr"),
     )

@@ -197,11 +197,25 @@ def ivf_assignments(
     Python, so bit-identical to computing it in the plan).
     """
     if dim is None:
-        dim = _probe_dim(embeddings, vec_col)
+        # Empty table → no rows will evaluate; 1 keeps the generated
+        # SQL valid instead of raising TypeError in _dot_sql.
+        dim = _probe_dim(embeddings, vec_col) or 1
     cents = embeddings.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
     cent_rows = cents.collect()
+    if not cent_rows:
+        # Empty codebook (empty table): no assignment is possible —
+        # an empty result with the output schema, not a type error
+        # from array_max(array()).
+        empty = embeddings.filter(F.lit(False)).select(
+            id_col,
+            vec_col,
+            F.lit(None).cast("double").alias("_norm"),
+            F.lit(None).cast("bigint").alias("cid"),
+            F.lit(None).cast("double").alias("csim"),
+        )
+        return empty, cents
     normed = spread(embeddings).select(
         id_col,
         vec_col,
@@ -347,7 +361,7 @@ def embedding_near_dup_pairs(
     Each row's norm is computed once before the join, so a pair costs
     one dot product, not three.
     """
-    dim = _probe_dim(embeddings, vec_col)
+    dim = _probe_dim(embeddings, vec_col) or 1  # 1: empty-input guard
     b = spread(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
@@ -391,15 +405,21 @@ def quantize_int8(
     """
     v = F.col(vec_col)
     max_abs = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
-    scale = F.lit(127.0) / max_abs
+    # Zero vectors get the sentinel scale 0.0 (q_vec all zeros, zero
+    # error) — an unguarded 127/0 would make scale Infinity and every
+    # quantized element NULL via round(0*Inf)=round(NaN).
+    scale = F.when(max_abs > 0, F.lit(127.0) / max_abs).otherwise(F.lit(0.0))
     quant = F.transform(v, lambda x: F.round(x.cast("double") * scale).cast("int"))
-    recon_err = F.array_max(
-        F.zip_with(
-            quant,
-            v,
-            lambda q, x: F.abs(q.cast("double") / scale - x.cast("double")),
-        )
-    )
+    recon_err = F.when(
+        max_abs > 0,
+        F.array_max(
+            F.zip_with(
+                quant,
+                v,
+                lambda q, x: F.abs(q.cast("double") / scale - x.cast("double")),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
     return embeddings.select(
         F.col(id_col),
         quant.alias("q_vec"),
@@ -430,7 +450,7 @@ def knn_join(
     (ivf_topk, lsh_bucket_topk) and keep this exact join for the
     shortlist — same output contract.
     """
-    dim = _probe_dim(corpus, vec_col)
+    dim = _probe_dim(corpus, vec_col) or 1  # 1: empty-input guard
     q = queries.select(
         F.col(id_col).alias("q_id"),
         F.col(vec_col).alias("q_vec"),

@@ -154,7 +154,18 @@ def redact(
     for pat, repl in patterns:
         col = F.regexp_replace(col, pat, repl)
     for ent in entities:
-        col = F.regexp_replace(col, rf"(?i)\b{ent}\b", "<ENT>")
+        # \Q..\E quotes the entity literally (Pattern.quote): an entity
+        # like "C++" or "Acme Inc." must not be interpreted as regex
+        # syntax — unescaped metacharacters would mis-match and leak
+        # the sensitive string through the scrub. Word-ish boundaries
+        # via lookarounds, not \b: \b after a non-word edge char (the
+        # '+' of "C++") would require a word character next and never
+        # match.
+        col = F.regexp_replace(
+            col,
+            rf"(?i)(?<![a-zA-Z0-9_])\Q{ent}\E(?![a-zA-Z0-9_])",
+            "<ENT>",
+        )
     return docs.withColumn(f"{text_col}_redacted", col)
 
 
@@ -379,8 +390,15 @@ def chunk_documents(
         .withColumn("n", F.size("toks"))
         .filter(F.col("n") > 0)
     )
+    # Drop a trailing start whose chunk the previous chunk already
+    # fully covers (start - stride + size >= n): a 50-token doc at
+    # 64/48 must yield ONE chunk, not a second chunk that is a strict
+    # subset of the first (duplicated training text). Only the last
+    # start can be redundant, so chunk indices stay consecutive.
+    overlap = size - stride
     chunk = F.expr(
-        f"transform(sequence(0, n - 1, {stride}), "
+        f"transform(filter(sequence(0, n - 1, {stride}), "
+        f"s -> s = 0 OR s + {overlap} < n), "
         f"s -> struct(CAST(s AS BIGINT) AS start_tok, "
         f"slice(toks, s + 1, {size}) AS ctoks))"
     )

@@ -989,6 +989,7 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         s AS (
             SELECT doc_id, toks, n, CAST(u.s AS BIGINT) AS start_tok
             FROM n, UNNEST(range(0, n, 48)) AS u(s)
+            WHERE u.s = 0 OR u.s + 16 < n
         )
         SELECT doc_id,
                CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
@@ -1027,7 +1028,7 @@ _MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
         t AS (SELECT min(n / w) AS t FROM w),
         thr AS (
             SELECT source,
-                   CAST(floor(t * w / n * 65536) AS INTEGER) AS thr
+                   CAST(round(t * w / n * 65536) AS INTEGER) AS thr
             FROM w, t
         )
         SELECT d.doc_id, d.source, thr.thr

@@ -221,3 +221,72 @@ def test_decontaminate_flags_planted_benchmark_copy(spark):
     }
     assert 900000 in flagged, flagged
     assert flagged[900000] >= 5
+
+
+def test_salted_join_rejects_right_outer(spark):
+    """Right/full outer would emit salt copies of unmatched right rows;
+    the operator must refuse instead of silently duplicating."""
+    import pytest
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    with pytest.raises(ValueError, match="salt the other side"):
+        joins.salted_join(li, o, "l_orderkey", "o_orderkey", how="right")
+
+
+def test_duplicate_clusters_long_chain_converges(spark):
+    """Pointer jumping: a 30-edge chain (diameter 30) must fully
+    converge within the default max_iters=8 — one-hop propagation
+    alone would silently return wrong labels."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "a_id long, b_id long"
+    )
+    out = dedup.duplicate_clusters(pairs).collect()
+    assert len(out) == 31
+    assert all(r.cluster_id == 0 for r in out), sorted(
+        (r.doc_id, r.cluster_id) for r in out
+    )[:5]
+
+
+def test_redact_escapes_regex_metacharacters(spark):
+    from datafusion_dist_spark.operators.text import redact
+
+    docs = spark.createDataFrame(
+        [(1, "we use C++ at Acme Inc. and CCC daily")], "doc_id long, text string"
+    )
+    out = redact(docs, entities=("C++", "Acme Inc.")).head()
+    red = out.text_redacted
+    assert "C++" not in red and "Acme Inc." not in red
+    # '+' must not quantify: plain C runs and other text survive.
+    assert "CCC" in red and "daily" in red
+
+
+def test_quantize_int8_zero_vector(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0] * 4), (1, [1.0, -2.0, 0.5, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_int8(emb).collect()}
+    z = rows[0]
+    assert z.scale == 0.0 and z.q_sum == 0 and z.max_err == 0.0
+    assert list(z.q_vec) == [0, 0, 0, 0]
+    assert rows[1].q_sum is not None  # nonzero path unaffected
+
+
+def test_vector_ops_tolerate_empty_input(spark):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert similarity.embedding_near_dup_pairs(empty).count() == 0
+    assigned, _ = similarity.ivf_assignments(empty, n_centroids=8)
+    assert assigned.count() == 0
+
+
+def test_multimodal_null_payloads_skipped(spark):
+    from datafusion_dist_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    p = multimodal.attach_payload(docs)
+    assert {r.doc_id for r in multimodal.extract_features(p).collect()} == {1}
+    assert {r.doc_id for r in multimodal.resize_images(p).collect()} == {1}
+    assert {r.doc_id for r in multimodal.sample_frames(p).collect()} == {1}

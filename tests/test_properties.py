@@ -140,6 +140,13 @@ def test_chunk_documents_covers_every_token(spark):
     assert (joined.first_start == 0).all()
     assert (joined.covered == joined.n).all()
     assert (joined.last_start == (joined.n_chunks - 1) * 48).all()
+    # No chunk may be fully contained in its predecessor: every
+    # non-first chunk must extend past the previous chunk's end,
+    # i.e. contribute more than the 16-token overlap.
+    redundant = chunks.filter(
+        (F.col("chunk_idx") > 0) & (F.col("chunk_tokens") <= 16)
+    ).count()
+    assert redundant == 0
 
 
 def test_minhash_finds_exact_duplicates(spark):
