@@ -13,6 +13,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.functions.hashing import tokens_oracle
+
+_TOKS = tokens_oracle("text")
 from datafusion_dist_spark.registry import register, register_sql
 
 # -- subqueries ------------------------------------------------------------
@@ -219,11 +222,10 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "array_ops",
-    oracle="""
+    oracle=f"""
         WITH t AS (
             SELECT doc_id,
-                   list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
-                               x -> x <> '') AS toks
+                   {_TOKS} AS toks
             FROM documents WHERE doc_id < 50
         )
         SELECT doc_id,
@@ -528,11 +530,10 @@ register_sql(
 
 @register(
     "fn_higher_order",
-    oracle="""
+    oracle=f"""
         WITH t AS (
             SELECT doc_id,
-                   list_filter(str_split_regex(lower(text), '[^a-z0-9]+'),
-                               x -> x <> '') AS toks
+                   {_TOKS} AS toks
             FROM documents WHERE doc_id < 50
         )
         SELECT doc_id,

@@ -159,7 +159,7 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_cast",
     oracle="""
         SELECT l_orderkey,
-               CAST(l_quantity AS BIGINT) AS qty_int,
+               CAST(trunc(l_quantity) AS BIGINT) AS qty_int,
                CAST(l_orderkey AS VARCHAR) AS key_str,
                CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
                CAST(l_linenumber AS DOUBLE) AS line_dbl,

@@ -90,6 +90,39 @@ def _sig_cte() -> str:
     """
 
 
+def _match_frac_sql(sa: str = "sa", sb: str = "sb") -> str:
+    """Fraction of matching signature components — the est-Jaccard
+    numerator shared by the minhash-LSH and cluster oracles."""
+    return (
+        "CAST("
+        + " + ".join(
+            f"CASE WHEN {sa}.mh{i} = {sb}.mh{i} THEN 1 ELSE 0 END"
+            for i in range(NUM_HASHES)
+        )
+        + f" AS DOUBLE) / {float(NUM_HASHES)}"
+    )
+
+
+def _minhash_pairs_cte(threshold: float = 0.5) -> str:
+    """cands + thresholded pairs CTEs (assumes shingles/sigs/banded in
+    scope) — ONE definition of the near-dup pair set, reused by the
+    pairs query and the cluster query so they can never diverge."""
+    frac = _match_frac_sql()
+    return f"""cands AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.a_id, c.b_id, {frac} AS est
+            FROM cands c
+            JOIN sigs sa ON c.a_id = sa.doc_id
+            JOIN sigs sb ON c.b_id = sb.doc_id
+            WHERE {frac} >= {threshold}
+        )"""
+
+
 def _band_cte() -> str:
     selects = []
     for b in range(BANDS):
@@ -127,28 +160,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_shingle_cte()},
         {_sig_cte()},
         {_band_cte()},
-        cands AS (
-            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-            FROM banded a JOIN banded b
-              ON a.band_id = b.band_id AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        )
-        SELECT c.a_id, c.b_id,
-               round(CAST({
-                   " + ".join(
-                       f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
-                       for i in range(NUM_HASHES)
-                   )
-               } AS DOUBLE) / {float(NUM_HASHES)}, 6) AS est_jaccard
-        FROM cands c
-        JOIN sigs sa ON c.a_id = sa.doc_id
-        JOIN sigs sb ON c.b_id = sb.doc_id
-        WHERE CAST({
-            " + ".join(
-                f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
-                for i in range(NUM_HASHES)
-            )
-        } AS DOUBLE) / {float(NUM_HASHES)} >= 0.5
+        {_minhash_pairs_cte()}
+        SELECT a_id, b_id, round(est, 6) AS est_jaccard FROM pairs
     """,
     doc="MinHash(16)+LSH(4 bands × 4 rows) near-dup pairs with "
     "estimated Jaccard ≥ 0.5. Candidate generation is an equi-join on "
@@ -259,11 +272,17 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- embedding similarity --------------------------------------------------
 
-_COS = (
-    "round(CAST(list_cosine_similarity("
-    "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])"
-    ") AS DOUBLE), 6)"
-)
+def _cos_sql(a: str, b: str) -> str:
+    """Rounded cosine-similarity fragment, parameterized — one source
+    for every oracle (no string-surgery on a shared template)."""
+    return (
+        "round(CAST(list_cosine_similarity("
+        f"CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])"
+        ") AS DOUBLE), 6)"
+    )
+
+
+_COS = _cos_sql("a.embedding", "b.embedding")
 
 
 def _bucket_expr(tbl: str) -> str:
@@ -319,7 +338,7 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM embeddings WHERE vec_id = 0
         )
         SELECT a.vec_id, CAST({_bucket_expr("a")} AS INTEGER) AS bucket,
-               {_COS.replace("b.embedding", "q.embedding")} AS score
+               {_cos_sql("a.embedding", "q.embedding")} AS score
         FROM embeddings a CROSS JOIN q
         WHERE bit_count(xor(CAST({_bucket_expr("a")} AS BIGINT),
                             CAST(q.qbucket AS BIGINT))) <= 1
@@ -478,10 +497,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
                lower(hex(substr(text, 1, 4))) AS header_hex,
-               CAST(list_sum(list_transform(
+               CAST(coalesce(list_sum(list_transform(
                    range(1, least(length(text), 64) + 1),
                    i -> ascii(substr(text, i, 1))
-               )) % 100000 AS BIGINT) AS byte_checksum
+               )), 0) % 100000 AS BIGINT) AS byte_checksum
         FROM documents
     """,
     doc="Multimodal plumbing: text bytes stand in for an opaque media "
@@ -540,10 +559,7 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- IVF ANN ---------------------------------------------------------------
 
-_COSQ = (
-    "round(CAST(list_cosine_similarity("
-    "CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])) AS DOUBLE), 6)"
-)
+
 
 
 @register(
@@ -557,7 +573,7 @@ _COSQ = (
                 SELECT a.vec_id, a.embedding, c.cid,
                        row_number() OVER (
                            PARTITION BY a.vec_id
-                           ORDER BY {_COSQ.format(a="a.embedding", b="c.cvec")} DESC,
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
                                     c.cid ASC
                        ) AS rn
                 FROM embeddings a CROSS JOIN cents c
@@ -566,11 +582,11 @@ _COSQ = (
         q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
         probes AS (
             SELECT cid FROM cents, q
-            ORDER BY {_COSQ.format(a="cvec", b="qvec")} DESC, cid ASC
+            ORDER BY {_cos_sql("cvec", "qvec")} DESC, cid ASC
             LIMIT 2
         )
         SELECT a.vec_id, a.cid,
-               {_COSQ.format(a="a.embedding", b="q.qvec")} AS score
+               {_cos_sql("a.embedding", "q.qvec")} AS score
         FROM assigned a JOIN probes p ON a.cid = p.cid CROSS JOIN q
         ORDER BY score DESC, a.vec_id ASC LIMIT 10
     """,
@@ -630,23 +646,7 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         {_shingle_cte()},
         {_sig_cte()},
         {_band_cte()},
-        cands AS (
-            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-            FROM banded a JOIN banded b
-              ON a.band_id = b.band_id AND a.band_key = b.band_key
-             AND a.doc_id < b.doc_id
-        ),
-        pairs AS (
-            SELECT c.a_id, c.b_id FROM cands c
-            JOIN sigs sa ON c.a_id = sa.doc_id
-            JOIN sigs sb ON c.b_id = sb.doc_id
-            WHERE CAST({
-                " + ".join(
-                    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
-                    for i in range(NUM_HASHES)
-                )
-            } AS DOUBLE) / {float(NUM_HASHES)} >= 0.5
-        ),
+        {_minhash_pairs_cte()},
         edges AS (
             SELECT a_id AS src, b_id AS dst FROM pairs
             UNION
@@ -767,7 +767,7 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
                 PARTITION BY md5(text) ORDER BY doc_id
             ) AS rn
             FROM scored
-            WHERE quality >= 0.55 AND lang = 'en' AND length(text) >= 80
+            WHERE round(quality, 6) >= 0.55 AND lang = 'en' AND length(text) >= 80
         )
         SELECT doc_id, source, round(quality, 6) AS quality
         FROM kept WHERE rn = 1
@@ -799,23 +799,30 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_quantize_int8",
     oracle="""
-        WITH q AS (
+        WITH m AS (
             SELECT vec_id, embedding,
-                   127.0 / list_max(list_transform(embedding,
-                       x -> abs(CAST(x AS DOUBLE)))) AS scale,
-                   list_transform(embedding,
-                       x -> CAST(round(CAST(x AS DOUBLE) * 127.0 /
-                           list_max(list_transform(embedding,
-                               y -> abs(CAST(y AS DOUBLE))))) AS INTEGER))
-                     AS q_vec
+                   list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS max_abs
             FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id, embedding, max_abs,
+                   CASE WHEN max_abs > 0 THEN 127.0 / max_abs
+                        ELSE 0.0 END AS scale,
+                   list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) *
+                           CASE WHEN max_abs > 0 THEN 127.0 / max_abs
+                                ELSE 0.0 END) AS INTEGER)) AS q_vec
+            FROM m
         )
         SELECT vec_id,
                round(scale, 6) AS scale,
                CAST(list_sum(q_vec) AS BIGINT) AS q_sum,
-               round(list_max(list_transform(range(1, len(q_vec) + 1),
-                   i -> abs(CAST(q_vec[i] AS DOUBLE) / scale
-                            - CAST(embedding[i] AS DOUBLE)))), 6) AS max_err
+               CASE WHEN max_abs > 0 THEN
+                   round(list_max(list_transform(range(1, len(q_vec) + 1),
+                       i -> abs(CAST(q_vec[i] AS DOUBLE) / scale
+                                - CAST(embedding[i] AS DOUBLE)))), 6)
+               ELSE 0.0 END AS max_err
         FROM q
     """,
     doc="Symmetric int8 embedding quantization: per-vector scale, "

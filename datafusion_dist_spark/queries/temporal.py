@@ -81,8 +81,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
-    new_session = F.when(gap_s <= 30 * 60, F.lit(0)).otherwise(F.lit(1))
+    # Microsecond-exact gap: cast('long') truncates to seconds, which
+    # diverges from the oracle's INTERVAL comparison for gaps landing
+    # inside the (1800, 1801)s window.
+    gap_us = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_session = F.when(gap_us <= 30 * 60 * 1_000_000, F.lit(0)).otherwise(F.lit(1))
     return (
         e.withColumn("new_session", new_session)
         .withColumn("session_id", F.sum("new_session").over(cum).cast("bigint"))

@@ -478,10 +478,15 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 200000)
-    avg_bal = (
-        c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("a")).head().a
+    # Scalar threshold stays IN the plan (one-row agg cross-joined
+    # back): no eager driver job at query-construction time, and no
+    # AttributeError on empty input from .head().
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("_avg"))
+    rich = (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .drop("_avg")
     )
-    rich = c.filter(F.col("c_acctbal") > avg_bal)
     return (
         rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -661,10 +666,16 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(rev_c4).cast("bigint").alias("total_rev_c4")
     )
-    max_rev = revenue.agg(F.max("total_rev_c4").alias("m")).head().m
+    # max stays in-plan (one-row agg cross-joined back) — lazy, and
+    # robust to an empty ship-window.
+    max_rev = revenue.agg(F.max("total_rev_c4").alias("_m"))
+    top = (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev_c4") == F.col("_m"))
+        .drop("_m")
+    )
     return (
-        s.join(F.broadcast(revenue.filter(F.col("total_rev_c4") == max_rev)),
-               s.s_suppkey == F.col("supplier_no"))
+        s.join(F.broadcast(top), s.s_suppkey == F.col("supplier_no"))
         .select(
             "s_suppkey",
             "s_name",

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.functions.hashing import tokens_oracle
 from datafusion_dist_spark.registry import register
 
 
@@ -93,10 +94,9 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "udf_table_function",
-    oracle="""
+    oracle=f"""
         SELECT doc_id, t.tok AS token
-        FROM (SELECT doc_id, list_filter(str_split_regex(lower(text),
-                  '[^a-z0-9]+'), t -> t <> '') AS toks
+        FROM (SELECT doc_id, {tokens_oracle("text")} AS toks
               FROM documents WHERE doc_id < 20) d,
              UNNEST(d.toks) AS t(tok)
     """,

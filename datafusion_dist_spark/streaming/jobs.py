@@ -164,7 +164,11 @@ def stateful_sessions(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             if start is None:
                 start, last, n = t, t, 1
             elif t - last <= gap_us:
-                last, n = t, n + 1
+                # Cross-batch out-of-order events can arrive with
+                # t <= last; merge them by extending the session
+                # bounds instead of rewinding last (which could later
+                # emit a session whose end precedes its start).
+                start, last, n = min(start, t), max(last, t), n + 1
             else:
                 closed.append((user_id, start, last, n))
                 start, last, n = t, t, 1
