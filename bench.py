@@ -82,8 +82,13 @@ def warmup(spark, sf_dir: str) -> None:
 
 
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    from datafusion_dist_spark.catalog import DEFAULT_SF_DIR
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
+    import re
+
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = m.group(1) if m else "0"  # unknown layout: report 0, don't crash
     spark = build_session("ddspark-bench")
     specs = registry.all_specs()
     warmup(spark, sf_dir)

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 import pathlib
 import tempfile
+import uuid
 import zipfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -55,11 +56,14 @@ def pin_session_confs(spark: SparkSession) -> None:
     # re-evaluating the expensive expression on the raw (few-split)
     # input: measured 4x slowdown on the dedup operators. The rule only
     # ever helps selective explodes of *stored* arrays, which these
-    # pipelines don't do.
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # pipelines don't do. APPEND to any exclusions the host session
+    # already carries — this may be someone else's session.
+    _rule = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    existing = spark.conf.get("spark.sql.optimizer.excludedRules", None) or ""
+    rules = [r for r in existing.split(",") if r]
+    if _rule not in rules:
+        rules.append(_rule)
+    spark.conf.set("spark.sql.optimizer.excludedRules", ",".join(rules))
     _ship_package(spark)
 
 
@@ -82,10 +86,14 @@ def _ship_package(spark: SparkSession) -> None:
     zpath = os.path.join(
         tempfile.gettempdir(), f"datafusion_dist_spark_{os.getpid()}.zip"
     )
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            for p in sorted(pkg_dir.rglob("*.py")):
-                z.write(p, arcname=str(pkg_dir.name / p.relative_to(pkg_dir)))
+    # Always rebuild, atomically (write-aside + rename): a leftover zip
+    # from a recycled pid would ship STALE code to executors, and a
+    # concurrent builder must never expose a half-written archive.
+    tmp = f"{zpath}.{uuid.uuid4().hex}.tmp"
+    with zipfile.ZipFile(tmp, "w") as z:
+        for p in sorted(pkg_dir.rglob("*.py")):
+            z.write(p, arcname=str(pkg_dir.name / p.relative_to(pkg_dir)))
+    os.replace(tmp, zpath)
     spark.sparkContext.addPyFile(zpath)
     _SHIPPED_APPS.add(app_id)
 

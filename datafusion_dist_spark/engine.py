@@ -144,14 +144,37 @@ class JobHandle:
             "spark.scheduler.pool", self._entry.extra.get("pool", "default")
         )
 
-    def stream_arrow(self) -> Iterator:
-        """Stream the result as Arrow record batches, partition by
-        partition — the analog of one FlightSQL ``do_get`` per stage-0
-        partition (``main.rs:209-265``)."""
+    def stream_arrow(self, batch_rows: int = 10_000) -> Iterator:
+        """Stream the result as Arrow record batches, pulled partition
+        by partition — the analog of one FlightSQL ``do_get`` per
+        stage-0 partition (``main.rs:209-265``).
+
+        Genuinely incremental: ``toLocalIterator`` fetches one
+        partition at a time, re-batched into Arrow chunks of
+        ``batch_rows`` — the driver never holds more than one partition
+        plus one chunk (``toArrow()`` would collect the entire result
+        before yielding the first batch). A client that abandons the
+        iterator mid-stream (GeneratorExit) is recorded, not leaked as
+        a forever-running job.
+        """
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
         self._enter_job_scope()
+        schema = to_arrow_schema(self.df.schema)
         try:
-            yield from self.df.toArrow().to_batches()
+            buf: list[dict] = []
+            for row in self.df.toLocalIterator():
+                buf.append(row.asDict(recursive=True))
+                if len(buf) >= batch_rows:
+                    yield pa.RecordBatch.from_pylist(buf, schema=schema)
+                    buf = []
+            if buf:
+                yield pa.RecordBatch.from_pylist(buf, schema=schema)
             self._engine.jobs.finish(self.job_id)
+        except GeneratorExit:
+            self._engine.jobs.finish(self.job_id, error="abandoned by client")
+            raise
         except Exception as exc:  # noqa: BLE001 - propagate after recording
             self._engine.jobs.finish(self.job_id, error=str(exc))
             raise
@@ -168,9 +191,11 @@ class JobHandle:
 
     def cancel(self) -> None:
         """Graceful cancel (reference: Terminating status refuses tasks,
-        ``dist/src/runtime.rs:120-126``)."""
+        ``dist/src/runtime.rs:120-126``). A job that already finished
+        keeps its final status — cancel must not rewrite history."""
         self._engine.spark.sparkContext.cancelJobGroup(self._entry.spark_job_group)
-        self._engine.jobs.finish(self.job_id, error="cancelled")
+        if self._entry.status == "running":
+            self._engine.jobs.finish(self.job_id, error="cancelled")
 
 
 class DistEngine:
@@ -244,7 +269,11 @@ class DistEngine:
         """
         entry = self.jobs.create({"query": query, **(meta or {})})
         entry.extra["pool"] = pool
-        df = self.spark.sql(query)
+        try:
+            df = self.spark.sql(query)
+        except Exception as exc:  # parse/analysis error: record, don't leak
+            self.jobs.finish(entry.job_id, error=str(exc))
+            raise
         return JobHandle(self, entry, df)
 
     def execute(self, query: str) -> list[Row]:
@@ -261,12 +290,19 @@ class DistEngine:
         import datetime
 
         tracker = self.spark.sparkContext.statusTracker()
-        active = set(tracker.getActiveStageIds())
         rows = []
         for e in self.jobs.all() if include_finished else self.jobs.running():
+            # Per-JOB stages via the job group this handle set — not the
+            # global active set, which would attribute every concurrent
+            # job's stages to every row.
+            own_stages: list[int] = []
+            for jid in tracker.getJobIdsForGroup(e.spark_job_group):
+                info = tracker.getJobInfo(jid)
+                if info is not None:
+                    own_stages.extend(int(s) for s in info.stageIds)
             stages = {
                 "status": e.status,
-                "active_spark_stages": sorted(active),
+                "active_spark_stages": sorted(set(own_stages)),
             }
             rows.append(
                 (

@@ -33,15 +33,18 @@ class QuerySpec:
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
-_VIEWS_READY: set[tuple[int, str]] = set()
+_VIEWS_CONF = "spark.ddspark.views.sfDir"
 
 
 def ensure_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register testdata temp views once per (session, sf_dir)."""
-    key = (id(spark), sf_dir)
-    if key not in _VIEWS_READY:
+    """Register testdata temp views, skipping only when THIS session's
+    views already point at this sf_dir. The marker lives in a session
+    conf (not a driver-side id(spark) cache): switching sf_dir on one
+    session re-registers instead of serving stale views, and a recycled
+    object id after session GC cannot fake a hit."""
+    if spark.conf.get(_VIEWS_CONF, None) != sf_dir:
         catalog.register_views(spark, sf_dir)
-        _VIEWS_READY.add(key)
+        spark.conf.set(_VIEWS_CONF, sf_dir)
 
 
 def register(
