@@ -199,3 +199,27 @@ def test_job_gc_sweeps_abandoned_jobs(engine):
         assert engine.execute("SELECT count(*) AS n FROM region")[0].n == 5
     finally:
         engine.stop_job_gc()
+
+
+def test_cli_runs_sql(tmp_path):
+    """`python -m datafusion_dist_spark "<sql>"` — the FlightSQL-client
+    analog as a local command (subprocess: the CLI owns its session)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "datafusion_dist_spark",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+            "SELECT count(*) AS n FROM region",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=180,
+        cwd="/root/repo",
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "|5  |" in proc.stdout or "|5|" in proc.stdout, proc.stdout[-500:]
