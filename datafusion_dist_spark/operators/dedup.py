@@ -50,11 +50,16 @@ def exact_dedup_keep_min(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded, distinct per doc."""
-    sh = shingle_array(tokens(F.col(text_col)), k)
-    return spread(docs).select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+    """(doc_id, shingle) exploded, distinct per doc.
+
+    Tokens are materialized as a column BEFORE shingling: interpreted
+    higher-order functions re-evaluate lambda subtrees per element, so
+    an inlined tokens() expression inside shingle_array's slice would
+    re-tokenize the document once per shingle (~40x redundant regexp
+    work, measured)."""
+    t = spread(docs).select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    sh = shingle_array(F.col("toks"), k)
+    return t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(
@@ -306,8 +311,9 @@ def ngram_jaccard_pairs(
     # Carry each doc's shingle-set size on its shingle rows (one window
     # -free groupBy-join collapsed into the explode) so the pair
     # aggregation needs no extra join against a sizes table.
-    sh = shingle_array(tokens(F.col(text_col)), k)
-    shingles = spread(docs).select(
+    t = spread(docs).select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    sh = shingle_array(F.col("toks"), k)
+    shingles = t.select(
         "doc_id", F.array_distinct(sh).alias("shs")
     ).select(
         "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")

@@ -188,10 +188,13 @@ def decontaminate_overlap(
     from datafusion_dist_spark.operators.common import spread
 
     def shingles(df: DataFrame, id_alias: str) -> DataFrame:
-        sh = shingle_array(tokens(F.col(text_col)), k)
-        return df.select(
+        t = df.select(
             F.col("doc_id").alias(id_alias),
-            F.explode(F.array_distinct(sh)).alias("shingle"),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        sh = shingle_array(F.col("toks"), k)
+        return t.select(
+            id_alias, F.explode(F.array_distinct(sh)).alias("shingle")
         )
 
     corp = shingles(spread(corpus), "doc_id")
