@@ -30,15 +30,24 @@ STOPWORDS = LANG_PROFILES["en"]
 
 
 def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Token counting: whitespace tokens + alnum-run tokens + chars."""
-    ws = F.split(F.col(text_col), r"\s+")
-    toks = tokens(F.col(text_col))
-    return spread(docs).select(
+    """Token counting: whitespace tokens + alnum-run tokens + chars.
+
+    Token arrays are materialized once per row first: higher-order
+    functions fall back to interpreted evaluation (no common-
+    subexpression elimination), so referencing tokens() from several
+    output expressions would re-tokenize per expression."""
+    t = spread(docs).select(
         "doc_id",
-        F.size(F.filter(ws, lambda t: t != "")).cast("bigint").alias("n_ws_tokens"),
-        F.size(toks).cast("bigint").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
         F.length(text_col).cast("bigint").alias("n_chars"),
+        F.split(F.col(text_col), r"\s+").alias("_ws"),
+        tokens(F.col(text_col)).alias("_toks"),
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.filter("_ws", lambda t: t != "")).cast("bigint").alias("n_ws_tokens"),
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("bigint").alias("n_distinct_tokens"),
+        "n_chars",
     )
 
 
@@ -48,7 +57,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score ∈ [0,1]; deterministic arithmetic (rounded to 6dp) so the
     DuckDB oracle matches bit-for-bit.
     """
-    toks = tokens(F.col(text_col))
+    t = spread(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_uniq = F.size(F.array_distinct(toks))
@@ -57,7 +69,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     uniq_ratio = F.when(n_tok > 0, n_uniq / n_tok).otherwise(0.0)
     len_score = F.least(n_tok / F.lit(50.0), F.lit(1.0))
     score = 0.4 * len_score + 0.3 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
-    return spread(docs).select(
+    return t.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
@@ -70,7 +82,10 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic lexicon-profile language ID (argmax of overlap
     counts, first-profile-wins tie-break in fixed key order)."""
-    toks = tokens(F.col(text_col))
+    t = spread(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     scores = {
         lang: F.size(F.filter(toks, lambda t: t.isin(*words)))
         for lang, words in LANG_PROFILES.items()
@@ -82,7 +97,7 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     sel = [F.col("doc_id")]
     sel += [scores[lang].cast("bigint").alias(f"score_{lang}") for lang in LANG_PROFILES]
     sel.append(pred.alias("pred_lang"))
-    return spread(docs).select(*sel)
+    return t.select(*sel)
 
 
 def winnow_fingerprints(
