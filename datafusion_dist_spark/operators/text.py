@@ -249,9 +249,10 @@ def bm25_topk(
     broadcast. One groupBy(doc) aggregation + TopK — no full-corpus
     inverted index is materialized.
     """
-    toks = tokens(F.col(text_col))
-    base = spread(docs).select(
-        "doc_id", toks.alias("toks"), F.size(toks).alias("dl")
+    base = (
+        spread(docs)
+        .select("doc_id", tokens(F.col(text_col)).alias("toks"))
+        .withColumn("dl", F.size("toks"))
     )
     # tf per (doc, query term): explode only matching tokens.
     tf = (

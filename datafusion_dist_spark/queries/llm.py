@@ -628,10 +628,13 @@ def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dist_spark.operators.common import spread
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = shingle_array(tokens(F.col("text")), 3)
+    # Materialize tokens before the shingle lambda (interpreted HOFs
+    # re-evaluate lambda subtrees per element — see operators/dedup.py
+    # doc_shingles).
+    t = spread(d).select("doc_id", tokens(F.col("text")).alias("toks"))
+    sh = shingle_array(F.col("toks"), 3)
     return (
-        spread(d)
-        .select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+        t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count("*").alias("doc_freq"))
         .orderBy(F.desc("doc_freq"), F.asc("shingle"))
