@@ -17,8 +17,12 @@ import subprocess
 import sys
 
 _SCRIPT = r"""
+import os
 import sys
-sys.path.insert(0, "/root/repo")
+
+REPO = os.environ["DDSPARK_REPO"]
+SF = os.environ["DDSPARK_SF_DIR"]
+sys.path.insert(0, REPO)
 import duckdb
 from pyspark.sql import SparkSession
 
@@ -28,19 +32,19 @@ spark = (
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.driver.memory", "2g")
     # Ship the engine package to executor-side Python workers.
-    .config("spark.executorEnv.PYTHONPATH", "/root/repo")
+    .config("spark.executorEnv.PYTHONPATH", REPO)
     .getOrCreate()
 )
-sys.path.insert(0, "/root/repo/tests")
+sys.path.insert(0, os.path.join(REPO, "tests"))
 from oracle_compare import assert_frames_match
 import __spark_entry__ as E
+from datafusion_dist_spark.catalog import TESTDATA_TABLES, table_path
 
 qs, os_ = E.queries(), E.oracle_sql()
 con = duckdb.connect()
-sf = "/root/testdata/sf0.01"
-for t in ["region", "nation", "customer", "supplier", "part", "orders",
-          "lineitem", "events", "documents", "embeddings"]:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+for t in TESTDATA_TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{table_path(SF, t)}'")
+sf = SF
 
 # One per execution family: broadcast star join + two-phase agg,
 # sketch dedup (md5 + band self-join), Arrow-batched Python workers.
@@ -55,14 +59,18 @@ print("ALL-OK")
 
 
 def test_queries_match_oracle_on_two_executor_cluster():
-    env = dict(os.environ, PYTHONPATH="/root/repo")
+    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.01")
+    env = dict(
+        os.environ, PYTHONPATH=repo, DDSPARK_REPO=repo, DDSPARK_SF_DIR=sf
+    )
     proc = subprocess.run(
         [sys.executable, "-c", _SCRIPT],
         capture_output=True,
         text=True,
         timeout=420,
         env=env,
-        cwd="/root/repo",
+        cwd=repo,
     )
     assert "ALL-OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-3000:]}\n\nstderr:\n{proc.stderr[-3000:]}"

@@ -51,11 +51,11 @@ def _both(spark, pdf: pd.DataFrame, spark_cols, oracle_select: str):
         .sort_values("i")
         .reset_index(drop=True)
     )
-    con = duckdb.connect()
-    con.register("t", pdf)
-    odf = con.execute(
-        f"SELECT i, {oracle_select} FROM t ORDER BY i"
-    ).fetchdf()
+    with duckdb.connect() as con:
+        con.register("t", pdf)
+        odf = con.execute(
+            f"SELECT i, {oracle_select} FROM t ORDER BY i"
+        ).fetchdf()
     return sdf, odf
 
 
@@ -100,17 +100,21 @@ def test_known_unicode_casefold_divergence(spark):
 def test_hash_sample_thresholds_nest(spark):
     """Deterministic sampling must be monotone: the rate-r1 sample is a
     subset of the rate-r2 sample for r1 < r2 (the property that makes
-    hash sampling reproducible under data growth). One Spark pass
-    computes the buckets; nesting is then checked for every rate pair."""
+    hash sampling reproducible under data growth). Runs hash_sample
+    ITSELF per rate — asserting on raw buckets would hold by set
+    theory no matter what the operator does."""
     from datafusion_dist_spark.catalog import load_table
-    from datafusion_dist_spark.operators.sampling import _SPACE, _bucket
+    from datafusion_dist_spark.operators.sampling import hash_sample
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    buckets = (
-        docs.select(_bucket(F.col("doc_id"), "smp").alias("b")).toPandas().b
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id"
     )
     rates = [0.05, 0.2, 0.5, 0.9]
-    kept = [set(buckets.index[buckets < int(r * _SPACE)]) for r in rates]
+    kept = [
+        {r.doc_id for r in hash_sample(docs, "doc_id", rate).collect()}
+        for rate in rates
+    ]
+    assert 0 < len(kept[0]) < len(kept[-1])  # rates actually bite
     for small, big in zip(kept, kept[1:]):
         assert small <= big
 

@@ -53,7 +53,6 @@ def test_udf_exception_propagates_and_session_survives(spark, engine):
 def test_unconsumed_job_executes_nothing_and_leaks_nothing(engine):
     """Lazy pull model: submit never executes (reference
     exception.rs:30-54 — unpolled job is GC'd without running)."""
-    before = engine.spark.sparkContext.statusTracker().getJobIdsForGroup(None)
     handle = engine.submit("SELECT count(*) AS n FROM lineitem")
     time.sleep(0.5)
     tracker = engine.spark.sparkContext.statusTracker()
@@ -119,8 +118,16 @@ def test_concurrent_queries_stress(engine):
 
 def test_health_check_responsive_under_cpu_load(spark, engine):
     """Reference exception.rs:56-118: SELECT 1 stays < 1 s while a
-    CPU-burning vectorized UDF query runs. Spark analog: the heavy job
-    runs in a separate FAIR pool on a subset of task slots."""
+    CPU-burning vectorized UDF query runs.
+
+    Spark has no task preemption, so the honest analog is liveness
+    under partial saturation: the heavy UDF job goes through the
+    engine's FAIR-pool submit path and occupies a subset of slots,
+    while BOTH probes stay fast — the driver-local SELECT 1 (the
+    reference's literal health check) and a real executor task
+    (count over region in the default pool). A wedged scheduler, a
+    GIL-blocked driver, or a probe queued behind the heavy job fails
+    the 1 s bound."""
 
     @F.pandas_udf(T.DoubleType())
     def burn(v: pd.Series) -> pd.Series:
@@ -137,6 +144,11 @@ def test_health_check_responsive_under_cpu_load(spark, engine):
     )
 
     def run_heavy():
+        # Local properties are thread-local: this thread's job lands in
+        # the FAIR 'heavy' pool, exactly what JobHandle does for
+        # pool-tagged submits.
+        sc = engine.spark.sparkContext
+        sc.setLocalProperty("spark.scheduler.pool", "heavy")
         heavy_df.agg(F.sum("b")).collect()
 
     with ThreadPoolExecutor(max_workers=1) as pool:
@@ -146,6 +158,7 @@ def test_health_check_responsive_under_cpu_load(spark, engine):
         while not fut.done() and len(latencies) < 3:
             t0 = time.monotonic()
             assert engine.execute("SELECT 1 AS one")[0].one == 1
+            assert engine.execute("SELECT count(*) AS n FROM region")[0].n == 5
             latencies.append(time.monotonic() - t0)
         fut.result(timeout=60)
     assert latencies, "heavy query finished before any health check ran"
@@ -201,7 +214,7 @@ def test_job_gc_sweeps_abandoned_jobs(engine):
         engine.stop_job_gc()
 
 
-def test_cli_runs_sql(tmp_path):
+def test_cli_runs_sql():
     """`python -m datafusion_dist_spark "<sql>"` — the FlightSQL-client
     analog as a local command (subprocess: the CLI owns its session)."""
     import subprocess

@@ -51,7 +51,6 @@ def test_watermark_drops_late_data(spark, tmp_path):
     """Append-mode windowed agg with a watermark: rows arriving after
     the watermark passed their window are dropped, earlier finalized
     windows are emitted exactly once."""
-    import pandas as pd
     from pyspark.sql import functions as F
 
     import time
@@ -90,12 +89,14 @@ def test_watermark_drops_late_data(spark, tmp_path):
         .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("ws"), "n")
     )
     run_stream_to_memory(agg, "late_test", output_mode="append")
-    got = {
-        r.ws: r.n for r in spark.sql("SELECT * FROM late_test").collect()
-    }
+    rows = spark.sql("SELECT * FROM late_test").collect()
+    early = [r for r in rows if r.ws == "2024-01-01 00:00:00"]
     # The 00:00 window was finalized with ONLY the on-time event; the
-    # late id=3 event (00:20 after watermark 01:30) must not reopen it.
-    assert got.get("2024-01-01 00:00:00") == 1, got
+    # late id=3 event (00:20 after watermark 01:30) must not reopen it
+    # — and finalized windows are emitted EXACTLY once (a duplicate
+    # re-emission would be a second row, not a changed count).
+    assert len(early) == 1, rows
+    assert early[0].n == 1, rows
 
 
 def test_stateful_sessions_match_batch_closed_sessions(spark):
@@ -198,19 +199,26 @@ def test_streaming_dedup_matches_batch_distinct(spark):
 
 def test_foreach_batch_parquet_sink_complete(spark, tmp_path):
     """foreachBatch parquet sink: every source row lands exactly once
-    (count + integer value checksum match the batch read), and the
-    batch_id column shows multiple micro-batches ran
-    (maxFilesPerTrigger=1 still yields >=1; assert >= 1 batch)."""
+    (count + integer value checksum match the batch read) across
+    GENUINELY multiple micro-batches — the source is split into 3
+    files with maxFilesPerTrigger=1, so a sink that double-writes or
+    drops rows after the first batch fails the checksum."""
     from datafusion_dist_spark.catalog import load_table
     from datafusion_dist_spark.streaming.jobs import (
         run_stream_foreach_batch_parquet,
     )
     from pyspark.sql import functions as F
 
-    out = str(tmp_path / "events_sink")
-    stream = read_events_stream(spark, SF_DIR).select(
+    src_dir = str(tmp_path / "events_split")
+    load_table(spark, SF_DIR, "events").select(
         "event_id", "ts", "value"
+    ).repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src_dir).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
     )
+    out = str(tmp_path / "events_sink")
     run_stream_foreach_batch_parquet(stream, out)
     sunk = spark.read.parquet(out)
     checks = sunk.agg(
@@ -225,7 +233,7 @@ def test_foreach_batch_parquet_sink_complete(spark, tmp_path):
     ).collect()[0]
     assert checks.n == src_checks.n
     assert checks.sum_c == src_checks.sum_c
-    assert checks.n_batches >= 1
+    assert checks.n_batches >= 2, checks  # multi-batch path exercised
 
 
 def test_stream_static_join_matches_batch(spark):
