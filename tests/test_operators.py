@@ -290,3 +290,30 @@ def test_multimodal_null_payloads_skipped(spark):
     assert {r.doc_id for r in multimodal.extract_features(p).collect()} == {1}
     assert {r.doc_id for r in multimodal.resize_images(p).collect()} == {1}
     assert {r.doc_id for r in multimodal.sample_frames(p).collect()} == {1}
+
+
+def test_approx_distinct_within_hll_error_bound(spark):
+    """agg_approx_distinct has no value oracle (sketches are engine-
+    specific), so pin its QUALITY instead: HyperLogLog++ at the default
+    rsd=0.05 must land within 15% (3x rsd) of the exact per-group
+    distinct count — a broken sketch or wrong column fails loudly."""
+    from datafusion_dist_spark.queries.aggregates import agg_approx_distinct
+
+    approx = {
+        r.l_returnflag: r.approx_orders
+        for r in agg_approx_distinct(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem")
+    exact = {
+        r.l_returnflag: r.n
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, n in exact.items():
+        assert abs(approx[flag] - n) <= max(2, 0.15 * n), (
+            flag,
+            approx[flag],
+            n,
+        )
