@@ -178,3 +178,34 @@ def test_minhash_finds_exact_duplicates(spark):
     for pair in expected:
         assert pair in found, f"exact duplicate pair {pair} missed"
         assert found[pair] == 1.0
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=15,
+        max_size=15,
+        unique=True,
+    )
+)
+def test_sampling_bucket_parity_on_adversarial_keys(spark, keys):
+    """The deterministic-sampling bucket must agree across engines for
+    ANY key value (negative, huge) — sampling membership is defined by
+    this function, so a parity break silently selects different rows."""
+    from datafusion_dist_spark.operators.sampling import _bucket, bucket_oracle
+
+    pdf = pd.DataFrame({"i": range(len(keys)), "k": keys})
+    sdf = (
+        spark.createDataFrame(pdf)
+        .select("i", _bucket(F.col("k"), "smp").alias("b"))
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    with duckdb.connect() as con:
+        con.register("t", pdf)
+        odf = con.execute(
+            f"SELECT i, {bucket_oracle('k', 'smp')} AS b FROM t ORDER BY i"
+        ).fetchdf()
+    assert list(sdf.b) == list(odf.b), keys
