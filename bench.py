@@ -36,6 +36,8 @@ HEADLINE = [
     "join_asof",
     "events_hopping",
     "timeseries_gapfill",
+    "events_funnel",
+    "events_retention_cohorts",
     # warehouse maintenance
     "merge_upsert",
     "scd2_history",
