@@ -41,15 +41,27 @@ def table_path(sf_dir: str, name: str) -> str:
 def pin_session_confs(spark: SparkSession) -> None:
     """Pin the runtime confs determinism depends on, idempotently.
 
-    Called on every table load because the engine's queries may run in
-    a session we did not build (the correctness driver's):
+    **This mutates the host session's global runtime confs** (session
+    timezone → UTC, parquet nanosAsLong → true, one optimizer rule
+    appended to excludedRules) — in a shared session that changes
+    timestamp semantics for the host's own queries too. It is the
+    deliberate contract of every public entry point below
+    (``load_table`` / ``load_tables`` / ``register_views``): the
+    engine's oracle parity hard-requires these settings, and a
+    save/restore scope would silently un-pin them for the lazily
+    evaluated DataFrames we return (confs are read at execution, not
+    at load). Each set is skipped when the value is already in place.
+
+    Why each pin:
     - UTC session timezone: parquet timestamps are naive/UTC and the
       DuckDB oracle compares them naively (SURVEY §7 risk register);
     - nanosAsLong: events.ts is parquet TIMESTAMP(NANOS), which Spark
       otherwise refuses to read ([PARQUET_TYPE_ILLEGAL]).
     """
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # InferFiltersFromGenerate duplicates the generator expression into
     # a filter that predicate-pushdown then moves below our parallelism
     # repartition — for computed shingle/token arrays that means
@@ -99,13 +111,25 @@ def _ship_package(spark: SparkSession) -> None:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one table (schema from parquet footer)."""
+    """Lazy parquet scan for one table (schema from parquet footer).
+
+    Side effect: pins session confs (UTC timezone, nanosAsLong,
+    excluded optimizer rule) on the host session — see
+    ``pin_session_confs`` for the rationale and exact set."""
     pin_session_confs(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
-        # ts arrives as raw nanos (long) under nanosAsLong — convert to
-        # a real timestamp; integer DIV avoids double-precision loss.
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        # Normalize ts to session-tz TimestampType whatever the parquet
+        # physical type is (the driver has shipped both TIMESTAMP(NANOS)
+        # — read as raw long under nanosAsLong — and TIMESTAMP(MICROS) —
+        # read as timestamp_ntz). Integer DIV avoids double-precision
+        # loss; with the session pinned to UTC the ntz cast is value-
+        # preserving.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        elif ts_type != "timestamp":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -122,6 +146,7 @@ def register_views(
 
     Idempotent; re-registering with the same sf_dir is a no-op in
     effect. Mirrors the reference's ``ctx.register_table`` calls.
+    Side effect: pins session confs (see ``pin_session_confs``).
     """
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -40,6 +40,15 @@ RUNNING_JOBS_SCHEMA = T.StructType(
 )
 
 
+class EngineTerminatingError(RuntimeError):
+    """Submit refused: the engine is shutting down.
+
+    Mirrors the reference's ``Terminating`` runtime status, which
+    refuses *new* tasks while letting already-scheduled streams drain
+    (``dist/src/runtime.rs:120-126``, ``dist/src/scheduler.rs:79-95``).
+    """
+
+
 @dataclass
 class JobEntry:
     job_id: str
@@ -49,8 +58,18 @@ class JobEntry:
     error: str | None = None
     spark_job_group: str = ""
     started_at: float | None = None  # first client pull; None = unpolled
+    last_pull_at: float | None = None  # last batch yielded to a client
     finished_at: float | None = None
     extra: dict = field(default_factory=dict)
+
+    def last_activity(self) -> float:
+        """Most recent client-visible liveness signal for TTL sweeps."""
+        return max(
+            self.created_at,
+            self.started_at or 0.0,
+            self.last_pull_at or 0.0,
+            self.finished_at or 0.0,
+        )
 
 
 class JobRegistry:
@@ -80,28 +99,28 @@ class JobRegistry:
                 e.error = error
                 e.finished_at = time.time()
 
-    def cleanup(self, ttl_seconds: float = 0.0) -> int:
-        """Drop finished jobs older than ttl, AND abandoned jobs —
+    def cleanup(self, ttl_seconds: float = 60.0) -> int:
+        """Drop finished jobs older than ttl, abandoned jobs —
         submitted but never pulled by any client — whose ttl has
         passed (reference job GC cleans unpolled tickets the same way:
         ``dist/src/event.rs:353-425``, ttl ``dist/src/config.rs:6-8``,
-        proven by ``integration-tests/tests/exception.rs:30-54``).
-        A job a client is actively pulling is never dropped."""
+        proven by ``integration-tests/tests/exception.rs:30-54``), AND
+        half-pulled jobs whose client stalled: a stream that yielded
+        its last batch more than ttl ago with no activity since is
+        swept like the reference's per-stage TTL sweeper
+        (``dist/src/runtime.rs:688-717``, 30-min default). The default
+        ttl matches ``start_job_gc`` — a bare ``cleanup()`` never
+        insta-drops a job a client is about to pull.
+
+        Sweeping removes only the registry row (observability state);
+        it never cancels the underlying Spark job — an outlived stream
+        keeps draining, and its eventual ``finish`` is a no-op."""
         now = time.time()
         with self._lock:
             dead = [
                 j
                 for j, e in self._jobs.items()
-                if (
-                    e.status != "running"
-                    and e.finished_at is not None
-                    and now - e.finished_at >= ttl_seconds
-                )
-                or (
-                    e.status == "running"
-                    and e.started_at is None
-                    and now - e.created_at >= ttl_seconds
-                )
+                if now - e.last_activity() >= ttl_seconds
             ]
             for j in dead:
                 del self._jobs[j]
@@ -149,28 +168,31 @@ class JobHandle:
         by partition — the analog of one FlightSQL ``do_get`` per
         stage-0 partition (``main.rs:209-265``).
 
-        Genuinely incremental: ``toLocalIterator`` fetches one
-        partition at a time, re-batched into Arrow chunks of
-        ``batch_rows`` — the driver never holds more than one partition
-        plus one chunk (``toArrow()`` would collect the entire result
-        before yielding the first batch). A client that abandons the
-        iterator mid-stream (GeneratorExit) is recorded, not leaked as
-        a forever-running job.
+        Columnar end-to-end: each executor serializes its partition
+        into LZ4-compressed Arrow IPC chunks of ≤ ``batch_rows`` rows
+        (``mapInArrow`` — the same wire format as the reference's
+        Flight data plane, ``networks/tonic/src/server.rs:109-141``,
+        LZ4 at 125-127); the driver pulls one IPC chunk per Python
+        "row" via ``toLocalIterator`` and deserializes it with a
+        vectorized Arrow read. Driver-side Python cost is O(chunks),
+        never O(rows) — no ``asDict`` loops — and memory is bounded at
+        one partition plus one chunk (``toArrow()`` would collect the
+        entire result before yielding the first batch).
+
+        A client that abandons the iterator mid-stream (GeneratorExit)
+        is recorded, not leaked as a forever-running job; a client
+        that stalls without closing is swept by the TTL GC via
+        ``last_pull_at``.
         """
         import pyarrow as pa
-        from pyspark.sql.pandas.types import to_arrow_schema
 
         self._enter_job_scope()
-        schema = to_arrow_schema(self.df.schema)
         try:
-            buf: list[dict] = []
-            for row in self.df.toLocalIterator():
-                buf.append(row.asDict(recursive=True))
-                if len(buf) >= batch_rows:
-                    yield pa.RecordBatch.from_pylist(buf, schema=schema)
-                    buf = []
-            if buf:
-                yield pa.RecordBatch.from_pylist(buf, schema=schema)
+            for row in self._ipc_chunk_df(batch_rows).toLocalIterator():
+                with pa.ipc.open_stream(row.chunk) as reader:
+                    for batch in reader:
+                        self._entry.last_pull_at = time.time()
+                        yield batch
             self._engine.jobs.finish(self.job_id)
         except GeneratorExit:
             self._engine.jobs.finish(self.job_id, error="abandoned by client")
@@ -178,6 +200,26 @@ class JobHandle:
         except Exception as exc:  # noqa: BLE001 - propagate after recording
             self._engine.jobs.finish(self.job_id, error=str(exc))
             raise
+
+    def _ipc_chunk_df(self, batch_rows: int) -> DataFrame:
+        """Plan (lazily) the result as a one-binary-column DataFrame of
+        Arrow IPC stream payloads, produced executor-side."""
+
+        def _serialize(batches: Iterator) -> Iterator:
+            import pyarrow as pa
+
+            opts = pa.ipc.IpcWriteOptions(compression="lz4")
+            for batch in batches:
+                for off in range(0, batch.num_rows, batch_rows):
+                    chunk = batch.slice(off, batch_rows)
+                    sink = pa.BufferOutputStream()
+                    with pa.ipc.new_stream(sink, chunk.schema, options=opts) as w:
+                        w.write_batch(chunk)
+                    yield pa.RecordBatch.from_arrays(
+                        [pa.array([sink.getvalue().to_pybytes()])], names=["chunk"]
+                    )
+
+        return self.df.mapInArrow(_serialize, "chunk binary")
 
     def collect(self) -> list[Row]:
         self._enter_job_scope()
@@ -213,6 +255,7 @@ class DistEngine:
         self.spark = spark
         self.jobs = JobRegistry()
         self._gc_stop: threading.Event | None = None
+        self._terminating = False
 
     # -- job GC -------------------------------------------------------------
 
@@ -267,6 +310,10 @@ class DistEngine:
         — CPU-heavy jobs go to a separate pool so interactive queries
         keep getting task slots.
         """
+        if self._terminating:
+            raise EngineTerminatingError(
+                "engine is terminating; new submissions are refused"
+            )
         entry = self.jobs.create({"query": query, **(meta or {})})
         entry.extra["pool"] = pool
         try:
@@ -278,6 +325,26 @@ class DistEngine:
 
     def execute(self, query: str) -> list[Row]:
         return self.submit(query).collect()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    @property
+    def terminating(self) -> bool:
+        return self._terminating
+
+    def shutdown(self, drain: bool = True) -> None:
+        """Enter the Terminating state: refuse new ``submit()``s while
+        already-minted handles keep draining (reference
+        ``dist/src/runtime.rs:120-126`` — a Terminating node stops
+        accepting tasks but finishes the streams it holds;
+        ``scheduler.rs:79-95`` stops assigning to it). Job GC keeps
+        running so the registry empties naturally; call
+        ``stop_job_gc()`` after the drain if a hard stop is wanted."""
+        self._terminating = True
+        if not drain:
+            for e in self.jobs.running():
+                self.spark.sparkContext.cancelJobGroup(e.spark_job_group)
+                self.jobs.finish(e.job_id, error="engine shutdown")
 
     # -- observability ------------------------------------------------------
 
@@ -307,8 +374,13 @@ class DistEngine:
             rows.append(
                 (
                     e.job_id,
-                    datetime.datetime.fromtimestamp(e.created_at, datetime.timezone.utc).replace(
-                        tzinfo=None
+                    # Keep tzinfo: TimestampType.toInternal treats a
+                    # NAIVE datetime as driver-local wall time, which
+                    # would shift created_at by the host's UTC offset
+                    # on any non-UTC driver; an aware value converts
+                    # via utctimetuple and is offset-safe everywhere.
+                    datetime.datetime.fromtimestamp(
+                        e.created_at, datetime.timezone.utc
                     ),
                     json.dumps(e.meta, sort_keys=True),
                     json.dumps(stages, sort_keys=True),

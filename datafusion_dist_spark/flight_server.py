@@ -1,0 +1,241 @@
+"""Arrow Flight network façade over :class:`DistEngine`.
+
+The reference's user-facing surface is an Arrow FlightSQL *server*:
+SQL string in over the wire → distributed execution → Arrow stream
+out (``integration-tests/app/src/main.rs:267-308``), with execution
+starting lazily at ``do_get`` per ticket (``main.rs:209-265``) and a
+``running_jobs`` virtual table queryable remotely
+(``integration-tests/tests/sqllogictest.rs:20-22``). This module is
+the Spark analog: a ``pyarrow.flight`` server whose tickets resolve
+to :meth:`JobHandle.stream_arrow` — columnar, LZ4-IPC-serialized on
+executors, streamed incrementally through the driver.
+
+Ticket granularity — a deliberate deviation, documented for parity
+review: the reference mints **one ticket per final-stage partition**
+(``main.rs:298-306``) because its execution is pull-based per
+partition. Spark under AQE decides the final-stage partition count
+*at execution time* (AdaptiveSparkPlan re-plans after each shuffle),
+so enumerating partitions at ``get_flight_info`` time would force
+upstream stages to execute eagerly — violating the reference's own
+laziness contract (a never-fetched ticket must execute nothing,
+``integration-tests/tests/exception.rs:30-54``). The ticket is
+therefore per *job*, and the partition granularity lives inside the
+stream: batches arrive partition-by-partition via
+``toLocalIterator``, exactly one final-stage partition in flight.
+
+Lifecycle parity:
+- never-fetched ticket → no Spark job runs; the registry entry is
+  swept by TTL GC and a late ``do_get`` gets "unknown or expired
+  ticket" (reference: job GC + polluted-job cleanup,
+  ``dist/src/event.rs:353-425``);
+- error in flight (e.g. a UDF raise) → FlightServerError carrying
+  the message, server keeps serving (``exception.rs:13-28``);
+- engine ``shutdown()`` → new ``get_flight_info`` refused while
+  already-minted tickets drain (``dist/src/runtime.rs:120-126``).
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import threading
+
+from datafusion_dist_spark.engine import (
+    DistEngine,
+    EngineTerminatingError,
+    JobHandle,
+)
+
+try:  # pyarrow.flight is optional at import time (gated per contract)
+    import pyarrow as pa
+    import pyarrow.flight as flight
+
+    _HAVE_FLIGHT = True
+except ImportError:  # pragma: no cover - env without flight
+    _HAVE_FLIGHT = False
+
+
+def _arrow_schema(df) -> "pa.Schema":
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    return to_arrow_schema(df.schema)
+
+
+# gRPC's default metadata cap is 8 KiB and the message is percent-
+# encoded into it (~3x inflation for stack-trace text) — stay well under.
+_ERR_LIMIT = 1500
+
+
+def _err_msg(exc: Exception) -> str:
+    """Clip an exception message for the wire: Spark errors embed the
+    full JVM stack trace, which overflows gRPC's initial-metadata size
+    limit and turns the real message into an opaque RESOURCE_EXHAUSTED
+    on the client. The reference sends compact messages ("udf
+    panicked", exception.rs:13-28); keep the head, where Spark puts
+    the root cause."""
+    msg = str(exc)
+    if len(msg) > _ERR_LIMIT:
+        # Drop JVM stack frames ("at org...."), keeping the exception
+        # headers, "Caused by:" chain, and embedded Python tracebacks —
+        # that's where "udf panicked" lives.
+        msg = "\n".join(
+            line
+            for line in msg.splitlines()
+            if not line.lstrip().startswith("at ")
+        )
+    return msg if len(msg) <= _ERR_LIMIT else msg[:_ERR_LIMIT] + " …[truncated]"
+
+
+if _HAVE_FLIGHT:
+
+    class DistFlightServer(flight.FlightServerBase):
+        """SQL-over-Flight server wrapping a :class:`DistEngine`.
+
+        ``get_flight_info`` = parse/plan + mint job (no execution);
+        ``do_get`` = pull the stream (execution starts here).
+        """
+
+        def __init__(
+            self, engine: DistEngine, location: str = "grpc://127.0.0.1:0"
+        ) -> None:
+            super().__init__(location)
+            self.engine = engine
+            self._handles: dict[str, JobHandle] = {}
+            self._lock = threading.Lock()
+
+        # -- helpers --------------------------------------------------------
+
+        @property
+        def location(self) -> str:
+            return f"grpc://127.0.0.1:{self.port}"
+
+        def _prune_handles(self) -> None:
+            """Drop handles whose registry entry was GC'd — a later
+            do_get on their ticket must fail as expired, like the
+            reference's cleanup of polluted/expired jobs."""
+            live = {e.job_id for e in self.engine.jobs.all()}
+            with self._lock:
+                for job_id in list(self._handles):
+                    if job_id not in live:
+                        del self._handles[job_id]
+
+        # -- Flight RPCs ----------------------------------------------------
+
+        def get_flight_info(self, context, descriptor):
+            query = descriptor.command.decode("utf-8")
+            self._prune_handles()
+            # Snapshot the virtual table so remote clients can query it
+            # (reference: `select * from running_jobs` over FlightSQL,
+            # sqllogictest.rs:20-22).
+            if "running_jobs" in query.lower():
+                self.engine.register_running_jobs_view()
+            try:
+                handle = self.engine.submit(query, meta={"via": "flight"})
+            except EngineTerminatingError as exc:
+                raise flight.FlightUnavailableError(str(exc)) from exc
+            except Exception as exc:  # parse/analysis error → client
+                raise flight.FlightServerError(_err_msg(exc)) from exc
+            with self._lock:
+                self._handles[handle.job_id] = handle
+            ticket = flight.Ticket(json.dumps({"job_id": handle.job_id}).encode())
+            endpoint = flight.FlightEndpoint(
+                ticket, [flight.Location.for_grpc_tcp("127.0.0.1", self.port)]
+            )
+            return flight.FlightInfo(
+                _arrow_schema(handle.df), descriptor, [endpoint], -1, -1
+            )
+
+        def do_get(self, context, ticket):
+            job_id = json.loads(ticket.ticket.decode("utf-8"))["job_id"]
+            self._prune_handles()
+            with self._lock:
+                handle = self._handles.get(job_id)
+            if handle is None:
+                raise flight.FlightServerError(
+                    f"unknown or expired ticket for job {job_id}"
+                )
+            gen = handle.stream_arrow()
+            try:
+                first = next(gen)
+            except StopIteration:
+                return flight.GeneratorStream(_arrow_schema(handle.df), iter(()))
+            except Exception as exc:  # surfaces e.g. a UDF raise
+                raise flight.FlightServerError(_err_msg(exc)) from exc
+            return flight.GeneratorStream(
+                first.schema, _trap_errors(itertools.chain([first], gen))
+            )
+
+        def list_flights(self, context, criteria):
+            for e in self.engine.jobs.running():
+                yield flight.FlightInfo(
+                    pa.schema([]),
+                    flight.FlightDescriptor.for_command(
+                        e.meta.get("query", "").encode()
+                    ),
+                    [
+                        flight.FlightEndpoint(
+                            flight.Ticket(json.dumps({"job_id": e.job_id}).encode()),
+                            [flight.Location.for_grpc_tcp("127.0.0.1", self.port)],
+                        )
+                    ],
+                    -1,
+                    -1,
+                )
+
+        def do_action(self, context, action):
+            if action.type == "health":
+                # Reference health check = `SELECT 1` answered locally
+                # (dist/src/util.rs:31-51); stays sub-second under load.
+                assert self.engine.execute("SELECT 1 AS one")[0].one == 1
+                yield flight.Result(b"ok")
+            elif action.type == "cleanup":
+                ttl = float(action.body.to_pybytes() or b"60")
+                n = self.engine.jobs.cleanup(ttl_seconds=ttl)
+                self._prune_handles()
+                yield flight.Result(str(n).encode())
+            elif action.type == "shutdown_engine":
+                self.engine.shutdown()
+                yield flight.Result(b"terminating")
+            else:
+                raise flight.FlightServerError(f"unknown action {action.type!r}")
+
+        def list_actions(self, context):
+            return [
+                ("health", "run the SELECT 1 health check"),
+                ("cleanup", "sweep expired jobs; body = ttl seconds"),
+                ("shutdown_engine", "refuse new queries, drain in-flight"),
+            ]
+
+    def _trap_errors(gen):
+        """Convert mid-stream exceptions into FlightServerError so the
+        client sees the message (reference: UDF panic reaches the
+        client, exception.rs:13-28)."""
+        try:
+            yield from gen
+        except Exception as exc:  # noqa: BLE001
+            raise flight.FlightServerError(_err_msg(exc)) from exc
+
+    def serve_background(
+        engine: DistEngine, location: str = "grpc://127.0.0.1:0"
+    ) -> DistFlightServer:
+        """Start a server on a daemon thread; returns once listening."""
+        server = DistFlightServer(engine, location)
+        threading.Thread(target=server.serve, daemon=True).start()
+        return server
+
+    def flight_execute(location: str, sql: str) -> "pa.Table":
+        """Minimal client: SQL in → all endpoints' batches as a Table
+        (the FlightSQL client loop, ``main.rs:313-330`` analog)."""
+        client = flight.connect(location)
+        try:
+            info = client.get_flight_info(
+                flight.FlightDescriptor.for_command(sql.encode())
+            )
+            tables = [
+                client.do_get(ep.ticket).read_all() for ep in info.endpoints
+            ]
+            if not tables:
+                return info.schema.empty_table()
+            return pa.concat_tables(tables)
+        finally:
+            client.close()

@@ -1,0 +1,208 @@
+"""Network-service parity: the Arrow Flight façade (VERDICT r1 #1).
+
+Reference behaviors mirrored, each cited at the test:
+- SQL over the wire → Arrow stream back
+  (integration-tests/app/src/main.rs:267-308, 209-265)
+- the .slt-analog query shapes run through the server
+  (integration-tests/tests/sqllogictest.slt)
+- running_jobs queryable remotely (sqllogictest.rs:20-22)
+- never-fetched ticket executes nothing, is GC'd, late fetch errors
+  (exception.rs:30-54)
+- UDF error surfaces to the remote client, server survives
+  (exception.rs:13-28)
+- Terminating refuses new queries, drains in-flight
+  (dist/src/runtime.rs:120-126)
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+pa = pytest.importorskip("pyarrow")
+flight = pytest.importorskip("pyarrow.flight")
+
+from datafusion_dist_spark.engine import DistEngine
+from datafusion_dist_spark.flight_server import (
+    DistFlightServer,
+    flight_execute,
+    serve_background,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def engine(spark):
+    from datafusion_dist_spark import catalog
+
+    catalog.register_views(spark, SF_DIR)
+    return DistEngine(spark)
+
+
+@pytest.fixture(scope="module")
+def server(engine):
+    srv = serve_background(engine)
+    yield srv
+    srv.shutdown()
+
+
+def test_slt_suite_shapes_over_flight(server, engine):
+    """The reference's sqllogictest corpus shapes, over the wire, each
+    checked against the same query run in-process."""
+    shapes = [
+        "SELECT count(*) AS n FROM lineitem",  # slt:73-88
+        """SELECT n_regionkey, count(*) AS n FROM nation
+           GROUP BY n_regionkey ORDER BY n_regionkey""",  # slt:94-125
+        """SELECT s.s_suppkey, c.c_custkey FROM supplier s
+           JOIN customer c ON s.s_nationkey = c.c_nationkey
+           ORDER BY s.s_suppkey, c.c_custkey LIMIT 20""",  # slt:23-35
+        """SELECT r1.r_name, r2.r_name AS other FROM region r1
+           CROSS JOIN region r2 ORDER BY r1.r_name, other""",  # slt:8-15
+        """SELECT * FROM (
+             SELECT c_nationkey, c_custkey,
+                    rank() OVER (PARTITION BY c_nationkey
+                                 ORDER BY c_acctbal DESC) AS rk
+             FROM customer) WHERE rk = 1
+           ORDER BY c_nationkey""",  # slt:65-71
+        """SELECT n_name FROM nation WHERE n_regionkey = 0
+           UNION SELECT r_name FROM region ORDER BY n_name""",  # slt:51-56
+        "SELECT 1 AS one",  # health-check fast path, util.rs:31-51
+    ]
+    for sql in shapes:
+        remote = flight_execute(server.location, sql)
+        local = engine.spark.sql(sql).toPandas()
+        assert remote.num_rows == len(local), sql
+        assert remote.column_names == list(local.columns), sql
+        if remote.num_rows:
+            # Same first-row values (ordering is pinned by ORDER BY
+            # or the result is a single aggregate row).
+            got = {k: v[0] for k, v in remote.to_pydict().items()}
+            want = local.iloc[0].to_dict()
+            for k in want:
+                assert str(got[k]) == str(want[k]), (sql, k, got, want)
+
+
+def test_flight_streams_many_batches(server, engine):
+    """A large result arrives as multiple Arrow batches (streamed, not
+    one driver-side blob) — the do_get per-partition pull loop."""
+    engine.spark.range(300_000).selectExpr(
+        "id", "id % 7 AS bucket"
+    ).createOrReplaceTempView("_flight_big")
+    client = flight.connect(server.location)
+    try:
+        info = client.get_flight_info(
+            flight.FlightDescriptor.for_command(b"SELECT * FROM _flight_big")
+        )
+        reader = client.do_get(info.endpoints[0].ticket)
+        n_batches = 0
+        n_rows = 0
+        for chunk in reader:
+            n_batches += 1
+            n_rows += chunk.data.num_rows
+        assert n_rows == 300_000
+        assert n_batches > 1
+    finally:
+        client.close()
+
+
+def test_unfetched_ticket_executes_nothing_then_expires(server, engine):
+    """exception.rs:30-54: a job whose ticket is never fetched runs no
+    Spark job, is swept by GC, and a late do_get errors."""
+    client = flight.connect(server.location)
+    try:
+        info = client.get_flight_info(
+            flight.FlightDescriptor.for_command(
+                b"SELECT count(*) AS n FROM lineitem"
+            )
+        )
+        job_id = __import__("json").loads(
+            info.endpoints[0].ticket.ticket.decode()
+        )["job_id"]
+        entry = next(e for e in engine.jobs.all() if e.job_id == job_id)
+        tracker = engine.spark.sparkContext.statusTracker()
+        assert tracker.getJobIdsForGroup(entry.spark_job_group) == []
+        # GC sweep (remote, via the cleanup action with ttl=0).
+        list(client.do_action(flight.Action("cleanup", b"0")))
+        assert all(e.job_id != job_id for e in engine.jobs.all())
+        with pytest.raises(flight.FlightError, match="unknown or expired"):
+            client.do_get(info.endpoints[0].ticket).read_all()
+    finally:
+        client.close()
+
+
+def test_remote_running_jobs_table(server, engine):
+    """sqllogictest.rs:20-22: `select * from running_jobs` over the
+    wire sees a submitted-but-unfetched job."""
+    client = flight.connect(server.location)
+    try:
+        info = client.get_flight_info(
+            flight.FlightDescriptor.for_command(b"SELECT count(*) AS n FROM orders")
+        )
+        pending_ticket = info.endpoints[0].ticket
+        jobs = flight_execute(
+            server.location,
+            "SELECT job_id, job_meta FROM running_jobs",
+        )
+        metas = jobs.column("job_meta").to_pylist()
+        assert any("SELECT count(*) AS n FROM orders" in m for m in metas)
+        # Drain the pending job so the module registry ends clean.
+        assert client.do_get(pending_ticket).read_all().num_rows == 1
+    finally:
+        client.close()
+
+
+def test_udf_error_reaches_remote_client_server_survives(server, engine):
+    """exception.rs:13-28: the panic message crosses the wire; the
+    server keeps serving afterwards."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.udf(T.IntegerType())
+    def flight_panic():
+        raise RuntimeError("udf panicked")
+
+    engine.spark.udf.register("flight_panic", flight_panic)
+    with pytest.raises(flight.FlightError, match="udf panicked"):
+        flight_execute(server.location, "SELECT flight_panic() AS x FROM region")
+    assert (
+        flight_execute(server.location, "SELECT count(*) AS n FROM region")
+        .column("n")
+        .to_pylist()[0]
+        == 5
+    )
+    assert engine.jobs.running() == []
+
+
+def test_health_action_fast_under_load(server):
+    t0 = time.monotonic()
+    client = flight.connect(server.location)
+    try:
+        results = list(client.do_action(flight.Action("health", b"")))
+        assert results[0].body.to_pybytes() == b"ok"
+    finally:
+        client.close()
+    assert time.monotonic() - t0 < 5.0
+
+
+def test_shutdown_refuses_new_drains_inflight(engine):
+    """dist/src/runtime.rs:120-126 over the wire: after the shutdown
+    action, get_flight_info is refused; a ticket minted before keeps
+    streaming. Own server instance — it ends terminated."""
+    srv = serve_background(engine)
+    client = flight.connect(srv.location)
+    try:
+        info = client.get_flight_info(
+            flight.FlightDescriptor.for_command(b"SELECT count(*) AS n FROM nation")
+        )
+        list(client.do_action(flight.Action("shutdown_engine", b"")))
+        with pytest.raises(flight.FlightError):
+            client.get_flight_info(
+                flight.FlightDescriptor.for_command(b"SELECT 1 AS one")
+            )
+        # Pre-minted ticket drains fine.
+        assert client.do_get(info.endpoints[0].ticket).read_all().num_rows == 1
+    finally:
+        client.close()
+        srv.shutdown()
+        engine._terminating = False  # restore for sibling tests
