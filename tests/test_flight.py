@@ -206,3 +206,53 @@ def test_shutdown_refuses_new_drains_inflight(engine):
         client.close()
         srv.shutdown()
         engine._terminating = False  # restore for sibling tests
+
+
+def test_cli_serve_mode():
+    """`python -m datafusion_dist_spark --serve` — the deployment
+    shape: a standalone server process a remote client connects to
+    (reference app startup, main.rs:68-127). Subprocess owns its
+    session; we connect, query, and shut down."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [
+            sys.executable,
+            "-m",
+            "datafusion_dist_spark",
+            "--serve",
+            "--port",
+            str(port),
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ],
+        cwd="/root/repo",
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+    )
+    try:
+        deadline = time.time() + 120
+        last_err = None
+        while time.time() < deadline:
+            try:
+                tbl = flight_execute(
+                    f"grpc://127.0.0.1:{port}",
+                    "SELECT count(*) AS n FROM region",
+                )
+                assert tbl.column("n").to_pylist() == [5]
+                break
+            except Exception as exc:  # noqa: BLE001 - server still booting
+                last_err = exc
+                assert proc.poll() is None, "server process died"
+                time.sleep(1.0)
+        else:
+            raise AssertionError(f"server never became ready: {last_err}")
+    finally:
+        proc.terminate()
+        proc.wait(timeout=30)
