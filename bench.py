@@ -97,15 +97,16 @@ def main() -> None:
     spark = build_session("ddspark-bench")
     specs = registry.all_specs()
     warmup(spark, sf_dir)
-    # Two passes per query, keep the min: this host shows transient
-    # co-tenant load spikes that inflate single runs 2-6x; min-of-2
-    # reports steady-state query cost. Pass 2 rebuilds the DataFrame
-    # (fresh QueryExecution) — only JVM/codegen warmth carries over.
+    # Three passes per query, keep the min: this host shows transient
+    # co-tenant CPU and I/O spikes that inflate single runs 2-6x (and
+    # can poison two consecutive runs); min-of-3 reports steady-state
+    # query cost. Each pass rebuilds the DataFrame (fresh
+    # QueryExecution) — only JVM/codegen warmth carries over.
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = specs[name].spark_fn
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             run_query(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
@@ -119,7 +120,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
-                "runs_per_query": 2,
+                "runs_per_query": 3,
             }
         )
     )
