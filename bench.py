@@ -52,6 +52,9 @@ HEADLINE = [
     "dedup_keep_best",
     "ann_topk_bruteforce",
     "ann_ivf_topk",
+    "ann_kmeans_refine",
+    "events_anomaly_mad",
+    "pipeline_dataset_card",
     "sample_stratified",
     "sample_importance_dsir",
     "text_fingerprint",

@@ -321,6 +321,96 @@ def _numpy_ivf_scorer(cvecs, cnorms, qvec, qnorm):
     return score
 
 
+def _rounded_argmax_cid(cent_rows, csims_ref: str = "s.csims"):
+    """In-plan argmax over the scorer's csims array: round each cosine
+    to 6dp, take max on (csim, -cid) — identical to ORDER BY csim
+    DESC, cid ASC row_number()=1 and to the DuckDB oracles. coalesce
+    makes cid statically non-nullable (the entries array is non-empty)
+    so joins don't infer isnotnull(cid) and push a duplicate of the
+    expression into the scan's data filter."""
+    entries = ", ".join(
+        f"named_struct('csim', round(element_at({csims_ref}, {j + 1}), 6), "
+        f"'ncid', {-int(r.cid)}L)"
+        for j, r in enumerate(cent_rows)
+    )
+    best = F.expr(f"array_max(array({entries}))")
+    return F.coalesce(-best["ncid"], F.lit(-1).cast("bigint"))
+
+
+def kmeans_refine_step(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """One Lloyd iteration of codebook training, distributed and
+    bit-deterministic: assign every vector to its nearest seed
+    centroid (max rounded cosine, id tiebreak — the same assignment
+    rule as ``ivf_assignments``/``ivf_topk``), then recompute each
+    centroid as the per-dimension mean of its members.
+
+    The mean is computed in **fixed point**: every component is
+    quantized to integer micro-units (round(x * 1e6) as BIGINT),
+    summed exactly (integer addition is associative — any shuffle or
+    aggregation order gives the same sum, unlike double summation),
+    and divided once at the end. That one division of exact integers
+    is bit-identical on every engine, which is what makes an
+    *iterative* distributed algorithm hash-checkable against a SQL
+    oracle at all — the standard trick this repo uses for regression
+    moments, applied to k-means.
+
+    Plan shape at 100 TB: one scan of the vector table; the scorer is
+    an Arrow-batched numpy projection; posexplode fans each row into
+    dim (cid, dim, micro) tuples; ONE two-phase aggregation keyed by
+    (cid, dim) — K*dim final groups, so the reduce side is trivially
+    small no matter the corpus size.
+
+    Returns (cid, dim, centroid, n_members): dim is 1-based,
+    ``centroid`` the refined per-dimension mean rounded to 6dp.
+    """
+    cent_rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    if not cent_rows:
+        return embeddings.filter(F.lit(False)).select(
+            F.lit(0).cast("bigint").alias("cid"),
+            F.lit(0).alias("dim"),
+            F.lit(0.0).alias("centroid"),
+            F.lit(0).cast("bigint").alias("n_members"),
+        )
+    cvecs = [[float(v) for v in r.cvec] for r in cent_rows]
+    scorer = _numpy_ivf_scorer(
+        cvecs,
+        [_lit_norm(c) for c in cvecs],
+        cvecs[0],  # qscore unused; reuse the shared scorer as-is
+        _lit_norm(cvecs[0]),
+    )
+    assigned = spread(embeddings).select(
+        F.col(vec_col), scorer(F.col(vec_col)).alias("s")
+    ).select(
+        _rounded_argmax_cid(cent_rows).alias("cid"),
+        F.posexplode(vec_col).alias("i", "x"),
+    )
+    m = F.round(F.col("x").cast("double") * micro).cast("bigint")
+    return (
+        assigned.select("cid", (F.col("i") + 1).alias("dim"), m.alias("m"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("m").alias("sm"), F.count("*").alias("n_members"))
+        .select(
+            "cid",
+            "dim",
+            F.round(
+                F.col("sm").cast("double") / (F.col("n_members") * float(micro)),
+                6,
+            ).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -384,20 +474,9 @@ def ivf_topk(
     scored0 = spread(embeddings).select(
         id_col, scorer(F.col(vec_col)).alias("s")
     )
-    entries = ", ".join(
-        f"named_struct('csim', round(element_at(s.csims, {j + 1}), 6), "
-        f"'ncid', {-int(r.cid)}L)"
-        for j, r in enumerate(cent_rows)
-    )
-    best = F.expr(f"array_max(array({entries}))")
-    # coalesce makes cid statically non-nullable (the argmax never is:
-    # the entries array is non-empty) — otherwise the join infers
-    # isnotnull(cid) and pushes a duplicate of the expression into the
-    # scan's data filter.
-    cid = F.coalesce(-best["ncid"], F.lit(-1).cast("bigint"))
     scored = scored0.select(
         id_col,
-        cid.alias("cid"),
+        _rounded_argmax_cid(cent_rows).alias("cid"),
         F.round(F.col("s.qscore"), 6).alias("score"),
     ).join(F.broadcast(probes), F.col("cid") == F.col("pcid"), "left_semi")
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -1350,3 +1350,101 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return multimodal.sample_frames(multimodal.attach_payload(docs))
+
+
+@register(
+    "pipeline_dataset_card",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, lang, source, text,
+                   len({TOKS}) AS n_tok,
+                   length(text) AS n_chars,
+                   md5(text) AS digest
+            FROM documents
+        )
+        SELECT lang, source,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               count(DISTINCT digest) AS n_unique,
+               round(1.0 - CAST(count(DISTINCT digest) AS DOUBLE)
+                     / count(*), 6) AS dup_rate,
+               CAST(min(n_tok) AS BIGINT) AS min_tokens,
+               CAST(max(n_tok) AS BIGINT) AS max_tokens
+        FROM t GROUP BY lang, source
+    """,
+    doc="The dataset card: per (lang, source) stratum — doc counts, "
+    "exact token/char totals, distinct-content count and duplication "
+    "rate, token-length extremes. Every metric is an integer count or "
+    "a single division of integers, so it is bit-deterministic at any "
+    "aggregation order — the summary a 100 TB corpus publishes after "
+    "every pipeline run. One scan, one two-phase aggregate keyed by "
+    "the (lang, source) stratum.",
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dist_spark.functions.hashing import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.md5("text").alias("digest"),
+    )
+    uniq = F.countDistinct("digest")
+    return t.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        uniq.alias("n_unique"),
+        F.round(
+            F.lit(1.0) - uniq.cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.min("n_tok").cast("bigint").alias("min_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
+    )
+
+
+@register(
+    "ann_kmeans_refine",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id < 8
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT a.vec_id, a.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        dims AS (
+            SELECT cid, d.i AS dim,
+                   CAST(ROUND(CAST(embedding[d.i] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS m
+            FROM assigned, UNNEST(range(1, 65)) AS d(i)
+        )
+        SELECT cid, CAST(dim AS INTEGER) AS dim,
+               round(CAST(sum(m) AS DOUBLE) / (count(*) * 1000000.0), 6)
+                   AS centroid,
+               count(*) AS n_members
+        FROM dims GROUP BY cid, dim
+    """,
+    doc="One distributed Lloyd iteration of codebook training: assign "
+    "every vector to its nearest seed centroid (max rounded cosine, "
+    "id tiebreak), recompute centroids as per-dimension means in "
+    "FIXED POINT (integer micro-units) so the distributed sum is "
+    "associative and the result hash-checks against the SQL oracle — "
+    "the integer-moments exactness trick applied to iterative ML. One "
+    "scan, one (cid, dim)-keyed two-phase aggregate with K*64 final "
+    "groups. (operators/similarity.py:kmeans_refine_step)",
+)
+def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_refine_step(emb, n_centroids=8)

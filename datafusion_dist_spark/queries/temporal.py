@@ -490,3 +490,55 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.count("*").alias("n_events"),
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+        WITH med AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type
+        ),
+        mad AS (
+            SELECT e.event_type,
+                   quantile_cont(abs(e.value - m.med), 0.5) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY e.event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - m.med) / x.mad, 6) AS deviation
+        FROM events e
+        JOIN med m ON e.event_type = m.event_type
+        JOIN mad x ON e.event_type = x.event_type
+        WHERE x.mad > 0 AND abs(e.value - m.med) > 6 * x.mad
+    """,
+    doc="Robust outlier detection per event_type: |value - median| > "
+    "6x the median absolute deviation. Median/MAD are exact "
+    "interpolated percentiles (Spark percentile == DuckDB "
+    "quantile_cont, pinned by agg_percentiles); the per-type stats "
+    "are two tiny aggregations broadcast back onto the event scan — "
+    "at 100 TB the events table is scanned twice and shuffled only "
+    "by the low-cardinality event_type key.",
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(abs(value - med), 0.5)").alias("mad")
+    )
+    flagged = dev.join(F.broadcast(mad), "event_type").filter(
+        (F.col("mad") > 0)
+        & (F.abs(F.col("value") - F.col("med")) > 6 * F.col("mad"))
+    )
+    return flagged.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round((F.col("value") - F.col("med")) / F.col("mad"), 6).alias(
+            "deviation"
+        ),
+    )

@@ -157,3 +157,40 @@ def test_funnel_single_shuffle(spark):
         + facts["n_shuffledhash_joins"]
     )
     assert n_joins == 0, facts
+
+
+def test_ngram_pair_enumeration_streams(spark):
+    """Pair enumeration must be streamed Generate nodes, never a
+    per-shingle flatten(transform(...)) that materializes the full
+    m²/2 pair array in one interpreted expression (quadratic memory
+    per posting list — the shape that regressed 3x when posting lists
+    grew)."""
+    from datafusion_dist_spark.operators.dedup import ngram_jaccard_pairs
+    from datafusion_dist_spark.queries.llm import _corpus
+
+    df = ngram_jaccard_pairs(_corpus(spark, SF_DIR), threshold=0.5)
+    plan = formatted_plan(df)
+    facts = plan_facts(df)
+    assert plan.count("Generate") >= 3, "expected stacked explode generators"
+    assert "flatten(transform" not in plan
+    # One tokenize pass: spread repartition + posting agg + pair agg.
+    assert facts["n_exchanges"] <= 3, facts
+
+
+def test_ivf_scorer_single_python_eval(spark):
+    """The IVF numpy scorer must appear exactly once in the plan (a
+    duplicated ArrowEvalPython would re-score every row per reference
+    to the struct column), the probe filter must be a broadcast join,
+    and the final top-k must compile to TakeOrderedAndProject."""
+    import re
+
+    from datafusion_dist_spark.queries.llm import ann_ivf_topk
+
+    df = ann_ivf_topk(spark, SF_DIR)
+    plan = formatted_plan(df).split("Initial Plan")[0]
+    tree = re.split(r"\n\(\d+\) ", plan)[0]
+    assert tree.count("ArrowEvalPython") == 1, tree
+    facts = plan_facts(df)
+    assert facts["n_broadcast_joins"] == 1, facts
+    assert facts["has_topk"], facts
+    assert facts["n_exchanges"] <= 1, facts
