@@ -134,7 +134,91 @@ class SynthReader(DataSourceReader):
             yield (doc_id, partition.index, " ".join(words), quality)
 
 
+class FlightPartition(InputPartition):
+    def __init__(self, index: int, location: str, ticket: bytes) -> None:
+        self.index = index
+        self.location = location
+        self.ticket = ticket
+
+
+class FlightDataSource(DataSource):
+    """Scan a remote ddspark Flight server as a Spark table — the
+    consuming side of the network data plane.
+
+    The reference's nodes pull each other's stage outputs as Arrow
+    Flight streams, one ticket per partition
+    (``dist/src/physical_plan/proxy.rs:84-117``,
+    ``networks/tonic/src/network.rs:196-229``); this source is the
+    same contract from Spark's side: ``get_flight_info`` at plan time
+    (schema + one InputPartition per endpoint), ``do_get`` per
+    partition on the executors, Arrow batches straight into the scan
+    (no row conversion — the reader yields RecordBatches). Federation
+    in one line:
+
+        spark.read.format("ddspark_flight")
+             .option("location", "grpc://host:50061")
+             .option("query", "SELECT ...").load()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ddspark_flight"
+
+    def _plan(self):
+        """get_flight_info once; keep only PICKLABLE facts (StructType
+        + raw ticket bytes) — the DataSource instance ships to
+        executors and pyarrow's FlightInfo cannot be pickled."""
+        import pyarrow.flight as flight
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        if getattr(self, "_tickets", None) is None:
+            client = flight.connect(self.options["location"])
+            try:
+                info = client.get_flight_info(
+                    flight.FlightDescriptor.for_command(
+                        self.options["query"].encode("utf-8")
+                    )
+                )
+                self._schema_struct = from_arrow_schema(info.schema)
+                self._tickets = [bytes(ep.ticket.ticket) for ep in info.endpoints]
+            finally:
+                client.close()
+        return self._schema_struct, self._tickets
+
+    def schema(self):
+        return self._plan()[0]
+
+    def reader(self, schema) -> "FlightReader":
+        return FlightReader(self.options["location"], self._plan()[1])
+
+
+class FlightReader(DataSourceReader):
+    def __init__(self, location: str, tickets: list) -> None:
+        self._partitions = [
+            FlightPartition(i, location, t) for i, t in enumerate(tickets)
+        ]
+
+    def partitions(self):
+        return self._partitions
+
+    def read(self, partition: FlightPartition):
+        import pyarrow.flight as flight
+
+        client = flight.connect(partition.location)
+        try:
+            for chunk in client.do_get(flight.Ticket(partition.ticket)):
+                yield chunk.data  # Arrow RecordBatch, no row conversion
+        finally:
+            client.close()
+
+
 def register_sources(spark) -> None:
-    """Register both sources on the session (idempotent)."""
+    """Register the sources on the session (idempotent)."""
     spark.dataSource.register(JobsDataSource)
     spark.dataSource.register(SynthDataSource)
+    try:
+        import pyarrow.flight  # noqa: F401
+
+        spark.dataSource.register(FlightDataSource)
+    except ImportError:  # pragma: no cover - env without flight
+        pass

@@ -256,3 +256,36 @@ def test_cli_serve_mode():
     finally:
         proc.terminate()
         proc.wait(timeout=30)
+
+
+def test_flight_datasource_scan_and_federation(server, engine):
+    """The consuming side of the data plane: a Spark scan over the
+    remote Flight server (reference: nodes pull each other's stage
+    streams over Flight, proxy.rs:84-117). Schema comes from
+    get_flight_info, each endpoint is one input partition, batches
+    arrive as Arrow — and the remote table joins a local one like any
+    DataFrame (federation)."""
+    from datafusion_dist_spark.sources.python_ds import register_sources
+
+    spark = engine.spark
+    register_sources(spark)
+    remote = (
+        spark.read.format("ddspark_flight")
+        .option("location", server.location)
+        .option("query", "SELECT r_regionkey, r_name FROM region")
+        .load()
+    )
+    assert remote.count() == 5
+    assert set(remote.columns) == {"r_regionkey", "r_name"}
+    local = spark.sql("SELECT r_regionkey, r_name FROM region")
+    assert sorted(map(tuple, remote.collect())) == sorted(
+        map(tuple, local.collect())
+    )
+    # Federation: remote scan joined against a local view.
+    from pyspark.sql import functions as F
+
+    joined = remote.join(
+        spark.table("nation"),
+        remote.r_regionkey == F.col("n_regionkey"),
+    )
+    assert joined.count() == spark.table("nation").count()
