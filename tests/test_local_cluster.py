@@ -47,12 +47,43 @@ for t in TESTDATA_TABLES:
 sf = SF
 
 # One per execution family: broadcast star join + two-phase agg,
-# sketch dedup (md5 + band self-join), Arrow-batched Python workers.
-for name in ["tpch_q5", "dedup_minhash_lsh", "multimodal_resize"]:
+# sketch dedup (md5 + band self-join), Arrow-batched Python workers,
+# the numpy IVF scorer (pandas UDF closure with captured ndarrays —
+# pickled to executor-forked workers), and the fixed-point k-means
+# step (scorer + posexplode + integer aggregation).
+for name in [
+    "tpch_q5",
+    "dedup_minhash_lsh",
+    "multimodal_resize",
+    "ann_ivf_topk",
+    "ann_kmeans_refine",
+]:
     sdf = qs[name](spark, sf).toPandas()
     odf = con.execute(os_[name]).fetchdf()
     assert_frames_match(sdf, odf, name)
     print("CLUSTER-OK", name, len(sdf), flush=True)
+
+# Flight across executor JVMs: serve from this driver's engine, scan
+# it back through the ddspark_flight DataSource — do_get then runs in
+# executor-side Python workers against the driver-hosted server.
+from datafusion_dist_spark.engine import DistEngine
+from datafusion_dist_spark.flight_server import serve_background
+from datafusion_dist_spark.sources.python_ds import register_sources
+
+eng = DistEngine(spark)
+from datafusion_dist_spark import catalog
+catalog.register_views(spark, SF)
+srv = serve_background(eng)
+register_sources(spark)
+remote = (
+    spark.read.format("ddspark_flight")
+    .option("location", srv.location)
+    .option("query", "SELECT n_nationkey, n_name FROM nation")
+    .load()
+)
+assert remote.count() == 25, remote.count()
+srv.shutdown()
+print("CLUSTER-OK flight_datasource", flush=True)
 spark.stop()
 print("ALL-OK")
 """
@@ -75,4 +106,4 @@ def test_queries_match_oracle_on_two_executor_cluster():
     assert "ALL-OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-3000:]}\n\nstderr:\n{proc.stderr[-3000:]}"
     )
-    assert proc.stdout.count("CLUSTER-OK") == 3
+    assert proc.stdout.count("CLUSTER-OK") == 6
