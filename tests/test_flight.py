@@ -289,3 +289,37 @@ def test_flight_datasource_scan_and_federation(server, engine):
         remote.r_regionkey == F.col("n_regionkey"),
     )
     assert joined.count() == spark.table("nation").count()
+
+
+def test_fifty_concurrent_queries_over_flight(server, engine):
+    """The reference's concurrency stress, over the wire: 50
+    concurrent FlightSQL queries of 3 cycled shapes (count-agg, theta
+    join, window-rank top-1) all succeed well inside 180 s, then zero
+    running jobs (integration-tests/tests/sqllogictest.rs:28-77)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    shapes = [
+        "SELECT count(*) AS n FROM lineitem",
+        """SELECT s.s_suppkey, count(*) AS n
+           FROM supplier s JOIN customer c ON s.s_acctbal > c.c_acctbal
+           GROUP BY s.s_suppkey""",
+        """SELECT * FROM (
+               SELECT c_nationkey, c_custkey,
+                      rank() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC) AS rk
+               FROM customer) WHERE rk = 1""",
+    ]
+    t0 = time.monotonic()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = [
+            pool.submit(
+                lambda q=shapes[i % 3]: flight_execute(server.location, q)
+            )
+            for i in range(50)
+        ]
+        results = [f.result(timeout=180) for f in futures]
+    elapsed = time.monotonic() - t0
+    assert len(results) == 50
+    assert all(t.num_rows > 0 for t in results)
+    assert elapsed < 180, f"flight stress took {elapsed:.1f}s"
+    assert engine.jobs.running() == []
