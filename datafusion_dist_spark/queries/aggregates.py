@@ -438,3 +438,46 @@ register_sql(
     doc="EXCEPT ALL: bag-semantics difference (multiplicities "
     "subtract).",
 )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+        WITH counts AS (
+            SELECT o_orderpriority, o_orderstatus, count(*) AS n
+            FROM orders GROUP BY o_orderpriority, o_orderstatus
+        ),
+        ranked AS (
+            SELECT o_orderpriority, o_orderstatus, n,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY n DESC, o_orderstatus ASC
+                   ) AS rn
+            FROM counts
+        )
+        SELECT o_orderpriority, o_orderstatus AS mode_status, n
+        FROM ranked WHERE rn = 1
+    """,
+    doc="Modal value per group with a DETERMINISTIC tiebreak (highest "
+    "count, then smallest value) — the built-in mode() leaves ties "
+    "engine-defined, so the portable form is count + top-1 window: "
+    "one two-phase count on (group, value) then a tiny window over "
+    "the distinct combinations. Map-side combine does the heavy "
+    "lifting; the window input is |groups|x|values|, not |rows|.",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    counts = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("n"), F.asc("o_orderstatus")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderpriority", F.col("o_orderstatus").alias("mode_status"), "n")
+    )
