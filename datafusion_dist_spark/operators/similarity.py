@@ -343,6 +343,7 @@ def kmeans_refine_step(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     micro: int = 1_000_000,
+    codebook: list | None = None,
 ) -> DataFrame:
     """One Lloyd iteration of codebook training, distributed and
     bit-deterministic: assign every vector to its nearest seed
@@ -368,12 +369,23 @@ def kmeans_refine_step(
 
     Returns (cid, dim, centroid, n_members): dim is 1-based,
     ``centroid`` the refined per-dimension mean rounded to 6dp.
+
+    ``codebook`` overrides the seed centroids with an explicit
+    [(cid, vector), ...] — how iteration N+1 consumes iteration N's
+    output (the codebook is a driver-side model artifact between
+    rounds, exactly like ``ivf_topk``'s).
     """
-    cent_rows = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
-        .collect()
-    )
+    if codebook is not None:
+        from collections import namedtuple
+
+        _C = namedtuple("_C", ["cid", "cvec"])
+        cent_rows = [_C(int(c), list(v)) for c, v in codebook]
+    else:
+        cent_rows = (
+            embeddings.filter(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+            .collect()
+        )
     if not cent_rows:
         return embeddings.filter(F.lit(False)).select(
             F.lit(0).cast("bigint").alias("cid"),

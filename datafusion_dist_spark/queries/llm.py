@@ -1448,3 +1448,77 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.kmeans_refine_step(emb, n_centroids=8)
+
+
+def _kmeans_iter_sql(src_cents: str, src_dims_alias: str) -> str:
+    """One SQL Lloyd iteration against centroid CTE ``src_cents``
+    (cid, cvec DOUBLE[]): assignment (rounded cosine, id tiebreak) +
+    fixed-point per-dimension means — the oracle twin of
+    operators/similarity.py:kmeans_refine_step."""
+    return f"""
+        {src_dims_alias}_assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT a.vec_id, a.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY round(CAST(list_cosine_similarity(
+                                        CAST(a.embedding AS DOUBLE[]),
+                                        CAST(c.cvec AS DOUBLE[])
+                                    ) AS DOUBLE), 6) DESC, c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN {src_cents} c
+            ) WHERE rn = 1
+        ),
+        {src_dims_alias}_dims AS (
+            SELECT cid, d.i AS dim,
+                   CAST(ROUND(CAST(embedding[d.i] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS m
+            FROM {src_dims_alias}_assigned, UNNEST(range(1, 65)) AS d(i)
+        ),
+        {src_dims_alias}_out AS (
+            SELECT cid, dim,
+                   round(CAST(sum(m) AS DOUBLE) / (count(*) * 1000000.0), 6)
+                       AS centroid,
+                   count(*) AS n_members
+            FROM {src_dims_alias}_dims GROUP BY cid, dim
+        )
+    """
+
+
+@register(
+    "ann_kmeans_two_rounds",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        {_kmeans_iter_sql("cents", "r1")},
+        cents2 AS (
+            SELECT cid, list(centroid ORDER BY dim) AS cvec
+            FROM r1_out GROUP BY cid
+        ),
+        {_kmeans_iter_sql("cents2", "r2")}
+        SELECT cid, CAST(dim AS INTEGER) AS dim, centroid, n_members
+        FROM r2_out
+    """,
+    doc="TWO chained Lloyd iterations, each hash-checked: round 1 "
+    "refines the seed codebook; its fixed-point centroids become the "
+    "driver-side model artifact that parameterizes round 2's "
+    "assignment (collect K*64 rounded doubles between rounds — the "
+    "iterative-training loop shape, where only the tiny codebook "
+    "crosses the driver, never data). Exactness survives the "
+    "iteration because each round's output is bit-deterministic "
+    "integer-mean arithmetic, so both engines enter round 2 with "
+    "IDENTICAL centroids. (operators/similarity.py:kmeans_refine_step)",
+)
+def ann_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    r1 = similarity.kmeans_refine_step(emb, n_centroids=8)
+    by_cid: dict[int, dict[int, float]] = {}
+    for row in r1.collect():
+        by_cid.setdefault(int(row.cid), {})[int(row.dim)] = float(row.centroid)
+    codebook = [
+        (cid, [dims[d] for d in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+    return similarity.kmeans_refine_step(emb, codebook=codebook)
