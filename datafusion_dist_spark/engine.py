@@ -221,6 +221,51 @@ class JobHandle:
 
         return self.df.mapInArrow(_serialize, "chunk binary")
 
+    def materialize_partitions(self, batch_rows: int = 10_000) -> int:
+        """Opt-in per-partition pull model — the reference's ticket
+        granularity (one ticket per final-stage partition,
+        ``main.rs:298-306``), with the documented trade: pinning the
+        final partition count under AQE requires materializing the
+        upstream query stages NOW (AdaptiveSparkPlan only fixes the
+        final layout after its shuffles run), so this breaks the
+        never-polled-jobs-execute-nothing guarantee for THIS job —
+        which is why it is opt-in and not the default path.
+
+        After this call, :meth:`stream_partition` pulls exactly one
+        final-stage partition per call; upstream stages are computed
+        once here and their shuffle output is REUSED by every pull
+        (same RDD lineage), and re-pulling a partition re-executes
+        only that partition — the reference's TaskSet-reset semantics
+        (``dist/src/runtime.rs:499-525``).
+
+        Returns the number of final-stage partitions."""
+        self._enter_job_scope()
+        rdd = self._ipc_chunk_df(batch_rows).rdd
+        self._entry.extra["partition_rdd"] = rdd
+        n = rdd.getNumPartitions()
+        self._entry.extra["n_partitions"] = n
+        return n
+
+    def stream_partition(self, partition: int) -> Iterator:
+        """Pull ONE final-stage partition as Arrow batches (the
+        ``do_get`` per ticket analog, ``main.rs:209-265``). Requires
+        :meth:`materialize_partitions` first."""
+        import pyarrow as pa
+
+        rdd = self._entry.extra.get("partition_rdd")
+        if rdd is None:
+            raise RuntimeError(
+                "materialize_partitions() must run before stream_partition()"
+            )
+        self._enter_job_scope()
+        rows = self._engine.spark.sparkContext.runJob(
+            rdd, lambda it: list(it), [partition]
+        )
+        self._entry.last_pull_at = time.time()
+        for row in rows:
+            with pa.ipc.open_stream(row.chunk) as reader:
+                yield from reader
+
     def collect(self) -> list[Row]:
         self._enter_job_scope()
         try:

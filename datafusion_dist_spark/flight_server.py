@@ -10,18 +10,23 @@ the Spark analog: a ``pyarrow.flight`` server whose tickets resolve
 to :meth:`JobHandle.stream_arrow` — columnar, LZ4-IPC-serialized on
 executors, streamed incrementally through the driver.
 
-Ticket granularity — a deliberate deviation, documented for parity
-review: the reference mints **one ticket per final-stage partition**
+Ticket granularity — both models, the trade made explicit: the
+reference mints **one ticket per final-stage partition**
 (``main.rs:298-306``) because its execution is pull-based per
 partition. Spark under AQE decides the final-stage partition count
 *at execution time* (AdaptiveSparkPlan re-plans after each shuffle),
-so enumerating partitions at ``get_flight_info`` time would force
+so enumerating partitions at ``get_flight_info`` time forces
 upstream stages to execute eagerly — violating the reference's own
 laziness contract (a never-fetched ticket must execute nothing,
-``integration-tests/tests/exception.rs:30-54``). The ticket is
-therefore per *job*, and the partition granularity lives inside the
-stream: batches arrive partition-by-partition via
-``toLocalIterator``, exactly one final-stage partition in flight.
+``integration-tests/tests/exception.rs:30-54``). Default (plain SQL
+command): one ticket per *job*, fully lazy, with partition
+granularity inside the stream (batches arrive
+partition-by-partition via ``toLocalIterator``). Opt-in (JSON
+command ``{"query": ..., "partitioned": true}``): the reference's
+exact model — one ticket per final-stage partition, independently
+pullable and re-pullable with upstream shuffle output shared across
+tickets — at the documented cost of eager upstream materialization
+for that job.
 
 Lifecycle parity:
 - never-fetched ticket → no Spark job runs; the registry entry is
@@ -122,7 +127,22 @@ if _HAVE_FLIGHT:
         # -- Flight RPCs ----------------------------------------------------
 
         def get_flight_info(self, context, descriptor):
-            query = descriptor.command.decode("utf-8")
+            raw = descriptor.command.decode("utf-8")
+            # Plain SQL → one lazy ticket per job (default: laziness
+            # preserved, see module docstring). A JSON command
+            # {"query": ..., "partitioned": true} opts into the
+            # reference's exact ticket granularity — one ticket per
+            # final-stage partition (main.rs:298-306) — at the
+            # documented cost of materializing upstream stages now.
+            partitioned = False
+            query = raw
+            if raw.lstrip().startswith("{"):
+                try:
+                    spec = json.loads(raw)
+                    query = spec["query"]
+                    partitioned = bool(spec.get("partitioned", False))
+                except (ValueError, KeyError):
+                    pass
             self._prune_handles()
             # Snapshot the virtual table so remote clients can query it
             # (reference: `select * from running_jobs` over FlightSQL,
@@ -137,16 +157,39 @@ if _HAVE_FLIGHT:
                 raise flight.FlightServerError(_err_msg(exc)) from exc
             with self._lock:
                 self._handles[handle.job_id] = handle
-            ticket = flight.Ticket(json.dumps({"job_id": handle.job_id}).encode())
-            endpoint = flight.FlightEndpoint(
-                ticket, [flight.Location.for_grpc_tcp("127.0.0.1", self.port)]
-            )
+            loc = flight.Location.for_grpc_tcp("127.0.0.1", self.port)
+            if partitioned:
+                try:
+                    n = handle.materialize_partitions()
+                except Exception as exc:
+                    raise flight.FlightServerError(_err_msg(exc)) from exc
+                endpoints = [
+                    flight.FlightEndpoint(
+                        flight.Ticket(
+                            json.dumps(
+                                {"job_id": handle.job_id, "partition": p}
+                            ).encode()
+                        ),
+                        [loc],
+                    )
+                    for p in range(n)
+                ]
+            else:
+                endpoints = [
+                    flight.FlightEndpoint(
+                        flight.Ticket(
+                            json.dumps({"job_id": handle.job_id}).encode()
+                        ),
+                        [loc],
+                    )
+                ]
             return flight.FlightInfo(
-                _arrow_schema(handle.df), descriptor, [endpoint], -1, -1
+                _arrow_schema(handle.df), descriptor, endpoints, -1, -1
             )
 
         def do_get(self, context, ticket):
-            job_id = json.loads(ticket.ticket.decode("utf-8"))["job_id"]
+            spec = json.loads(ticket.ticket.decode("utf-8"))
+            job_id = spec["job_id"]
             self._prune_handles()
             with self._lock:
                 handle = self._handles.get(job_id)
@@ -154,7 +197,14 @@ if _HAVE_FLIGHT:
                 raise flight.FlightServerError(
                     f"unknown or expired ticket for job {job_id}"
                 )
-            gen = handle.stream_arrow()
+            if "partition" in spec:
+                # Per-partition ticket: pull exactly this final-stage
+                # partition; upstream shuffle output is shared across
+                # tickets, a re-pull re-runs only this partition
+                # (reference TaskSet reset, runtime.rs:499-525).
+                gen = handle.stream_partition(int(spec["partition"]))
+            else:
+                gen = handle.stream_arrow()
             try:
                 first = next(gen)
             except StopIteration:

@@ -323,3 +323,45 @@ def test_fifty_concurrent_queries_over_flight(server, engine):
     assert all(t.num_rows > 0 for t in results)
     assert elapsed < 180, f"flight stress took {elapsed:.1f}s"
     assert engine.jobs.running() == []
+
+
+def test_partitioned_tickets_match_reference_model(server, engine):
+    """Opt-in per-partition tickets (reference main.rs:298-306): one
+    endpoint per final-stage partition, each independently pullable,
+    their union the full result; re-pulling a ticket re-executes only
+    that partition (TaskSet reset, runtime.rs:499-525) and returns
+    the same rows."""
+    import json as _json
+
+    cmd = _json.dumps(
+        {
+            "query": "SELECT /*+ REPARTITION(4) */ o_orderkey, o_totalprice "
+            "FROM orders WHERE o_orderkey < 2000",
+            "partitioned": True,
+        }
+    )
+    client = flight.connect(server.location)
+    try:
+        info = client.get_flight_info(flight.FlightDescriptor.for_command(cmd.encode()))
+        assert len(info.endpoints) == 4, len(info.endpoints)
+        tables = [client.do_get(ep.ticket).read_all() for ep in info.endpoints]
+        got = sorted(
+            row
+            for t in tables
+            for row in zip(
+                t.column("o_orderkey").to_pylist(),
+                t.column("o_totalprice").to_pylist(),
+            )
+        )
+        want = sorted(
+            (r.o_orderkey, r.o_totalprice)
+            for r in engine.spark.sql(
+                "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 2000"
+            ).collect()
+        )
+        assert got == want
+        # Re-pull one ticket: same partition content, re-executed.
+        again = client.do_get(info.endpoints[0].ticket).read_all()
+        assert again.num_rows == tables[0].num_rows
+    finally:
+        client.close()
