@@ -147,10 +147,18 @@ def importance_weights_dsir(
         F.conv(hash_hex(F.col("tok"), seed), 16, 10).cast("bigint")
         % n_buckets
     )
+    # occ feeds THREE consumers (bucket stats, their totals, and the
+    # final per-doc score join); without an explicit materialization
+    # point the whole tokenize→explode→two-aggregation pipeline is
+    # re-derived per consumer (the static plan shows zero
+    # ReusedExchange). Lazy localCheckpoint computes it once per
+    # evaluation; at cluster scale the same role is played by
+    # .persist(DISK_ONLY) or a checkpoint dir.
     occ = (
         per_tok.withColumn("bucket", bucket)
         .groupBy("doc_id", "bucket")
         .agg(F.sum("n_occ").alias("n_occ"), F.max("is_t").alias("is_t"))
+        .localCheckpoint(eager=False)
     )
     stats = occ.groupBy("bucket").agg(
         F.sum(F.when(F.col("is_t") == 1, F.col("n_occ")).otherwise(0)).alias("ct"),
