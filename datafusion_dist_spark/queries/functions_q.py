@@ -493,3 +493,60 @@ def fn_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.weekofyear(d).alias("iso_week"),
         F.dayofweek(d).alias("dow"),
     )
+
+
+@register(
+    "fn_array_setops",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(lower(text), ' ') AS toks
+            FROM documents WHERE doc_id < 40
+        ),
+        s AS (
+            SELECT doc_id,
+                   list_slice(toks, 1, 5) AS head5,
+                   list_slice(toks, len(toks) - 4, len(toks)) AS tail5,
+                   toks
+            FROM t WHERE len(toks) >= 10
+        )
+        SELECT doc_id,
+               array_to_string(
+                   list_sort(list_distinct(list_concat(head5, tail5))), '|'
+               ) AS u,
+               coalesce(array_to_string(
+                   list_sort(list_distinct(list_intersect(head5, tail5))), '|'
+               ), '') AS i,
+               coalesce(array_to_string(list_sort(list_distinct(
+                   list_filter(head5, x -> NOT list_contains(tail5, x))
+               )), '|'), '') AS e,
+               CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT)
+                   AS pos_data,
+               array_to_string(range(1, 6), '|') AS seq5
+        FROM s
+    """,
+    doc="Array set operations: union / intersect / except (sorted for "
+    "order-insensitive cross-engine equality — the engines differ "
+    "only in result ordering), element position with a 0-if-absent "
+    "convention (Spark returns 0, DuckDB NULL — coalesced), and "
+    "sequence generation; results array_join-scalarized for the "
+    "hash compare. All JVM-side expressions, no shuffle.",
+)
+def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    t = d.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("toks")
+    ).filter(F.size("toks") >= 10)
+    head5 = F.slice(F.col("toks"), 1, 5)
+    tail5 = F.slice(F.col("toks"), F.size("toks") - 4, 5)
+    s = t.select("doc_id", head5.alias("head5"), tail5.alias("tail5"), "toks")
+    return s.select(
+        "doc_id",
+        F.array_join(F.sort_array(F.array_union("head5", "tail5")), "|").alias("u"),
+        F.array_join(
+            F.sort_array(F.array_intersect("head5", "tail5")), "|"
+        ).alias("i"),
+        F.array_join(F.sort_array(F.array_except("head5", "tail5")), "|").alias("e"),
+        F.array_position("toks", "data").alias("pos_data"),
+        F.array_join(F.sequence(F.lit(1), F.lit(5)), "|").alias("seq5"),
+    )
