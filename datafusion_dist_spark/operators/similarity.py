@@ -400,7 +400,9 @@ def kmeans_refine_step(
         cvecs[0],  # qscore unused; reuse the shared scorer as-is
         _lit_norm(cvecs[0]),
     )
-    assigned = spread(embeddings).select(
+    # No spread: assignment is a shuffle-free projection; the (cid,
+    # dim) aggregation right after is the plan's only exchange.
+    assigned = embeddings.select(
         F.col(vec_col), scorer(F.col(vec_col)).alias("s")
     ).select(
         _rounded_argmax_cid(cent_rows).alias("cid"),
@@ -483,9 +485,11 @@ def ivf_topk(
         [float(v) for v in query_vec],
         _lit_norm(query_vec),
     )
-    scored0 = spread(embeddings).select(
-        id_col, scorer(F.col(vec_col)).alias("s")
-    )
+    # No spread: the scorer needs no shuffle at all — numpy work is
+    # vectorized per Arrow batch, and the parquet source's natural
+    # splits carry the parallelism at scale; a repartition here would
+    # add the plan's ONLY exchange before the TopK merge.
+    scored0 = embeddings.select(id_col, scorer(F.col(vec_col)).alias("s"))
     scored = scored0.select(
         id_col,
         _rounded_argmax_cid(cent_rows).alias("cid"),
