@@ -192,6 +192,7 @@ class JobHandle:
                 with pa.ipc.open_stream(row.chunk) as reader:
                     for batch in reader:
                         self._entry.last_pull_at = time.time()
+                        self._count_output(batch)
                         yield batch
             self._engine.jobs.finish(self.job_id)
         except GeneratorExit:
@@ -264,7 +265,20 @@ class JobHandle:
         self._entry.last_pull_at = time.time()
         for row in rows:
             with pa.ipc.open_stream(row.chunk) as reader:
-                yield from reader
+                for batch in reader:
+                    self._count_output(batch)
+                    yield batch
+
+    def _count_output(self, batch) -> None:
+        """Per-stream output accounting — the reference's TaskStream
+        records output_rows/output_bytes as batches flow through it
+        (``dist/src/runtime.rs:598-686``); surfaced in the
+        ``running_jobs`` stages JSON."""
+        extra = self._entry.extra
+        extra["output_rows"] = extra.get("output_rows", 0) + batch.num_rows
+        extra["output_bytes"] = (
+            extra.get("output_bytes", 0) + batch.get_total_buffer_size()
+        )
 
     def collect(self) -> list[Row]:
         self._enter_job_scope()
@@ -415,6 +429,9 @@ class DistEngine:
             stages = {
                 "status": e.status,
                 "active_spark_stages": sorted(set(own_stages)),
+                # TaskStream-style output accounting (runtime.rs:598-686).
+                "output_rows": e.extra.get("output_rows", 0),
+                "output_bytes": e.extra.get("output_bytes", 0),
             }
             rows.append(
                 (

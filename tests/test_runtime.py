@@ -302,3 +302,17 @@ def test_cli_runs_sql():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "|5  |" in proc.stdout or "|5|" in proc.stdout, proc.stdout[-500:]
+
+
+def test_stream_output_metrics_recorded(engine):
+    """TaskStream-style accounting (dist/src/runtime.rs:598-686): a
+    drained stream records its output rows/bytes, visible in the
+    running_jobs stages JSON."""
+    handle = engine.submit("SELECT r_regionkey FROM region")
+    total = sum(b.num_rows for b in handle.stream_arrow())
+    assert total == 5
+    assert handle._entry.extra["output_rows"] == 5
+    assert handle._entry.extra["output_bytes"] > 0
+    df = engine.running_jobs_df(include_finished=True)
+    row = next(r for r in df.collect() if r.job_id == handle.job_id)
+    assert '"output_rows": 5' in row.stages
