@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from datafusion_dist_spark import registry
@@ -87,6 +88,15 @@ def warmup(spark, sf_dir: str) -> None:
     tiny.mapInPandas(lambda it: it, tiny.schema).write.mode("overwrite").format(
         "noop"
     ).save()
+    # Scalar pandas_udf runs through a different eval path
+    # (ArrowEvalPython) with its own first-use serializer setup.
+    @F.pandas_udf("double")
+    def _warm(v: pd.Series) -> pd.Series:
+        return v * 1.0
+
+    tiny.select(_warm(F.col("id").cast("double"))).write.mode(
+        "overwrite"
+    ).format("noop").save()
 
 
 def main() -> None:
