@@ -365,3 +365,55 @@ def test_partitioned_tickets_match_reference_model(server, engine):
         assert again.num_rows == tables[0].num_rows
     finally:
         client.close()
+
+
+def test_empty_result_streams_schema_only(server):
+    """A zero-row result still delivers a typed (schema-carrying)
+    stream — the client sees columns, no batches (reference: Flight
+    stream always opens with the schema message,
+    networks/tonic/src/network.rs:210-220)."""
+    tbl = flight_execute(
+        server.location, "SELECT r_regionkey FROM region WHERE r_regionkey < 0"
+    )
+    assert tbl.num_rows == 0
+    assert tbl.column_names == ["r_regionkey"]
+
+
+def test_partitioned_ticket_error_compact_and_server_survives(server, engine):
+    """A UDF raise inside a per-partition pull crosses the wire as a
+    compact message (no stack-frame overflow of gRPC metadata) and
+    the server keeps serving."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    @F.udf(T.IntegerType())
+    def part_panic(x):
+        raise RuntimeError("partition panicked")
+
+    engine.spark.udf.register("part_panic", part_panic)
+    cmd = _json.dumps(
+        {
+            "query": "SELECT /*+ REPARTITION(2) */ part_panic(r_regionkey) AS x "
+            "FROM region",
+            "partitioned": True,
+        }
+    )
+    client = flight.connect(server.location)
+    try:
+        # Partitioned mode materializes upstream stages at ticket-mint
+        # time (the documented laziness trade), so the execution error
+        # surfaces at get_flight_info — compactly.
+        with pytest.raises(flight.FlightError, match="partition panicked"):
+            client.get_flight_info(
+                flight.FlightDescriptor.for_command(cmd.encode())
+            )
+        assert (
+            flight_execute(server.location, "SELECT count(*) AS n FROM region")
+            .column("n")
+            .to_pylist()[0]
+            == 5
+        )
+    finally:
+        client.close()
