@@ -268,6 +268,13 @@ class JobHandle:
                 for batch in reader:
                     self._count_output(batch)
                     yield batch
+        # Job completion = every partition drained at least once — the
+        # reference's CheckJobCompleted over stage-0 partitions
+        # (dist/src/event.rs:214-334).
+        pulled = self._entry.extra.setdefault("pulled_partitions", set())
+        pulled.add(int(partition))
+        if len(pulled) >= int(self._entry.extra.get("n_partitions", 1 << 62)):
+            self._engine.jobs.finish(self.job_id)
 
     def _count_output(self, batch) -> None:
         """Per-stream output accounting — the reference's TaskStream

@@ -363,6 +363,13 @@ def test_partitioned_tickets_match_reference_model(server, engine):
         # Re-pull one ticket: same partition content, re-executed.
         again = client.do_get(info.endpoints[0].ticket).read_all()
         assert again.num_rows == tables[0].num_rows
+        # All partitions drained at least once => job completed
+        # (reference CheckJobCompleted, dist/src/event.rs:214-334).
+        assert all(
+            e.status == "completed"
+            for e in engine.jobs.all()
+            if e.meta.get("query", "").startswith("SELECT /*+ REPARTITION(4) */")
+        )
     finally:
         client.close()
 
