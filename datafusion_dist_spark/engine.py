@@ -389,6 +389,20 @@ class DistEngine:
             raise
         return JobHandle(self, entry, df)
 
+    def submit_df(self, df: DataFrame, meta: dict | None = None,
+                  pool: str = "default") -> JobHandle:
+        """Mint a job for an already-built DataFrame — the
+        DataFrame-API twin of :meth:`submit` (same lazy-ticket model,
+        registry row, GC and streaming semantics; the reference is
+        SQL-only, this engine's entry surface is SQL + DataFrame)."""
+        if self._terminating:
+            raise EngineTerminatingError(
+                "engine is terminating; new submissions are refused"
+            )
+        entry = self.jobs.create({"query": "<dataframe>", **(meta or {})})
+        entry.extra["pool"] = pool
+        return JobHandle(self, entry, df)
+
     def execute(self, query: str) -> list[Row]:
         return self.submit(query).collect()
 

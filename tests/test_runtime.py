@@ -316,3 +316,18 @@ def test_stream_output_metrics_recorded(engine):
     df = engine.running_jobs_df(include_finished=True)
     row = next(r for r in df.collect() if r.job_id == handle.job_id)
     assert '"output_rows": 5' in row.stages
+
+
+def test_submit_df_dataframe_entry(engine):
+    """DataFrame-first submission: same job lifecycle as SQL submit
+    (lazy, tracked, streamed)."""
+    from pyspark.sql import functions as F
+
+    df = engine.spark.table("region").agg(F.count("*").alias("n"))
+    handle = engine.submit_df(df, meta={"who": "df-api"})
+    assert len(engine.jobs.running()) >= 1
+    batches = list(handle.stream_arrow())
+    assert sum(b.num_rows for b in batches) == 1
+    assert batches[0].column("n").to_pylist() == [5]
+    entry = next(e for e in engine.jobs.all() if e.job_id == handle.job_id)
+    assert entry.status == "completed" and entry.meta["who"] == "df-api"
