@@ -272,3 +272,40 @@ def test_outer_join_reference_gap_covered(fixtures):
         (3, "latest3", None),
         (3, "older3", None),
     ]
+
+
+def test_slt_tail_single_and_multi_column_batches(fixtures):
+    """slt:265-300: the file's final block — empty-filter constant
+    projection, single-column ordered select, nullable int with NULLS
+    FIRST plus a secondary key, and an explicit (non-*) projection —
+    golden rows verbatim."""
+    # slt:266-269: SELECT 1 ... WHERE id = 999 → empty
+    assert rows(fixtures.sql("SELECT 1 FROM file_grid WHERE id = 999")) == []
+    # slt:271-276: single string column, explicit order
+    assert rows(fixtures.sql("SELECT name FROM simple ORDER BY name")) == [
+        ("Alice",),
+        ("Bob",),
+    ]
+    # slt:278-288: nullable int, NULLS FIRST + secondary key
+    got = rows(
+        fixtures.sql(
+            "SELECT view_updated FROM file_grid "
+            "ORDER BY view_updated NULLS FIRST, file_name ASC"
+        )
+    )
+    assert got == [(None,), (None,), (40,), (50,), (100,), (200,)]
+    # slt:290-300: explicit projection (projection pushdown path)
+    got = rows(
+        fixtures.sql(
+            "SELECT id, file_name, view_updated FROM file_grid "
+            "ORDER BY id ASC, file_name ASC"
+        )
+    )
+    assert got == [
+        (1, "latest", 200),
+        (1, "missing", None),
+        (1, "older", 100),
+        (2, "only_null", None),
+        (3, "latest3", 50),
+        (3, "older3", 40),
+    ]
