@@ -194,3 +194,32 @@ def test_ivf_scorer_single_python_eval(spark):
     assert facts["n_broadcast_joins"] == 1, facts
     assert facts["has_topk"], facts
     assert facts["n_exchanges"] <= 1, facts
+
+
+def test_kmeans_refine_single_exchange(spark):
+    """The Lloyd iteration must be: scorer projection (one Python
+    eval) → posexplode → ONE two-phase aggregation keyed by (cid,
+    dim). Any additional exchange means the vector column is being
+    shuffled — the thing the design exists to avoid at 100 TB."""
+    import re
+
+    from datafusion_dist_spark.queries.llm import ann_kmeans_refine
+
+    df = ann_kmeans_refine(spark, SF_DIR)
+    plan = formatted_plan(df).split("Initial Plan")[0]
+    tree = re.split(r"\n\(\d+\) ", plan)[0]
+    facts = plan_facts(df)
+    assert tree.count("ArrowEvalPython") == 1, tree
+    assert facts["n_exchanges"] == 1, facts
+    assert facts["partial_aggregate"], facts
+
+
+def test_keep_best_broadcasts_pair_stats(spark):
+    """Cluster keep-selection: the cluster labels (tiny) broadcast
+    onto the corpus join; at most the window + count aggregation
+    shuffle — the big corpus is never exchanged more than that."""
+    from datafusion_dist_spark.queries.llm import dedup_keep_best
+
+    facts = plan_facts(dedup_keep_best(spark, SF_DIR))
+    assert facts["n_broadcast_joins"] >= 1, facts
+    assert facts["n_exchanges"] <= 2, facts
