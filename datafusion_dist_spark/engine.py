@@ -40,6 +40,26 @@ RUNNING_JOBS_SCHEMA = T.StructType(
 )
 
 
+def _run_job_streamed(sc, rdd, partition: int) -> Iterator:
+    """Run a single-partition job and YIELD its elements as they are
+    read off the JVM result socket — ``SparkContext.runJob`` with the
+    trailing ``list(...)`` removed (pyspark wraps the exact same
+    ``PythonRDD.runJob`` + ``_load_from_socket`` pair in a list, which
+    materializes every element in Python before the caller sees the
+    first one). The reference streams each ticket's partition batch by
+    batch (``networks/tonic/src/server.rs:109-141``); this is the
+    Spark-side equivalent for the per-partition pull model."""
+    from pyspark.rdd import _load_from_socket
+    from pyspark.traceback_utils import SCCallSiteSync
+
+    mapped = rdd.mapPartitions(lambda it: it)
+    with SCCallSiteSync(sc):
+        sock_info = sc._jvm.PythonRDD.runJob(
+            sc._jsc.sc(), mapped._jrdd, [int(partition)]
+        )
+    yield from _load_from_socket(sock_info, mapped._jrdd_deserializer)
+
+
 class EngineTerminatingError(RuntimeError):
     """Submit refused: the engine is shutting down.
 
@@ -60,6 +80,7 @@ class JobEntry:
     started_at: float | None = None  # first client pull; None = unpolled
     last_pull_at: float | None = None  # last batch yielded to a client
     finished_at: float | None = None
+    pulls_in_flight: int = 0  # active stream_arrow/stream_partition pulls
     extra: dict = field(default_factory=dict)
 
     def last_activity(self) -> float:
@@ -92,12 +113,66 @@ class JobRegistry:
         return entry
 
     def finish(self, job_id: str, error: str | None = None) -> None:
+        """Idempotent: the first finisher wins — concurrent pulls of the
+        last two partitions must not double-finish or rewrite a
+        completed status into a failed one (and vice versa)."""
         with self._lock:
             e = self._jobs.get(job_id)
-            if e is not None:
+            if e is not None and e.status == "running":
                 e.status = "failed" if error else "completed"
                 e.error = error
                 e.finished_at = time.time()
+
+    # -- pull bookkeeping (thread-safe; entries may outlive the registry
+    # row, so these take the JobEntry, not the id) -------------------------
+
+    def begin_pull(self, entry: JobEntry) -> None:
+        """A pull is (re)entering engine code: bump liveness NOW (not
+        after the first batch — a first partition slower than the GC
+        ttl must not get its job swept mid-pull) and mark the pull in
+        flight so the TTL sweeper exempts the job while Spark is
+        actually computing. Streams drop the flag across each
+        ``yield`` (control is with the client then), so a client that
+        stalls *between batches* still ages out via ``last_pull_at``
+        — sweep stalled clients, never an executing pull."""
+        with self._lock:
+            entry.pulls_in_flight += 1
+            entry.last_pull_at = time.time()
+
+    def end_pull(self, entry: JobEntry) -> None:
+        with self._lock:
+            entry.pulls_in_flight = max(0, entry.pulls_in_flight - 1)
+            entry.last_pull_at = time.time()
+
+    def touch(self, entry: JobEntry) -> None:
+        with self._lock:
+            entry.last_pull_at = time.time()
+
+    def record_output(self, entry: JobEntry, rows: int, nbytes: int) -> None:
+        """Per-stream output accounting — the reference's TaskStream
+        records output_rows/output_bytes as batches flow through it
+        (``dist/src/runtime.rs:598-686``); lock-guarded so concurrent
+        per-partition pulls do not lose increments."""
+        with self._lock:
+            entry.extra["output_rows"] = entry.extra.get("output_rows", 0) + rows
+            entry.extra["output_bytes"] = (
+                entry.extra.get("output_bytes", 0) + nbytes
+            )
+
+    def complete_partition(self, entry: JobEntry, partition: int) -> None:
+        """Record a fully-drained per-partition pull; finish the job
+        once every final-stage partition has been pulled at least once
+        — the reference's CheckJobCompleted over stage-0 partitions
+        (``dist/src/event.rs:214-334``). The membership update runs
+        under the registry lock so two concurrent pulls of the last
+        two partitions cannot race the completion check; ``finish`` is
+        idempotent for the same reason."""
+        with self._lock:
+            pulled = entry.extra.setdefault("pulled_partitions", set())
+            pulled.add(int(partition))
+            done = len(pulled) >= int(entry.extra.get("n_partitions", 1 << 62))
+        if done:
+            self.finish(entry.job_id)
 
     def cleanup(self, ttl_seconds: float = 60.0) -> int:
         """Drop finished jobs older than ttl, abandoned jobs —
@@ -114,13 +189,21 @@ class JobRegistry:
 
         Sweeping removes only the registry row (observability state);
         it never cancels the underlying Spark job — an outlived stream
-        keeps draining, and its eventual ``finish`` is a no-op."""
+        keeps draining, and its eventual ``finish`` is a no-op.
+
+        A job with a pull IN FLIGHT is never swept, no matter how stale
+        its ``last_pull_at``: a single partition or first batch that
+        takes longer than the ttl would otherwise get its row dropped
+        mid-pull, expiring the remaining per-partition tickets of a
+        live job (the reference only GCs *unpolled* and *finished*
+        work, never a stream it is actively serving)."""
         now = time.time()
         with self._lock:
             dead = [
                 j
                 for j, e in self._jobs.items()
-                if now - e.last_activity() >= ttl_seconds
+                if e.pulls_in_flight == 0
+                and now - e.last_activity() >= ttl_seconds
             ]
             for j in dead:
                 del self._jobs[j]
@@ -187,20 +270,29 @@ class JobHandle:
         import pyarrow as pa
 
         self._enter_job_scope()
+        reg = self._engine.jobs
+        reg.begin_pull(self._entry)
         try:
             for row in self._ipc_chunk_df(batch_rows).toLocalIterator():
                 with pa.ipc.open_stream(row.chunk) as reader:
                     for batch in reader:
-                        self._entry.last_pull_at = time.time()
                         self._count_output(batch)
+                        # Hand control to the client with the in-flight
+                        # flag dropped: a client that stalls here ages
+                        # out by TTL; one that comes back re-arms the
+                        # exemption before Spark computes again.
+                        reg.end_pull(self._entry)
                         yield batch
-            self._engine.jobs.finish(self.job_id)
+                        reg.begin_pull(self._entry)
+            reg.finish(self.job_id)
         except GeneratorExit:
-            self._engine.jobs.finish(self.job_id, error="abandoned by client")
+            reg.finish(self.job_id, error="abandoned by client")
             raise
         except Exception as exc:  # noqa: BLE001 - propagate after recording
-            self._engine.jobs.finish(self.job_id, error=str(exc))
+            reg.finish(self.job_id, error=str(exc))
             raise
+        finally:
+            reg.end_pull(self._entry)
 
     def _ipc_chunk_df(self, batch_rows: int) -> DataFrame:
         """Plan (lazily) the result as a one-binary-column DataFrame of
@@ -250,7 +342,17 @@ class JobHandle:
     def stream_partition(self, partition: int) -> Iterator:
         """Pull ONE final-stage partition as Arrow batches (the
         ``do_get`` per ticket analog, ``main.rs:209-265``). Requires
-        :meth:`materialize_partitions` first."""
+        :meth:`materialize_partitions` first.
+
+        Incremental like the reference's per-ticket stream
+        (``networks/tonic/src/server.rs:109-141``): the partition's
+        LZ4 IPC chunks are read off the result socket one at a time
+        and each batch is yielded before the next chunk is fetched
+        into Python — driver-side Python memory is bounded at ONE
+        chunk, never the whole partition (a skewed final partition at
+        100× scale must not become a driver OOM). The JVM still buffers
+        the task's compressed result, bounded by
+        ``spark.driver.maxResultSize``."""
         import pyarrow as pa
 
         rdd = self._entry.extra.get("partition_rdd")
@@ -259,32 +361,39 @@ class JobHandle:
                 "materialize_partitions() must run before stream_partition()"
             )
         self._enter_job_scope()
-        rows = self._engine.spark.sparkContext.runJob(
-            rdd, lambda it: list(it), [partition]
-        )
-        self._entry.last_pull_at = time.time()
-        for row in rows:
-            with pa.ipc.open_stream(row.chunk) as reader:
-                for batch in reader:
-                    self._count_output(batch)
-                    yield batch
-        # Job completion = every partition drained at least once — the
-        # reference's CheckJobCompleted over stage-0 partitions
-        # (dist/src/event.rs:214-334).
-        pulled = self._entry.extra.setdefault("pulled_partitions", set())
-        pulled.add(int(partition))
-        if len(pulled) >= int(self._entry.extra.get("n_partitions", 1 << 62)):
-            self._engine.jobs.finish(self.job_id)
+        reg = self._engine.jobs
+        reg.begin_pull(self._entry)
+        try:
+            for row in _run_job_streamed(
+                self._engine.spark.sparkContext, rdd, int(partition)
+            ):
+                # Chunk-level fetch counter: lets tests (and operators)
+                # observe that batches are yielded while later chunks
+                # are still unfetched.
+                with reg._lock:
+                    self._entry.extra["chunks_fetched"] = (
+                        self._entry.extra.get("chunks_fetched", 0) + 1
+                    )
+                reg.touch(self._entry)
+                with pa.ipc.open_stream(row.chunk) as reader:
+                    for batch in reader:
+                        self._count_output(batch)
+                        reg.end_pull(self._entry)
+                        yield batch
+                        reg.begin_pull(self._entry)
+            # Job completion = every partition drained at least once —
+            # the reference's CheckJobCompleted over stage-0 partitions
+            # (dist/src/event.rs:214-334).
+            reg.complete_partition(self._entry, int(partition))
+        finally:
+            reg.end_pull(self._entry)
 
     def _count_output(self, batch) -> None:
-        """Per-stream output accounting — the reference's TaskStream
-        records output_rows/output_bytes as batches flow through it
-        (``dist/src/runtime.rs:598-686``); surfaced in the
-        ``running_jobs`` stages JSON."""
-        extra = self._entry.extra
-        extra["output_rows"] = extra.get("output_rows", 0) + batch.num_rows
-        extra["output_bytes"] = (
-            extra.get("output_bytes", 0) + batch.get_total_buffer_size()
+        """Surfaced in the ``running_jobs`` stages JSON; delegated to
+        the registry so the counters are lock-guarded against
+        concurrent per-partition pulls."""
+        self._engine.jobs.record_output(
+            self._entry, batch.num_rows, batch.get_total_buffer_size()
         )
 
     def collect(self) -> list[Row]:

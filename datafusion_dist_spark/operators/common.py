@@ -11,10 +11,16 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
 
     A corpus read from one small parquet file arrives in 1-2 splits, so
     an expensive downstream pipeline (shingling, hashing, Pandas UDFs)
-    would run on 1-2 cores. At 100 TB inputs arrive in thousands of
-    splits and this is a no-op cost-wise; locally it is a trivial
-    shuffle of the raw rows that unlocks every core. Round-robin keeps
-    the partitions balanced regardless of key skew.
+    would run on 1-2 cores. Round-robin keeps the partitions balanced
+    regardless of key skew.
+
+    At 100 TB the input already arrives in thousands of splits, so the
+    repartition is skipped entirely: shuffling the raw text/vector
+    payload before shingling/hashing would be the single biggest
+    avoidable cost at scale. Only an under-parallel input (fewer
+    partitions than the target) pays the shuffle.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
     return df.repartition(n)

@@ -331,3 +331,70 @@ def test_submit_df_dataframe_entry(engine):
     assert batches[0].column("n").to_pylist() == [5]
     entry = next(e for e in engine.jobs.all() if e.job_id == handle.job_id)
     assert entry.status == "completed" and entry.meta["who"] == "df-api"
+
+
+def test_stream_partition_is_incremental(engine):
+    """VERDICT r2 'What's wrong #2': a per-partition pull must yield
+    its first batch while later IPC chunks of that partition are still
+    unfetched — the reference streams each ticket batch by batch
+    (networks/tonic/src/server.rs:109-141); a list(it)-materialized
+    partition is a driver OOM on a skewed final partition at scale."""
+    engine.spark.range(200_000).selectExpr(
+        "id", "concat('payload-', id) AS tag"
+    ).coalesce(1).createOrReplaceTempView("_incr_src")
+    handle = engine.submit("SELECT * FROM _incr_src")
+    n = handle.materialize_partitions(batch_rows=10_000)
+    assert n == 1
+    stream = handle.stream_partition(0)
+    first = next(stream)
+    assert first.num_rows > 0
+    fetched_at_first = handle._entry.extra.get("chunks_fetched", 0)
+    total_rows = first.num_rows + sum(b.num_rows for b in stream)
+    fetched_total = handle._entry.extra["chunks_fetched"]
+    assert total_rows == 200_000
+    assert fetched_total >= 20  # 200k rows / 10k-row chunks
+    assert fetched_at_first < fetched_total, (
+        f"first batch only yielded after all {fetched_total} chunks "
+        "were fetched — partition pull is not incremental"
+    )
+    assert handle._entry.status == "completed"
+
+
+def test_gc_never_sweeps_executing_pull(engine):
+    """ADVICE r2 (engine.py:123): a pull whose FIRST batch takes longer
+    than the ttl must NOT have its registry row swept mid-pull — the
+    in-flight exemption covers the whole compute, while a client
+    stalled between batches (control outside the engine) still ages
+    out (see test_stream_arrow_stalled_client_is_swept)."""
+    import threading
+
+    engine.spark.sql(
+        "SELECT sum(x) AS s FROM (SELECT id * id AS x FROM range(20000000) "
+        "ORDER BY ABS(10000000 - id))"
+    ).createOrReplaceTempView("_slow_src")
+    handle = engine.submit("SELECT * FROM _slow_src")
+    entry = handle._entry
+
+    stop = threading.Event()
+    got = {}
+
+    def _consume():
+        got["rows"] = sum(b.num_rows for b in handle.stream_arrow())
+
+    consumer = threading.Thread(target=_consume)
+    consumer.start()
+    # Wait for the pull to actually enter engine code, then hammer the
+    # sweeper with a ttl far shorter than the first batch's compute.
+    deadline = time.monotonic() + 30
+    while entry.pulls_in_flight == 0 and time.monotonic() < deadline:
+        time.sleep(0.002)
+    assert entry.pulls_in_flight >= 1, "pull never started"
+    while consumer.is_alive():
+        engine.jobs.cleanup(ttl_seconds=0.2)
+        consumer.join(timeout=0.02)
+    stop.set()
+    assert got["rows"] == 1
+    # The job survived every sweep fired while it was computing: finish
+    # found the row present and recorded a real terminal status.
+    assert entry.status == "completed"
+    assert entry.pulls_in_flight == 0
