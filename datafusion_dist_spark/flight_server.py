@@ -45,11 +45,13 @@ import itertools
 import json
 import threading
 
+from datafusion_dist_spark import flightsql
 from datafusion_dist_spark.engine import (
     DistEngine,
     EngineTerminatingError,
     JobHandle,
 )
+from datafusion_dist_spark.netretry import call_with_retry
 
 try:  # pyarrow.flight is optional at import time (gated per contract)
     import pyarrow as pa
@@ -127,22 +129,39 @@ if _HAVE_FLIGHT:
         # -- Flight RPCs ----------------------------------------------------
 
         def get_flight_info(self, context, descriptor):
-            raw = descriptor.command.decode("utf-8")
-            # Plain SQL → one lazy ticket per job (default: laziness
-            # preserved, see module docstring). A JSON command
-            # {"query": ..., "partitioned": true} opts into the
-            # reference's exact ticket granularity — one ticket per
-            # final-stage partition (main.rs:298-306) — at the
-            # documented cost of materializing upstream stages now.
+            # Command forms accepted, in probe order:
+            # 1. FlightSQL: Any<CommandStatementQuery> protobuf — what
+            #    stock clients (ADBC, JDBC/ODBC FlightSQL drivers) send,
+            #    mirroring the reference's get_flight_info_statement
+            #    (main.rs:267-308). Tickets minted for these clients are
+            #    Any<TicketStatementQuery> so the client hands them back
+            #    verbatim at do_get.
+            # 2. Plain SQL text → one lazy ticket per job (default:
+            #    laziness preserved, see module docstring).
+            # 3. JSON {"query": ..., "partitioned": true} opts into the
+            #    reference's exact ticket granularity — one ticket per
+            #    final-stage partition (main.rs:298-306) — at the
+            #    documented cost of materializing upstream stages now.
+            cmd = bytes(descriptor.command)
             partitioned = False
-            query = raw
-            if raw.lstrip().startswith("{"):
+            fsql_query = flightsql.parse_statement_query(cmd)
+            if fsql_query is not None:
+                query = fsql_query
+            else:
                 try:
-                    spec = json.loads(raw)
-                    query = spec["query"]
-                    partitioned = bool(spec.get("partitioned", False))
-                except (ValueError, KeyError):
-                    pass
+                    query = cmd.decode("utf-8")
+                except UnicodeDecodeError as exc:
+                    raise flight.FlightServerError(
+                        "descriptor command is neither FlightSQL "
+                        "protobuf, SQL text, nor JSON"
+                    ) from exc
+                if query.lstrip().startswith("{"):
+                    try:
+                        spec = json.loads(query)
+                        query = spec["query"]
+                        partitioned = bool(spec.get("partitioned", False))
+                    except (ValueError, KeyError):
+                        pass
             self._prune_handles()
             # Snapshot the virtual table so remote clients can query it
             # (reference: `select * from running_jobs` over FlightSQL,
@@ -157,7 +176,20 @@ if _HAVE_FLIGHT:
                 raise flight.FlightServerError(_err_msg(exc)) from exc
             with self._lock:
                 self._handles[handle.job_id] = handle
-            loc = flight.Location.for_grpc_tcp("127.0.0.1", self.port)
+
+            def _ticket(payload: dict) -> "flight.Ticket":
+                raw = json.dumps(payload).encode()
+                # FlightSQL clients get the spec envelope; they treat
+                # it as opaque and return it verbatim at do_get.
+                if fsql_query is not None:
+                    raw = flightsql.encode_ticket(raw)
+                return flight.Ticket(raw)
+
+            # Empty locations list = the Flight-spec way of saying
+            # "fetch from the same service instance that answered
+            # get_flight_info". Advertising a concrete host here broke
+            # spec-compliant remote clients when --serve bound
+            # 0.0.0.0: they would dial their OWN loopback.
             if partitioned:
                 try:
                     n = handle.materialize_partitions()
@@ -165,30 +197,32 @@ if _HAVE_FLIGHT:
                     raise flight.FlightServerError(_err_msg(exc)) from exc
                 endpoints = [
                     flight.FlightEndpoint(
-                        flight.Ticket(
-                            json.dumps(
-                                {"job_id": handle.job_id, "partition": p}
-                            ).encode()
-                        ),
-                        [loc],
+                        _ticket({"job_id": handle.job_id, "partition": p}), []
                     )
                     for p in range(n)
                 ]
             else:
                 endpoints = [
-                    flight.FlightEndpoint(
-                        flight.Ticket(
-                            json.dumps({"job_id": handle.job_id}).encode()
-                        ),
-                        [loc],
-                    )
+                    flight.FlightEndpoint(_ticket({"job_id": handle.job_id}), [])
                 ]
             return flight.FlightInfo(
                 _arrow_schema(handle.df), descriptor, endpoints, -1, -1
             )
 
         def do_get(self, context, ticket):
-            spec = json.loads(ticket.ticket.decode("utf-8"))
+            raw = bytes(ticket.ticket)
+            # FlightSQL tickets wrap the spec as a statement_handle
+            # inside Any<TicketStatementQuery> (main.rs do_get_statement
+            # analog); plain clients send the JSON spec directly.
+            handle_bytes = flightsql.parse_ticket(raw)
+            if handle_bytes is not None:
+                raw = handle_bytes
+            try:
+                spec = json.loads(raw.decode("utf-8"))
+            except (ValueError, UnicodeDecodeError) as exc:
+                raise flight.FlightServerError(
+                    "unrecognized ticket format"
+                ) from exc
             job_id = spec["job_id"]
             self._prune_handles()
             with self._lock:
@@ -205,14 +239,24 @@ if _HAVE_FLIGHT:
                 gen = handle.stream_partition(int(spec["partition"]))
             else:
                 gen = handle.stream_arrow()
+            # LZ4 on the client-facing stream too: the executor→driver
+            # chunks are LZ4 IPC already; re-serializing them
+            # uncompressed for the wire would undo that. The reference
+            # compresses its data plane end-to-end
+            # (networks/tonic/src/server.rs:125-127).
+            opts = pa.ipc.IpcWriteOptions(compression="lz4")
             try:
                 first = next(gen)
             except StopIteration:
-                return flight.GeneratorStream(_arrow_schema(handle.df), iter(()))
+                return flight.GeneratorStream(
+                    _arrow_schema(handle.df), iter(()), options=opts
+                )
             except Exception as exc:  # surfaces e.g. a UDF raise
                 raise flight.FlightServerError(_err_msg(exc)) from exc
             return flight.GeneratorStream(
-                first.schema, _trap_errors(itertools.chain([first], gen))
+                first.schema,
+                _trap_errors(itertools.chain([first], gen)),
+                options=opts,
             )
 
         def list_flights(self, context, criteria):
@@ -225,7 +269,7 @@ if _HAVE_FLIGHT:
                     [
                         flight.FlightEndpoint(
                             flight.Ticket(json.dumps({"job_id": e.job_id}).encode()),
-                            [flight.Location.for_grpc_tcp("127.0.0.1", self.port)],
+                            [],  # same-instance fetch (Flight-spec default)
                         )
                     ],
                     -1,
@@ -236,7 +280,13 @@ if _HAVE_FLIGHT:
             if action.type == "health":
                 # Reference health check = `SELECT 1` answered locally
                 # (dist/src/util.rs:31-51); stays sub-second under load.
-                assert self.engine.execute("SELECT 1 AS one")[0].one == 1
+                # Explicit check, not an assert: asserts vanish under
+                # `python -O` and health must never lie.
+                got = self.engine.execute("SELECT 1 AS one")[0].one
+                if got != 1:
+                    raise flight.FlightServerError(
+                        f"health check SELECT 1 returned {got!r}"
+                    )
                 yield flight.Result(b"ok")
             elif action.type == "cleanup":
                 ttl = float(action.body.to_pybytes() or b"60")
@@ -273,16 +323,34 @@ if _HAVE_FLIGHT:
         threading.Thread(target=server.serve, daemon=True).start()
         return server
 
-    def flight_execute(location: str, sql: str) -> "pa.Table":
+    def flight_execute(
+        location: str, sql: str, flightsql_envelope: bool = False
+    ) -> "pa.Table":
         """Minimal client: SQL in → all endpoints' batches as a Table
-        (the FlightSQL client loop, ``main.rs:313-330`` analog)."""
-        client = flight.connect(location)
+        (the FlightSQL client loop, ``main.rs:313-330`` analog).
+
+        Control-plane calls (connect + get_flight_info + do_get
+        initiation) retry ×3 with exponential backoff + jitter like the
+        reference's network layer (``networks/tonic/src/network.rs:
+        39-50,181-283``); server-reported query errors fail straight
+        through. ``flightsql_envelope=True`` sends the protobuf
+        ``CommandStatementQuery`` command a stock FlightSQL client
+        would."""
+        cmd = (
+            flightsql.encode_statement_query(sql)
+            if flightsql_envelope
+            else sql.encode()
+        )
+        client = call_with_retry(lambda: flight.connect(location))
         try:
-            info = client.get_flight_info(
-                flight.FlightDescriptor.for_command(sql.encode())
+            info = call_with_retry(
+                lambda: client.get_flight_info(
+                    flight.FlightDescriptor.for_command(cmd)
+                )
             )
             tables = [
-                client.do_get(ep.ticket).read_all() for ep in info.endpoints
+                call_with_retry(lambda: client.do_get(ep.ticket)).read_all()
+                for ep in info.endpoints
             ]
             if not tables:
                 return info.schema.empty_table()

@@ -171,12 +171,22 @@ class FlightDataSource(DataSource):
         import pyarrow.flight as flight
         from pyspark.sql.pandas.types import from_arrow_schema
 
+        from datafusion_dist_spark.netretry import call_with_retry
+
         if getattr(self, "_tickets", None) is None:
-            client = flight.connect(self.options["location"])
+            # Control-plane retry ×3 with backoff + jitter, like the
+            # reference's network layer (networks/tonic/src/network.rs:
+            # 39-50): a transient connect/plan failure must not fail
+            # the whole Spark query plan.
+            client = call_with_retry(
+                lambda: flight.connect(self.options["location"])
+            )
             try:
-                info = client.get_flight_info(
-                    flight.FlightDescriptor.for_command(
-                        self.options["query"].encode("utf-8")
+                info = call_with_retry(
+                    lambda: client.get_flight_info(
+                        flight.FlightDescriptor.for_command(
+                            self.options["query"].encode("utf-8")
+                        )
                     )
                 )
                 self._schema_struct = from_arrow_schema(info.schema)
@@ -204,9 +214,19 @@ class FlightReader(DataSourceReader):
     def read(self, partition: FlightPartition):
         import pyarrow.flight as flight
 
-        client = flight.connect(partition.location)
+        from datafusion_dist_spark.netretry import call_with_retry
+
+        # Retry connect + do_get initiation (control plane); a failure
+        # MID-stream propagates so Spark's task retry re-pulls the
+        # ticket — re-pulling re-executes only this partition, the
+        # reference's TaskSet-reset recovery (dist/src/runtime.rs:
+        # 499-525).
+        client = call_with_retry(lambda: flight.connect(partition.location))
         try:
-            for chunk in client.do_get(flight.Ticket(partition.ticket)):
+            reader = call_with_retry(
+                lambda: client.do_get(flight.Ticket(partition.ticket))
+            )
+            for chunk in reader:
                 yield chunk.data  # Arrow RecordBatch, no row conversion
         finally:
             client.close()
