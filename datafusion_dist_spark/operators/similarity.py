@@ -425,6 +425,62 @@ def kmeans_refine_step(
     )
 
 
+def collect_codebook(refined: DataFrame) -> list[tuple[int, list[float]]]:
+    """Materialize a :func:`kmeans_refine_step` result as the
+    [(cid, vector), ...] codebook that parameterizes the next round —
+    the only thing that ever crosses the driver between iterations
+    (K×dim rounded doubles, never data)."""
+    by_cid: dict[int, dict[int, float]] = {}
+    for row in refined.collect():
+        by_cid.setdefault(int(row.cid), {})[int(row.dim)] = float(row.centroid)
+    return [
+        (cid, [dims[d] for d in sorted(dims)])
+        for cid, dims in sorted(by_cid.items())
+    ]
+
+
+def kmeans_train(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    max_rounds: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, int]:
+    """Lloyd's algorithm to convergence: chain
+    :func:`kmeans_refine_step` until the fixed-point codebook stops
+    changing or ``max_rounds`` is reached. Returns (final refine-step
+    DataFrame, rounds actually computed).
+
+    Convergence stays hash-checkable because of the fixed-point trick:
+    every round's output is bit-deterministic integer-mean arithmetic,
+    so "converged" is EXACT equality of consecutive codebooks — and an
+    exact fixed point is stable (one more Lloyd round reproduces it
+    bit-for-bit). An oracle that always runs ``max_rounds`` rounds
+    therefore matches regardless of which round the training loop
+    stopped at: the skipped rounds are provable no-ops.
+
+    Per round: one scan of the vector table, one (cid, dim)-keyed
+    two-phase aggregate with K×dim final groups; only the K×dim
+    codebook crosses the driver between rounds. This is the offline
+    IVF codebook trainer that ``ivf_topk``'s docstring promises.
+    """
+    out = kmeans_refine_step(
+        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
+    )
+    prev_codebook: list | None = None
+    rounds = 1
+    while rounds < max_rounds:
+        codebook = collect_codebook(out)
+        if codebook == prev_codebook:
+            break  # exact fixed point: further rounds are no-ops
+        prev_codebook = codebook
+        out = kmeans_refine_step(
+            embeddings, codebook=codebook, id_col=id_col, vec_col=vec_col
+        )
+        rounds += 1
+    return out, rounds
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],

@@ -51,14 +51,21 @@ def token_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_score(
+    docs: DataFrame, text_col: str = "text", keep_cols: tuple = ()
+) -> DataFrame:
     """Heuristic quality scoring: length / stopword ratio / repetition.
 
     score ∈ [0,1]; deterministic arithmetic (rounded to 6dp) so the
     DuckDB oracle matches bit-for-bit.
+
+    ``keep_cols`` carries source columns through to the output so a
+    composed pipeline can consume quality as a PROJECTION on the same
+    scan — joining this result back to the corpus would shuffle the
+    whole corpus for what is a per-row expression (VERDICT r2 #3).
     """
     t = spread(docs).select(
-        "doc_id", tokens(F.col(text_col)).alias("_toks")
+        "doc_id", *keep_cols, tokens(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
     n_tok = F.size(toks)
@@ -71,6 +78,7 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     score = 0.4 * len_score + 0.3 * uniq_ratio + 0.3 * (1.0 - stop_ratio)
     return t.select(
         "doc_id",
+        *keep_cols,
         n_tok.cast("bigint").alias("n_tokens"),
         F.round(mean_len, 6).alias("mean_token_len"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -12,6 +12,8 @@ deterministically (the raw synthetic corpus has no duplicates).
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -68,6 +70,7 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_PAIR_CACHE_LOCK = threading.Lock()
 
 
 def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -82,17 +85,29 @@ def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus (candidates only), every CC iteration re-reads it, and
     downstream consumers (cluster resolution, keep-list builds) reuse
     it without touching the corpus again.
+
+    Bounded to a SINGLE entry (ADVICE r2): switching sf_dir (or
+    session) unpersists the previous pair set before building the new
+    one, so executor storage never grows across directories; the lock
+    prevents a first-call race from double-persisting.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
-    df = _PAIR_CACHE.get(key)
-    if df is None:
-        df = dedup.minhash_dedup_pairs(
-            _corpus(spark, sf_dir),
-            bands=BANDS,
-            rows_per_band=ROWS_PER_BAND,
-            threshold=0.5,
-        ).persist()
-        _PAIR_CACHE[key] = df
+    with _PAIR_CACHE_LOCK:
+        df = _PAIR_CACHE.get(key)
+        if df is None:
+            for old in _PAIR_CACHE.values():
+                try:
+                    old.unpersist()
+                except Exception:  # session of a stale entry may be gone
+                    pass
+            _PAIR_CACHE.clear()
+            df = dedup.minhash_dedup_pairs(
+                _corpus(spark, sf_dir),
+                bands=BANDS,
+                rows_per_band=ROWS_PER_BAND,
+                threshold=0.5,
+            ).persist()
+            _PAIR_CACHE[key] = df
     return df
 
 
@@ -973,8 +988,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
-    scored = text.quality_score(docs).select("doc_id", "quality")
-    enriched = docs.join(scored, "doc_id").filter(
+    # Quality is a per-row expression — carry lang/source/text through
+    # the scoring projection instead of joining the score back to the
+    # corpus (that join was a needless full-corpus shuffle at scale).
+    enriched = text.quality_score(
+        docs, keep_cols=("lang", "source", "text")
+    ).filter(
         (F.col("quality") >= 0.55)
         & (F.col("lang") == "en")
         & (F.length("text") >= 80)
@@ -1514,11 +1533,47 @@ def _kmeans_iter_sql(src_cents: str, src_dims_alias: str) -> str:
 def ann_kmeans_two_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     r1 = similarity.kmeans_refine_step(emb, n_centroids=8)
-    by_cid: dict[int, dict[int, float]] = {}
-    for row in r1.collect():
-        by_cid.setdefault(int(row.cid), {})[int(row.dim)] = float(row.centroid)
-    codebook = [
-        (cid, [dims[d] for d in sorted(dims)])
-        for cid, dims in sorted(by_cid.items())
-    ]
-    return similarity.kmeans_refine_step(emb, codebook=codebook)
+    return similarity.kmeans_refine_step(
+        emb, codebook=similarity.collect_codebook(r1)
+    )
+
+
+@register(
+    "ann_kmeans_converged",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        {_kmeans_iter_sql("cents", "r1")},
+        cents2 AS (
+            SELECT cid, list(centroid ORDER BY dim) AS cvec
+            FROM r1_out GROUP BY cid
+        ),
+        {_kmeans_iter_sql("cents2", "r2")},
+        cents3 AS (
+            SELECT cid, list(centroid ORDER BY dim) AS cvec
+            FROM r2_out GROUP BY cid
+        ),
+        {_kmeans_iter_sql("cents3", "r3")},
+        cents4 AS (
+            SELECT cid, list(centroid ORDER BY dim) AS cvec
+            FROM r3_out GROUP BY cid
+        ),
+        {_kmeans_iter_sql("cents4", "r4")}
+        SELECT cid, CAST(dim AS INTEGER) AS dim, centroid, n_members
+        FROM r4_out
+    """,
+    doc="Lloyd's algorithm TO CONVERGENCE (cap 4 rounds): the real "
+    "offline IVF codebook trainer, not a fixed-round demo. The Spark "
+    "side stops at the first EXACT fixed point of the integer-mean "
+    "codebook; the oracle always runs the full 4 rounds — equivalent "
+    "by construction, because a bit-exact fixed point is stable, so "
+    "every round after convergence reproduces the same centroids. "
+    "Only the K*64 rounded codebook crosses the driver per round. "
+    "(operators/similarity.py:kmeans_train)",
+)
+def ann_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out, _rounds = similarity.kmeans_train(emb, n_centroids=8, max_rounds=4)
+    return out

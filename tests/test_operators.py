@@ -317,3 +317,22 @@ def test_approx_distinct_within_hll_error_bound(spark):
             approx[flag],
             n,
         )
+
+
+def test_kmeans_train_stops_at_fixed_point(spark):
+    """kmeans_train must detect the exact fixed point and stop early:
+    when every vector sits exactly on its seed centroid, round 2
+    reproduces round 1's codebook bit-for-bit and rounds 3..max are
+    provably no-ops (which is why a fixed-round oracle stays valid)."""
+    rows = []
+    for vec_id, base in [(0, 0.0), (1, 10.0)]:
+        for copy in range(5):
+            rows.append((vec_id if copy == 0 else 2 + vec_id * 5 + copy,
+                         [base] * 4))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out, rounds = similarity.kmeans_train(df, n_centroids=2, max_rounds=10)
+    assert rounds == 2, f"expected early stop at round 2, ran {rounds}"
+    got = {(r.cid, r.dim): (r.centroid, r.n_members) for r in out.collect()}
+    for dim in range(1, 5):
+        assert got[(0, dim)] == (0.0, 5)
+        assert got[(1, dim)] == (10.0, 5)

@@ -241,3 +241,22 @@ def test_spread_passthrough_for_parallel_input(spark):
 
     narrow = spark.range(10_000).coalesce(1)
     assert spread(narrow).rdd.getNumPartitions() == n
+
+
+def test_clean_corpus_no_self_join(spark):
+    """VERDICT r2 #3: pipeline_clean_corpus must compute quality as a
+    projection on the corpus scan, not join the score back to the
+    corpus (that join shuffled the whole corpus for a per-row
+    expression). Expected shape: zero joins; exchanges are only
+    spread()'s local round-robin (passthrough at scale) plus the
+    dedup digest window shuffle."""
+    from datafusion_dist_spark.queries.llm import pipeline_clean_corpus
+
+    facts = plan_facts(pipeline_clean_corpus(spark, SF_DIR))
+    assert (
+        facts["n_broadcast_joins"]
+        + facts["n_sortmerge_joins"]
+        + facts["n_shuffledhash_joins"]
+        + facts["n_bnl_joins"]
+    ) == 0, facts
+    assert facts["n_exchanges"] <= 2, facts
