@@ -54,6 +54,8 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_ivf_topk",
     "ann_kmeans_refine",
+    "ann_kmeans_converged",
+    "dedup_substring_spans",
     "events_anomaly_mad",
     "pipeline_dataset_card",
     "sample_stratified",
@@ -61,6 +63,9 @@ HEADLINE = [
     "text_fingerprint",
     "text_quality",
     "text_bm25_topk",
+    "text_tfidf_topk",
+    "text_lm_score",
+    "pipeline_clean_corpus",
     "pipeline_pack_sequences",
     "pipeline_chunk_documents",
     "multimodal_features",

@@ -323,6 +323,15 @@ def _ngram_pair_counts(
     ).select(
         "doc_id", F.size("shs").alias("n_sh"), F.explode("shs").alias("shingle")
     )
+    return _pair_counts_from_shingles(shingles, max_list_len)
+
+
+def _pair_counts_from_shingles(
+    shingles: DataFrame, max_list_len: int | None
+) -> DataFrame:
+    """Posting-list pair enumeration over any (doc_id, n_sh, shingle)
+    stream — shared by the token-shingle ops and the char-span op,
+    which differ only in how they cut shingles out of the text."""
     posting = shingles.groupBy("shingle").agg(
         F.array_sort(F.collect_list(F.struct("doc_id", "n_sh"))).alias("ds")
     )
@@ -396,6 +405,61 @@ def ngram_containment_pairs(
     return (
         inter.select("a_id", "b_id", F.round(cont, 6).alias("containment"))
         .filter(F.col("containment") >= threshold)
+    )
+
+
+def substring_span_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    span_chars: int = 24,
+    min_shared: int = 2,
+    max_list_len: int | None = None,
+) -> DataFrame:
+    """Substring-level duplication: doc pairs sharing at least
+    ``min_shared`` distinct character ``span_chars``-grams — the
+    scalable inverted-index approximation of suffix-array substring
+    dedup (exact repeated *spans* across documents, which token-set
+    Jaccard misses entirely when the shared span is a small fraction
+    of both documents: a copied paragraph inside two otherwise
+    unrelated pages).
+
+    Plan shape: cut every char k-gram out of the text as a projection
+    (codegen'd transform over ``sequence``, zero Python), dedup per
+    doc, then reuse the SAME posting-list pair core as the n-gram
+    family (``_pair_counts_from_shingles``): one explode pass, one
+    shuffle, streamed pair generators. At 100 TB the char-gram posting
+    lists are skew-capped exactly like token shingles
+    (``max_list_len`` drops boilerplate spans — headers, licenses —
+    before the m²/2 enumeration).
+
+    Returns (a_id, b_id, n_shared_spans, span_containment) where
+    span_containment = shared / min(set sizes) — 1.0 means every span
+    of the shorter doc appears in the longer one (doc-in-doc copy).
+    """
+    n_spans = F.length(text_col) - span_chars + 1
+    grams = F.when(
+        n_spans >= 1,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {span_chars} + 1), "
+            f"i -> substring({text_col}, i, {span_chars}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    shingles = (
+        spread(docs)
+        .select("doc_id", F.array_distinct(grams).alias("shs"))
+        .select(
+            "doc_id",
+            F.size("shs").alias("n_sh"),
+            F.explode("shs").alias("shingle"),
+        )
+    )
+    inter = _pair_counts_from_shingles(shingles, max_list_len)
+    cont = F.col("n_inter") / F.least(F.col("na"), F.col("nb"))
+    return inter.filter(F.col("n_inter") >= min_shared).select(
+        "a_id",
+        "b_id",
+        F.col("n_inter").alias("n_shared_spans"),
+        F.round(cont, 6).alias("span_containment"),
     )
 
 

@@ -297,6 +297,109 @@ def bm25_topk(
     )
 
 
+def tfidf_topk(
+    docs: DataFrame, k_top: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """Per-document top-k TF-IDF terms — keyword extraction for corpus
+    indexing/labeling. score = tf * ln(N / df), rounded to 6dp.
+
+    Scale shape: one tokenize+explode pass → (doc, term) counts (one
+    shuffle); document frequencies aggregate from those SAME counts
+    (term-keyed, vocabulary-sized — tiny next to the corpus); the
+    re-join back to (doc, term) rows is term-keyed too, so only the
+    count rows shuffle, never the text. Final per-doc top-k is a
+    window with rank, deterministic tiebreak on term.
+    """
+    tf = (
+        spread(docs)
+        .select("doc_id", F.explode(tokens(F.col(text_col))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
+    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_top)
+        .select("doc_id", "rank", "term", "tf", "tfidf")
+    )
+
+
+def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Self-perplexity proxy: train a character-bigram language model
+    on the corpus itself, then score every document by its mean
+    log-likelihood under that model — the classic model-based quality
+    filter (out-of-distribution docs score low), with the "model" small
+    enough to be a broadcast table.
+
+    score = round(avg over bigrams of ln p(c2|c1), 6), where
+    p(c2|c1) = count(bigram) / count(bigrams starting with c1),
+    both counted over the whole corpus. Training on the scored corpus
+    itself means every bigram has nonzero count — no smoothing term to
+    disagree on cross-engine.
+
+    Scale shape: one pass cuts bigrams as a codegen'd projection; the
+    model is two aggregations of that stream (bigram counts + context
+    totals), each vocabulary-sized (≤ charset², e.g. ~10k rows) and
+    broadcast back onto the per-doc bigram rows; one per-doc
+    aggregation ends the plan. At 100 TB you would materialize the
+    model table once and reuse it — the scoring pass itself is
+    single-scan.
+    """
+    grams = F.when(
+        F.length(text_col) >= 2,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - 1), "
+            f"i -> substring({text_col}, i, 2))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_bigrams = (
+        spread(docs)
+        .select("doc_id", F.explode(grams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("n"))
+    )
+    model = doc_bigrams.groupBy("bg").agg(F.sum("n").alias("cnt"))
+    context = model.groupBy(
+        F.substring("bg", 1, 1).alias("c1")
+    ).agg(F.sum("cnt").alias("ctx_cnt"))
+    scored = (
+        doc_bigrams.join(F.broadcast(model), "bg")
+        .join(
+            F.broadcast(context),
+            F.substring("bg", 1, 1) == F.col("c1"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.round(
+                F.sum(
+                    F.col("n")
+                    * F.log(F.col("cnt").cast("double") / F.col("ctx_cnt"))
+                )
+                / F.sum("n"),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return scored.select("doc_id", "n_bigrams", "avg_logprob")
+
+
 def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition filters: duplicate-token ratio and the
     fraction of all bigrams taken by the single most frequent bigram.

@@ -1577,3 +1577,126 @@ def ann_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out, _rounds = similarity.kmeans_train(emb, n_centroids=8, max_rounds=4)
     return out
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        spans AS (
+            SELECT DISTINCT doc_id, g.span
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN length(text) >= 24 THEN
+                           list_transform(range(1, length(text) - 22),
+                                          i -> substring(text, i, 24))
+                       ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM corpus
+            ), UNNEST(grams) AS g(span)
+        ),
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM spans GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+            FROM spans a JOIN spans b
+              ON a.span = b.span AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT i.a_id, i.b_id,
+               i.n_inter AS n_shared_spans,
+               round(CAST(i.n_inter AS DOUBLE)
+                     / least(sa.n_sh, sb.n_sh), 6) AS span_containment
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE i.n_inter >= 2
+    """,
+    doc="Substring-level dedup: doc pairs sharing >= 2 distinct "
+    "character 24-grams — the inverted-index approximation of "
+    "suffix-array substring dedup (catches a copied span that is a "
+    "small fraction of both docs, invisible to token-set Jaccard). "
+    "Char spans are cut as a codegen'd projection; pair counting "
+    "reuses the posting-list core with the same skew cap as the "
+    "n-gram family. (operators/dedup.py:substring_span_pairs)",
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.substring_span_pairs(
+        _corpus(spark, sf_dir), span_chars=24, min_shared=2
+    )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, t.term, count(*) AS tf
+            FROM (SELECT doc_id, {TOKS} AS toks FROM documents),
+                 UNNEST(toks) AS t(term)
+            GROUP BY doc_id, t.term
+        ),
+        dfreq AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf,
+                   round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+            ) AS rank
+            FROM scored
+        )
+        SELECT doc_id, CAST(rank AS INTEGER) AS rank, term, tf, tfidf
+        FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-document top-3 TF-IDF keyword extraction: tf * ln(N/df), "
+    "deterministic term tiebreak. One tokenize pass; document "
+    "frequencies and the doc count aggregate from the same (doc, "
+    "term) counts and join back term-keyed — the raw text never "
+    "shuffles. (operators/text.py:tfidf_topk)",
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.tfidf_topk(load_table(spark, sf_dir, "documents"), k_top=3)
+
+
+@register(
+    "text_lm_score",
+    oracle="""
+        WITH bg AS (
+            SELECT doc_id, g.bg, count(*) AS n
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN length(text) >= 2 THEN
+                           list_transform(range(1, length(text)),
+                                          i -> substring(text, i, 2))
+                       ELSE CAST([] AS VARCHAR[]) END AS grams
+                FROM documents
+            ), UNNEST(grams) AS g(bg)
+            GROUP BY doc_id, g.bg
+        ),
+        model AS (SELECT bg, sum(n) AS cnt FROM bg GROUP BY bg),
+        ctx AS (
+            SELECT substring(bg, 1, 1) AS c1, sum(cnt) AS ctx_cnt
+            FROM model GROUP BY 1
+        )
+        SELECT b.doc_id,
+               CAST(sum(b.n) AS BIGINT) AS n_bigrams,
+               round(sum(b.n * ln(CAST(m.cnt AS DOUBLE) / x.ctx_cnt))
+                     / sum(b.n), 6) AS avg_logprob
+        FROM bg b
+        JOIN model m ON b.bg = m.bg
+        JOIN ctx x ON substring(b.bg, 1, 1) = x.c1
+        GROUP BY b.doc_id
+    """,
+    doc="Model-based quality scoring: train a char-bigram LM on the "
+    "corpus (two vocabulary-sized aggregations, broadcast back), "
+    "score each doc by mean ln p(c2|c1) — the perplexity-filter "
+    "shape where the model is tiny and the scoring pass is "
+    "single-scan. (operators/text.py:bigram_lm_score)",
+)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_lm_score(load_table(spark, sf_dir, "documents"))

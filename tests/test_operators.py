@@ -336,3 +336,63 @@ def test_kmeans_train_stops_at_fixed_point(spark):
     for dim in range(1, 5):
         assert got[(0, dim)] == (0.0, 5)
         assert got[(1, dim)] == (10.0, 5)
+
+
+def test_substring_spans_catch_copied_paragraph(spark):
+    """A span copied between two otherwise-unrelated docs must pair
+    them (the case token-set Jaccard misses: the shared span is a
+    small fraction of both docs); an unrelated doc must stay unpaired."""
+    copied = "this exact paragraph was copied verbatim between pages"
+    rows = [
+        (1, "alpha beta gamma delta " + copied + " epsilon zeta eta"),
+        (2, "one two three four five " + copied + " six seven eight nine"),
+        (3, "completely different content with no overlap whatsoever here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.substring_span_pairs(docs, span_chars=24, min_shared=2)
+    got = {(r.a_id, r.b_id): r.n_shared_spans for r in pairs.collect()}
+    assert (1, 2) in got and got[(1, 2)] >= 10
+    assert all(3 not in pair for pair in got)
+
+    # Identical docs: full containment.
+    twins = spark.createDataFrame(
+        [(1, "x" * 10 + " shared body of text long enough for spans"),
+         (2, "x" * 10 + " shared body of text long enough for spans")],
+        "doc_id long, text string",
+    )
+    t = dedup.substring_span_pairs(twins, span_chars=24, min_shared=2).collect()
+    assert len(t) == 1 and t[0].span_containment == 1.0
+
+
+def test_tfidf_distinctive_term_ranks_first(spark):
+    """A term unique to one doc must out-rank corpus-wide terms."""
+    from datafusion_dist_spark.operators import text as text_ops
+
+    rows = [
+        (1, "common common common zebra"),
+        (2, "common common filler filler"),
+        (3, "common filler filler filler"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    top = text_ops.tfidf_topk(docs, k_top=1).collect()
+    by_doc = {r.doc_id: r for r in top}
+    assert by_doc[1].term == "zebra"  # df=1 beats tf=3 of df=3 'common'
+    assert by_doc[1].tfidf > 0
+    # 'common' appears in every doc: idf = ln(1) = 0 everywhere.
+    assert all(r.term != "common" for r in top)
+
+
+def test_bigram_lm_score_ranks_typical_text_higher(spark):
+    """A doc made of the corpus's dominant bigrams must score higher
+    (less negative mean log-prob) than one full of rare bigrams."""
+    from datafusion_dist_spark.operators import text as text_ops
+
+    # Context 'a' is ambiguous: 'ab' dominates the corpus, 'ac' is
+    # rare — so the 'ac' doc must score lower. (A corpus where every
+    # context has a single successor scores 0.0 everywhere.)
+    rows = [(i, "abababab") for i in range(9)] + [(9, "acacacac")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    scores = {r.doc_id: r.avg_logprob for r in
+              text_ops.bigram_lm_score(docs).collect()}
+    assert scores[0] > scores[9], scores
+    assert len(scores) == 10
