@@ -56,6 +56,10 @@ HEADLINE = [
     "ann_kmeans_refine",
     "ann_kmeans_converged",
     "dedup_substring_spans",
+    "dedup_semantic",
+    "dedup_paragraph_blocks",
+    "text_boilerplate_score",
+    "graph_pagerank",
     "events_anomaly_mad",
     "pipeline_dataset_card",
     "sample_stratified",

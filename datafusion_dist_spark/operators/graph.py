@@ -1,0 +1,112 @@
+"""Graph analytics over warehouse tables (engine extensions).
+
+The reference's capability surface has no graph operators (its query
+layer is delegated to DataFusion), but connected components
+(operators/dedup.py:duplicate_clusters) established the pattern for
+iterative algorithms here: express each iteration as plain DataFrame
+joins/aggregations so Catalyst plans every step, and keep the
+arithmetic fixed-point-integer so results are bit-deterministic and
+hash-checkable against a SQL oracle regardless of partitioning or
+aggregation order.
+
+PageRank below follows that pattern. Unlike a driver-side loop that
+collects state between rounds, a FIXED number of iterations chains as
+one lazy plan: iteration i's score table is a DataFrame fed straight
+into iteration i+1's join — nothing ever touches the driver, and the
+repeated edge-list subtree is a textbook ReuseExchange target.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Fixed-point score scale: 1.0 == 1_000_000 micro-units. All score
+# arithmetic is BIGINT add / multiply / integer-divide (truncating on
+# positives, identical in Spark `div` and DuckDB `//`), so every
+# engine computes bit-identical scores.
+SCALE = 1_000_000
+DAMPING_NUM = 85  # damping 0.85 as an exact rational 85/100
+DAMPING_DEN = 100
+BASE = SCALE * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN  # (1-d)*SCALE
+
+
+def bipartite_edges(
+    orders: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Customer↔supplier interaction graph from the order book.
+
+    One undirected edge per distinct (custkey, suppkey) that ever
+    traded, materialized as two directed rows ('c:<id>' ↔ 's:<id>') so
+    standard directed PageRank applies and no node is a sink. The
+    orders⋈lineitem join shuffles on orderkey; the distinct collapses
+    the ~4 lineitems/order fan-in before node-id strings are built.
+    """
+    pairs = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    fwd = pairs.select(c.alias("src"), s.alias("dst"))
+    rev = pairs.select(s.alias("src"), c.alias("dst"))
+    return fwd.unionByName(rev)
+
+
+def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Per iteration: each node splits its score evenly across its
+    out-edges (integer division — exact), contributions are summed per
+    destination (a two-phase agg on dst), and the damped update
+    ``new = BASE + d * sum`` is applied. Because the input graph is
+    symmetric (every node has in-edges), the sum covers every node and
+    no dangling-mass correction is needed; the choice is documented
+    rather than hidden.
+
+    Scale: per iteration exactly one shuffle each for the score⋈edges
+    join (on src) and the dst aggregation. Scores are 2 longs per
+    node — the payload never grows with iterations, and the edge-list
+    subtree repeats verbatim so AQE/ReuseExchange materializes it
+    once. 100 TB of lineitem distills to |C|+|S| nodes ≪ input.
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Initial score: 1.0 (== SCALE) for every node. Node set = all
+    # srcs (symmetric graph: srcs == dsts == nodes).
+    scores = deg.select(F.col("src").alias("node"), F.lit(SCALE).alias("score"))
+    src_deg = edges.join(deg, "src")
+    for _ in range(iterations):
+        contrib = (
+            src_deg.join(scores, F.col("src") == F.col("node"))
+            .select(
+                "dst",
+                F.expr("score div outdeg").alias("contrib"),
+            )
+        )
+        scores = contrib.groupBy("dst").agg(
+            (
+                F.lit(BASE)
+                + F.expr(f"({DAMPING_NUM} * sum(contrib)) div {DAMPING_DEN}")
+            ).alias("score")
+        ).select(F.col("dst").alias("node"), "score")
+    return scores
+
+
+def pagerank_iter_oracle(prev: str, out: str) -> str:
+    """DuckDB CTE fragment: one PageRank iteration reading score table
+    ``prev`` (node, score), writing ``out`` — the oracle twin of one
+    loop body in :func:`pagerank` (same integer truncation, `//`)."""
+    return f"""
+    {out} AS (
+        SELECT e.dst AS node,
+               {BASE} + ({DAMPING_NUM} * sum(s.score // d.outdeg))
+                        // {DAMPING_DEN} AS score
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN {prev} s ON e.src = s.node
+        GROUP BY e.dst
+    )
+    """

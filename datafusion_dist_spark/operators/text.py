@@ -542,3 +542,133 @@ def chunk_documents(
             F.concat_ws(" ", "c.ctoks").alias("chunk_text"),
         )
     )
+
+
+def word_blocks(
+    docs: DataFrame, text_col: str = "text", block_words: int = 20
+) -> DataFrame:
+    """Split each document into consecutive ``block_words``-token
+    blocks: (doc_id, block_idx, block).
+
+    The corpus carries no newline structure, so fixed-size token
+    blocks are the deterministic analog of the paragraph/line splitter
+    a web-corpus pipeline would use ('\\n\\n' in RefinedWeb-style line
+    dedup); downstream operators only need *some* stable sub-document
+    unit. Pure generate/explode inside the scan partition — no shuffle,
+    and a giant document becomes many rows instead of one hot task.
+    """
+    toks = tokens(F.col(text_col))
+    t = (
+        spread(docs)
+        .select("doc_id", toks.alias("_toks"))
+        .withColumn("_n", F.size("_toks"))
+        .filter(F.col("_n") > 0)
+    )
+    # integer block count (n + bw - 1) div bw keeps everything exact
+    starts = F.expr(f"sequence(0, (_n + {block_words} - 1) div {block_words} - 1)")
+    return t.select(
+        "doc_id",
+        F.posexplode(starts).alias("block_idx", "_i"),
+        "_toks",
+    ).select(
+        "doc_id",
+        F.col("block_idx").cast("bigint").alias("block_idx"),
+        F.concat_ws(
+            " ", F.expr(f"slice(_toks, _i * {block_words} + 1, {block_words})")
+        ).alias("block"),
+    )
+
+
+def block_dedup(
+    docs: DataFrame, text_col: str = "text", block_words: int = 20
+) -> DataFrame:
+    """Sub-document exact dedup (RefinedWeb-style line dedup over
+    token blocks): every block that repeats anywhere in the corpus is
+    kept only at its first occurrence (min (doc_id, block_idx)); each
+    document is reassembled from its surviving blocks.
+
+    Plan: blocks → md5 digest → window rank per digest → per-doc
+    ordered reassembly. The duplicate decision groups by the 32-char
+    digest, so the shuffle key is fixed-width regardless of block
+    text; the block payload is shuffled exactly twice (rank + doc
+    reassembly) — no all-pairs, no driver state. At 100 TB both
+    shuffles are hash-partitioned aggs/windows that AQE can re-split
+    on skew (a viral boilerplate block lands in ONE digest partition
+    but its postings are bounded by corpus size, not squared).
+    """
+    blocks = word_blocks(docs, text_col, block_words).withColumn(
+        "_digest", F.md5(F.col("block"))
+    )
+    w = Window.partitionBy("_digest").orderBy("doc_id", "block_idx")
+    ranked = blocks.select(
+        "doc_id",
+        "block_idx",
+        "block",
+        (F.row_number().over(w) == 1).alias("_keep"),
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_blocks"),
+            F.sum(F.col("_keep").cast("bigint")).alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(filter({p}, x -> x._keep), x -> x.block)".format(
+                        p="array_sort(collect_list(struct(block_idx, _keep, block)))"
+                    )
+                ),
+            ).alias("text_dedup"),
+        )
+        .select("doc_id", "n_blocks", "n_kept", "text_dedup")
+    )
+
+
+def boilerplate_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    df_frac: float = 0.25,
+    flag_frac: float = 0.5,
+) -> DataFrame:
+    """Boilerplate detection (CCNet-style common-line filter): a
+    document whose shingles mostly also appear in many OTHER documents
+    is template/boilerplate, not content.
+
+    A word-3-shingle is "common" when its document frequency exceeds
+    ``df_frac`` of the corpus; a document is flagged when more than
+    ``flag_frac`` of its distinct shingles are common. The corpus size
+    enters as a broadcast 1-row scalar — never a driver round-trip —
+    and the shingle⋈df join is keyed on the shingle itself, colocated
+    with the df aggregation's partitioning (one exchange serves both).
+    """
+    from datafusion_dist_spark.functions.hashing import shingle_array
+
+    sh = (
+        spread(docs)
+        .select(
+            "doc_id",
+            F.explode(shingle_array(tokens(F.col(text_col)), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    df_counts = sh.groupBy("shingle").agg(
+        F.count("*").alias("_df")
+    )
+    total = docs.agg(F.count("*").alias("_total"))
+    joined = sh.join(df_counts, "shingle").crossJoin(F.broadcast(total))
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").alias("n_shingles"),
+        F.sum(
+            (F.col("_df") * F.lit(100) > F.col("_total") * F.lit(int(df_frac * 100)))
+            .cast("bigint")
+        ).alias("n_common"),
+    )
+    ratio = F.round(F.col("n_common") / F.col("n_shingles"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_common",
+        ratio.alias("boiler_ratio"),
+        (F.col("n_common") * F.lit(100)
+         >= F.col("n_shingles") * F.lit(int(flag_frac * 100))).alias("is_boiler"),
+    )

@@ -663,3 +663,53 @@ register_sql(
     "the connected-components / org-chart traversals that otherwise "
     "need driver-side loops).",
 )
+
+
+# -- graph analytics -------------------------------------------------------
+
+def _pagerank_oracle() -> str:
+    from datafusion_dist_spark.operators.graph import pagerank_iter_oracle
+
+    iters = ",".join(
+        pagerank_iter_oracle(f"s{i}", f"s{i + 1}") for i in range(3)
+    )
+    return f"""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT 'c:' || CAST(ck AS VARCHAR) AS src,
+                   's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
+            UNION ALL
+            SELECT 's:' || CAST(sk AS VARCHAR) AS src,
+                   'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score
+               FROM deg),
+        {iters}
+        SELECT node, CAST(score AS BIGINT) AS score FROM s3
+    """
+
+
+@register(
+    "graph_pagerank",
+    oracle=_pagerank_oracle(),
+    doc="Fixed-point-integer PageRank (3 iterations, damping 85/100) "
+    "over the customer-supplier interaction graph distilled from "
+    "orders x lineitem. Each iteration is one score-edge join plus "
+    "one destination aggregation chained LAZILY into a single plan — "
+    "no driver-side state between rounds, the repeated edge subtree "
+    "is a ReuseExchange target, and integer div/sum arithmetic makes "
+    "every engine's scores bit-identical regardless of partitioning. "
+    "(operators/graph.py:pagerank)",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dist_spark.operators.graph import bipartite_edges, pagerank
+
+    edges = bipartite_edges(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+    return pagerank(edges, iterations=3)

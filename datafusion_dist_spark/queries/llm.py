@@ -1700,3 +1700,157 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_lm_score(load_table(spark, sf_dir, "documents"))
+
+
+# -- paragraph-block dedup / boilerplate / semantic dedup / graph ---------
+
+_BLOCKS_CTE = f"""
+    toksrc AS (SELECT doc_id, {TOKS} AS toks FROM corpus),
+    blocks AS (
+        SELECT doc_id, CAST(b.i AS BIGINT) AS block_idx,
+               array_to_string(list_slice(toks, b.i*20 + 1, b.i*20 + 20),
+                               ' ') AS block
+        FROM toksrc, UNNEST(range(0, (len(toks) + 19) // 20)) AS b(i)
+        WHERE len(toks) > 0
+    )
+"""
+
+
+@register(
+    "dedup_paragraph_blocks",
+    oracle=f"""
+        WITH {CORPUS_CTE}, {_BLOCKS_CTE},
+        ranked AS (
+            SELECT doc_id, block_idx, block,
+                   row_number() OVER (
+                       PARTITION BY md5(block)
+                       ORDER BY doc_id, block_idx
+                   ) = 1 AS keep
+            FROM blocks
+        )
+        SELECT doc_id,
+               count(*) AS n_blocks,
+               CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+               coalesce(string_agg(block, ' ' ORDER BY block_idx)
+                            FILTER (WHERE keep), '') AS text_dedup
+        FROM ranked GROUP BY doc_id
+    """,
+    doc="Sub-document exact dedup (RefinedWeb-style line dedup over "
+    "20-token blocks): repeated blocks survive only at their first "
+    "(doc_id, block_idx) occurrence; documents are reassembled from "
+    "surviving blocks. Duplicate decision keyed on the fixed-width "
+    "md5 digest, payload shuffled exactly twice. "
+    "(operators/text.py:block_dedup)",
+)
+def dedup_paragraph_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.block_dedup(_corpus(spark, sf_dir))
+
+
+@register(
+    "text_boilerplate_score",
+    oracle=f"""
+        WITH {_shingle_cte("documents")},
+        df AS (SELECT shingle, count(*) AS dfc FROM shingles
+               GROUP BY shingle),
+        tot AS (SELECT count(*) AS total FROM documents)
+        SELECT s.doc_id,
+               count(*) AS n_shingles,
+               CAST(sum(CASE WHEN d.dfc * 100 > t.total * 25
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+               round(CAST(sum(CASE WHEN d.dfc * 100 > t.total * 25
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                     / count(*), 6) AS boiler_ratio,
+               CAST(sum(CASE WHEN d.dfc * 100 > t.total * 25
+                        THEN 1 ELSE 0 END) AS BIGINT) * 100
+                   >= count(*) * 50 AS is_boiler
+        FROM shingles s
+        JOIN df d ON s.shingle = d.shingle
+        CROSS JOIN tot t
+        GROUP BY s.doc_id
+    """,
+    doc="Boilerplate detection (CCNet-style common-line filter): a "
+    "shingle present in >25% of documents is 'common'; a document "
+    "whose distinct shingles are >=50% common is flagged as "
+    "template/boilerplate. Corpus size enters as a broadcast 1-row "
+    "scalar; the shingle-df join is colocated with the df "
+    "aggregation's partitioning. (operators/text.py:boilerplate_score)",
+)
+def text_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.boilerplate_score(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT a.vec_id, a.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        dups AS (
+            SELECT y.vec_id, min(x.vec_id) AS dup_of,
+                   count(*) AS n_dups
+            FROM assigned x
+            JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE {_cos_sql("x.embedding", "y.embedding")} >= 0.5
+            GROUP BY y.vec_id
+        )
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, d.dup_of,
+               CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup: coarse-quantize the embedding "
+    "space (shuffle-free centroid argmax, ivf_assignments), then "
+    "score cosine only within a cluster and mark vectors with a "
+    "lower-id in-cluster neighbor >= 0.5 as semantic duplicates. "
+    "Pair work is sum-of-cluster-sizes squared, not corpus squared; "
+    "K ~ sqrt(N) at scale keeps blocks small. "
+    "(operators/similarity.py:semantic_dedup_decisions)",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup_decisions(emb, n_centroids=8, threshold=0.5)
+
+
+@register(
+    "sample_reservoir",
+    oracle="""
+        SELECT doc_id, lang, rn FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY substr(md5('11:' || CAST(doc_id AS VARCHAR)),
+                                       1, 8),
+                                doc_id
+                   ) AS rn
+            FROM documents
+        ) WHERE rn <= 5
+    """,
+    doc="Deterministic per-stratum reservoir sample: exactly k=5 "
+    "documents per language, chosen by ranking on a seeded md5 hash "
+    "of the key (uniform, reproducible across engines and runs — the "
+    "distributed replacement for driver-seeded random reservoirs). "
+    "One window shuffle on the stratum key; the k*strata result is "
+    "tiny regardless of corpus size.",
+)
+def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datafusion_dist_spark.functions.hashing import hash_hex
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        hash_hex(F.col("doc_id").cast("string"), seed=11), "doc_id"
+    )
+    return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)

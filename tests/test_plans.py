@@ -260,3 +260,68 @@ def test_clean_corpus_no_self_join(spark):
         + facts["n_bnl_joins"]
     ) == 0, facts
     assert facts["n_exchanges"] <= 2, facts
+
+
+def test_semantic_dedup_scorer_once_no_nlj(spark):
+    """SemDeDup: the numpy scorer must run once per side build (no
+    duplicated ArrowEvalPython per column reference), the in-cluster
+    pair join must be an equi-join on cid (never a nested-loop), and
+    assignment must not blow the codegen budget into a cross join."""
+    import re
+
+    from datafusion_dist_spark.queries.llm import dedup_semantic
+
+    df = dedup_semantic(spark, SF_DIR)
+    plan = formatted_plan(df).split("Initial Plan")[0]
+    tree = re.split(r"\n\(\d+\) ", plan)[0]
+    facts = plan_facts(df)
+    assert "BroadcastNestedLoopJoin" not in plan.split("Initial Plan")[0], tree
+    assert "CartesianProduct" not in plan, tree
+    # one scorer eval per self-join side
+    assert tree.count("ArrowEvalPython") <= 2, tree
+
+
+def test_pagerank_no_cartesian_chained_plan(spark):
+    """PageRank chains 3 iterations lazily into one plan: no
+    cartesian/NLJ anywhere, and the per-iteration dst aggregation is
+    two-phase (partial before the exchange) so contribution sums
+    combine map-side."""
+    from datafusion_dist_spark.queries.advanced import graph_pagerank
+
+    df = graph_pagerank(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    facts = plan_facts(df)
+    assert facts["partial_aggregate"], facts
+
+
+def test_block_dedup_digest_keyed_window(spark):
+    """Sub-document dedup: the duplicate decision's window partitions
+    on the fixed-width md5 digest (not raw block text) and the plan
+    has no join at all — block payload moves through exactly the
+    window exchange and the per-doc reassembly exchange."""
+    from datafusion_dist_spark.queries.llm import dedup_paragraph_blocks
+
+    df = dedup_paragraph_blocks(spark, SF_DIR)
+    plan = formatted_plan(df)
+    facts = plan_facts(df)
+    assert (
+        facts["n_broadcast_joins"]
+        + facts["n_sortmerge_joins"]
+        + facts["n_shuffledhash_joins"]
+    ) == 0, facts
+    # Only the digest window + per-doc reassembly may hash-shuffle the
+    # block payload. (spread()'s round-robin on the tiny local input
+    # doesn't exist at scale — the passthrough guard is tested above.)
+    assert plan.count("hashpartitioning") <= 2, plan[:2000]
+    assert "md5" in plan, "window must key on the digest"
+
+
+def test_boilerplate_score_broadcast_total(spark):
+    """Corpus size must enter as a broadcast 1-row scalar, never a
+    shuffle; the shingle-df join colocates with the df aggregation."""
+    from datafusion_dist_spark.queries.llm import text_boilerplate_score
+
+    facts = plan_facts(text_boilerplate_score(spark, SF_DIR))
+    assert facts["n_broadcast_joins"] >= 1, facts
