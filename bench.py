@@ -55,6 +55,7 @@ HEADLINE = [
     "ann_ivf_topk",
     "ann_kmeans_refine",
     "ann_kmeans_converged",
+    "embedding_pq_encode",
     "dedup_substring_spans",
     "dedup_semantic",
     "dedup_paragraph_blocks",

@@ -69,15 +69,29 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
 
     Scale: per iteration exactly one shuffle each for the score⋈edges
     join (on src) and the dst aggregation. Scores are 2 longs per
-    node — the payload never grows with iterations, and the edge-list
-    subtree repeats verbatim so AQE/ReuseExchange materializes it
-    once. 100 TB of lineitem distills to |C|+|S| nodes ≪ input.
+    node — the payload never grows with iterations. The degree-
+    annotated edge list is **persisted once** before iterating:
+    Catalyst inlines each reference to a DataFrame as a full copy of
+    its subtree (measured: 14 re-scans of lineitem for 3 iterations
+    with no cache, zero ReusedExchange), so the edge materialization
+    is the load-bearing step — the same pattern as the persisted
+    MinHash pair set, and Spark's CacheManager keys on the logical
+    plan, so repeated calls share one cache entry instead of piling
+    up. 100 TB of lineitem distills to |C|+|S| nodes ≪ input.
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    src_deg = edges.join(deg, "src").persist()
     # Initial score: 1.0 (== SCALE) for every node. Node set = all
-    # srcs (symmetric graph: srcs == dsts == nodes).
-    scores = deg.select(F.col("src").alias("node"), F.lit(SCALE).alias("score"))
-    src_deg = edges.join(deg, "src")
+    # srcs (symmetric graph: srcs == dsts == nodes); derived from the
+    # cached edge table so nothing upstream re-executes.
+    scores = (
+        src_deg.select("src", "outdeg")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            F.lit(SCALE).cast("bigint").alias("score"),
+        )
+    )
     for _ in range(iterations):
         contrib = (
             src_deg.join(scores, F.col("src") == F.col("node"))

@@ -778,3 +778,85 @@ def semantic_dedup_decisions(
             F.count(f"l.{id_col}").alias("n_dups"),
         )
     )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    n_codes: int = 4,
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Product-quantization encoder: split each vector into
+    ``n_subspaces`` contiguous subvectors and store, per subspace, the
+    id of the nearest codebook centroid — the compressed representation
+    IVF-PQ serving stacks keep in RAM (a 64-dim float32 vector becomes
+    ``n_subspaces`` small ints).
+
+    Codebook: the first ``n_codes`` vectors' subvectors (the same
+    deterministic seed-codebook stand-in as ``ivf_assignments``; a
+    trained codebook would come from ``kmeans_train`` per subspace).
+
+    Exactness: components are quantized to integer micro-units with
+    the same in-plan ROUND both engines share, so each squared-L2
+    distance is an exact BIGINT sum (|x|≤2e6 squared ×16 dims ≈ 6e13,
+    comfortably in range) and argmin needs no float tolerance at all.
+    The codebook rows come from the SAME in-plan transform — no
+    driver-side Python rounding (banker's rounding would diverge from
+    SQL ROUND half-away-from-zero).
+
+    Plan shape: explode to (vec, subspace, offset, micro) quads,
+    broadcast-join the n_subspaces×n_codes×sub_dim codebook, then
+    three shrinking aggregations: (vec,s,code)→distance (partial agg
+    collapses the 256-way fan-out map-side before any shuffle),
+    (vec,s)→argmin via lexicographic struct min, vec→code array. The
+    shuffled rows are a few longs each; the vector payload itself
+    never shuffles.
+    """
+    dim = _probe_dim(embeddings, vec_col) or 1
+    sub_dim = dim // n_subspaces
+
+    def _explode(df: DataFrame, keep: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(keep),
+            F.posexplode(vec_col).alias("_i", "_x"),
+        ).select(
+            keep,
+            F.expr(f"_i div {sub_dim}").alias("s"),
+            (F.col("_i") % sub_dim).alias("o"),
+            F.round(F.col("_x").cast("double") * micro).cast("bigint").alias("m"),
+        )
+
+    ex = _explode(spread(embeddings), "vid")
+    cb = _explode(embeddings.filter(F.col(id_col) < n_codes), "code").select(
+        "code", "s", "o", F.col("m").alias("cm")
+    )
+    d = F.col("m") - F.col("cm")
+    dists = (
+        ex.join(F.broadcast(cb), ["s", "o"])
+        .groupBy("vid", "s", "code")
+        .agg(F.sum(d * d).alias("dist"))
+    )
+    best = (
+        dists.groupBy("vid", "s")
+        .agg(F.min(F.struct("dist", "code")).alias("b"))
+        .select("vid", "s", F.col("b.code").alias("code"), F.col("b.dist").alias("dist"))
+    )
+    # codes as a '-'-joined string: the oracle comparison canonicalizes
+    # scalar columns only (array cells defeat order-insensitive row
+    # sorting on both the driver and the local gate).
+    return (
+        best.groupBy("vid")
+        .agg(
+            F.concat_ws(
+                "-",
+                F.expr(
+                    "transform(array_sort(collect_list(struct(s, code))),"
+                    " x -> CAST(x.code AS STRING))"
+                ),
+            ).alias("codes"),
+            F.sum("dist").alias("total_qerr"),
+        )
+        .select(F.col("vid").alias(id_col), "codes", "total_qerr")
+    )

@@ -1854,3 +1854,50 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_hex(F.col("doc_id").cast("string"), seed=11), "doc_id"
     )
     return d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+
+
+@register(
+    "embedding_pq_encode",
+    oracle="""
+        WITH ex AS (
+            SELECT vec_id, (d.i - 1) // 16 AS s, (d.i - 1) % 16 AS o,
+                   CAST(ROUND(CAST(embedding[d.i] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS m
+            FROM embeddings, UNNEST(range(1, 65)) AS d(i)
+        ),
+        cb AS (
+            SELECT vec_id AS code, s, o, m AS cm FROM ex WHERE vec_id < 4
+        ),
+        dists AS (
+            SELECT e.vec_id, e.s, c.code,
+                   CAST(sum((e.m - c.cm) * (e.m - c.cm)) AS BIGINT) AS dist
+            FROM ex e JOIN cb c ON e.s = c.s AND e.o = c.o
+            GROUP BY e.vec_id, e.s, c.code
+        ),
+        best AS (
+            SELECT vec_id, s, code, dist FROM (
+                SELECT vec_id, s, code, dist,
+                       row_number() OVER (
+                           PARTITION BY vec_id, s
+                           ORDER BY dist, code
+                       ) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        )
+        SELECT vec_id,
+               string_agg(CAST(code AS VARCHAR), '-' ORDER BY s) AS codes,
+               CAST(sum(dist) AS BIGINT) AS total_qerr
+        FROM best GROUP BY vec_id
+    """,
+    doc="Product-quantization encoding (4 subspaces x 16 dims, 4-entry "
+    "seed codebook per subspace): each vector compresses to 4 small "
+    "code ids + an exact integer quantization error. Components are "
+    "quantized to micro-units in-plan so every squared-L2 distance is "
+    "an exact BIGINT and the argmin is tolerance-free; the codebook "
+    "broadcast-joins and three shrinking aggregations never shuffle "
+    "the vector payload. The compressed form is what an IVF-PQ "
+    "serving stack holds in RAM. (operators/similarity.py:pq_encode)",
+)
+def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.pq_encode(emb, n_codes=4, n_subspaces=4)

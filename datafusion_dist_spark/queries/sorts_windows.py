@@ -279,3 +279,54 @@ register_sql(
     doc="Distribution window functions: percent_rank / cume_dist over "
     "a named WINDOW clause.",
 )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+        SELECT event_id, user_id, v,
+               last_value(v IGNORE NULLS) OVER w_run AS fill_v,
+               first_value(v IGNORE NULLS) OVER w_run AS first_v,
+               nth_value(v, 2 IGNORE NULLS) OVER w_full AS second_v
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'view' THEN NULL
+                        ELSE CAST(ROUND(value*100) AS BIGINT) END AS v
+            FROM events
+        )
+        WINDOW
+            w_run AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            w_full AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    """,
+    doc="IGNORE NULLS window semantics: last_value over a running "
+    "frame is the canonical distributed forward-fill (carry the last "
+    "observed reading over a gap), first_value/nth_value pin the "
+    "full-frame variants. One shuffle on the partition key serves "
+    "all three (shared WINDOW frame).",
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(
+        F.round(F.col("value") * 100).cast("bigint")
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select("event_id", "user_id", "ts", v.alias("v")).select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w_run).alias("fill_v"),
+        F.first("v", ignorenulls=True).over(w_run).alias("first_v"),
+        F.nth_value("v", 2, ignoreNulls=True).over(w_full).alias("second_v"),
+    )
