@@ -705,21 +705,30 @@ def semantic_dedup_decisions(
     semantic duplicate (dup_of = the smallest such neighbor id).
 
     This is the published SemDeDup recipe (k-means then intra-cluster
-    cosine pruning) expressed as two DataFrame stages: a shuffle-free
-    coarse-quantizer projection followed by a cid-keyed self-join.
-    Pair work drops from O(N²) to O(sum of cluster sizes²); at 100 TB
-    the operating point is K ≈ sqrt(N) so each cluster's block is
-    small — K is the knob, and the join shuffles on cid so AQE splits
-    any fat cluster. Output is one row per vector (keep/drop
-    decision), not a pair list.
+    cosine pruning) in its production shape: a shuffle-free
+    coarse-quantizer projection, then ONE applyInPandas over cid
+    groups that scores each cluster's pair matrix with vectorized
+    numpy (row-blocked to bound memory). Pair work drops from O(N²)
+    to O(sum of cluster sizes²); at 100 TB the operating point is
+    K ≈ sqrt(N) so each cluster's block is small — K is the knob, and
+    the grouped map shuffles each vector exactly once, keyed on cid.
 
-    Assignment uses the Arrow-batched numpy scorer, not the unrolled
-    K×dim SQL argmax: combined with the pair-join stage the unrolled
-    form exceeds Janino's 64 KB method limit and silently drops the
-    whole stage to interpreted mode (measured 10.3 s → 1.4 s at
-    sf0.01). The scorer is bit-identical to the SQL fold
-    (property-tested), so the oracle still hash-matches.
+    Exactness split: Python computes the RAW cosine with the SQL
+    fold's exact operation order (left-to-right accumulation of
+    per-dimension products — the same discipline as
+    ``_numpy_ivf_scorer``, extended pairwise via rank-1 updates), and
+    emits candidate pairs passing a conservatively widened raw
+    threshold; the EXACT decision ``round(score, 6) >= threshold``
+    runs in the Spark plan, where ROUND already matches the DuckDB
+    oracle bit-for-bit. np.round (banker's) never touches a score.
+
+    A previous shape (cid self-join with the 64-term rounded cosine
+    in the join condition) was 2.5× slower: the joined pair rows
+    materialize two full vectors each and the giant condition blows
+    whole-stage codegen's 64 KB method budget.
     """
+    import numpy as np
+
     dim = _probe_dim(embeddings, vec_col) or 1
     cent_rows = (
         embeddings.filter(F.col(id_col) < n_centroids)
@@ -746,37 +755,61 @@ def semantic_dedup_decisions(
         .select(
             id_col,
             vec_col,
-            F.expr(f"sqrt({_dot_sql(vec_col, vec_col, dim)})").alias("_norm"),
             _rounded_argmax_cid(cent_rows).alias("cid"),
         )
     )
-    l, r = a.alias("l"), a.alias("r")
-    score = F.round(
-        _dot(f"l.{vec_col}", f"r.{vec_col}", dim)
-        / (F.col("l._norm") * F.col("r._norm")),
-        6,
+    # Any raw score whose 6dp rounding can reach the threshold is
+    # >= threshold - 5e-7; widen to 1e-6 so the Python prefilter is a
+    # strict superset of the exact in-plan decision.
+    raw_cut = threshold - 1e-6
+
+    def _pair_scores(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        cid = int(pdf["cid"].iloc[0])
+        n = len(pdf)
+        out_id, out_nbr, out_score = [ids], [np.full(n, -1)], [np.full(n, np.nan)]
+        if n > 1:
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # norms with the fold's left-to-right order
+            sq = V[:, 0] * V[:, 0]
+            for i in range(1, dim):
+                sq = sq + V[:, i] * V[:, i]
+            norm = np.sqrt(sq)
+            block = 2048  # bounds the pair matrix to block×n doubles
+            for lo in range(0, n, block):
+                hi = min(lo + block, n)
+                D = np.multiply.outer(V[lo:hi, 0], V[:, 0])
+                for i in range(1, dim):
+                    D = D + np.multiply.outer(V[lo:hi, i], V[:, i])
+                S = D / np.multiply.outer(norm[lo:hi], norm)
+                # candidate pairs: lower-id (column) < this row's id
+                r_idx, c_idx = np.nonzero(
+                    (S >= raw_cut) & (np.arange(n)[None, :] < (lo + np.arange(hi - lo))[:, None])
+                )
+                out_id.append(ids[r_idx + lo])
+                out_nbr.append(ids[c_idx])
+                out_score.append(S[r_idx, c_idx])
+        return pd.DataFrame(
+            {
+                id_col: np.concatenate(out_id),
+                "cid": cid,
+                "nbr": np.concatenate(out_nbr),
+                "score": np.concatenate(out_score),
+            }
+        )
+
+    cand = a.groupBy("cid").applyInPandas(
+        _pair_scores,
+        schema=f"{id_col} long, cid long, nbr long, score double",
     )
-    # ONE left join carries both the pair scoring and the per-vector
-    # decision: r is every vector, l its candidate lower-id in-cluster
-    # neighbors, with the cosine threshold folded into the join
-    # condition. A separate pairs→decisions join would re-evaluate the
-    # scorer a third time for the decision base.
-    return (
-        r.join(
-            l,
-            (F.col("l.cid") == F.col("r.cid"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-            & (score >= threshold),
-            "left",
-        )
-        .groupBy(
-            F.col(f"r.{id_col}").alias(id_col),
-            F.col("r.cid").cast("bigint").alias("cid"),
-        )
-        .agg(
-            F.min(f"l.{id_col}").alias("dup_of"),
-            F.count(f"l.{id_col}").alias("n_dups"),
-        )
+    # The sentinel row (nbr = -1, score = null) per vector carries the
+    # decision base; the EXACT rounded-threshold filter and the
+    # min/count aggregation stay in the plan.
+    passes = (F.col("nbr") >= 0) & (F.round(F.col("score"), 6) >= threshold)
+    return cand.groupBy(id_col, "cid").agg(
+        F.min(F.when(passes, F.col("nbr"))).alias("dup_of"),
+        F.sum(F.when(passes, 1).otherwise(0)).cast("bigint").alias("n_dups"),
     )
 
 
