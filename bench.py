@@ -56,6 +56,7 @@ HEADLINE = [
     "ann_kmeans_refine",
     "ann_kmeans_converged",
     "embedding_pq_encode",
+    "ann_ivf_pq_topk",
     "dedup_substring_spans",
     "dedup_semantic",
     "dedup_paragraph_blocks",

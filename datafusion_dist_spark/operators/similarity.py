@@ -847,35 +847,7 @@ def pq_encode(
     shuffled rows are a few longs each; the vector payload itself
     never shuffles.
     """
-    dim = _probe_dim(embeddings, vec_col) or 1
-    sub_dim = dim // n_subspaces
-
-    def _explode(df: DataFrame, keep: str) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias(keep),
-            F.posexplode(vec_col).alias("_i", "_x"),
-        ).select(
-            keep,
-            F.expr(f"_i div {sub_dim}").alias("s"),
-            (F.col("_i") % sub_dim).alias("o"),
-            F.round(F.col("_x").cast("double") * micro).cast("bigint").alias("m"),
-        )
-
-    ex = _explode(spread(embeddings), "vid")
-    cb = _explode(embeddings.filter(F.col(id_col) < n_codes), "code").select(
-        "code", "s", "o", F.col("m").alias("cm")
-    )
-    d = F.col("m") - F.col("cm")
-    dists = (
-        ex.join(F.broadcast(cb), ["s", "o"])
-        .groupBy("vid", "s", "code")
-        .agg(F.sum(d * d).alias("dist"))
-    )
-    best = (
-        dists.groupBy("vid", "s")
-        .agg(F.min(F.struct("dist", "code")).alias("b"))
-        .select("vid", "s", F.col("b.code").alias("code"), F.col("b.dist").alias("dist"))
-    )
+    best = pq_codes(embeddings, n_codes, n_subspaces, id_col, vec_col, micro)
     # codes as a '-'-joined string: the oracle comparison canonicalizes
     # scalar columns only (array cells defeat order-insensitive row
     # sorting on both the driver and the local gate).
@@ -892,4 +864,166 @@ def pq_encode(
             F.sum("dist").alias("total_qerr"),
         )
         .select(F.col("vid").alias(id_col), "codes", "total_qerr")
+    )
+
+def _pq_explode(
+    df: DataFrame,
+    keep: str,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+    micro: int,
+) -> DataFrame:
+    """Vector → (id, subspace, offset, micro-unit component) quads.
+    Quantization uses in-plan SQL ROUND so both engines agree
+    bit-for-bit (Python's banker's rounding would diverge)."""
+    return df.select(
+        F.col(id_col).alias(keep),
+        F.posexplode(vec_col).alias("_i", "_x"),
+    ).select(
+        keep,
+        F.expr(f"_i div {sub_dim}").alias("s"),
+        (F.col("_i") % sub_dim).alias("o"),
+        F.round(F.col("_x").cast("double") * micro).cast("bigint").alias("m"),
+    )
+
+
+def pq_subspace_codebook(
+    embeddings: DataFrame,
+    n_codes: int,
+    sub_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """(code, s, o, cm) micro-unit codebook: the first ``n_codes``
+    vectors' subvectors, built by the same in-plan transform as the
+    data side so quantization is identical."""
+    return _pq_explode(
+        embeddings.filter(F.col(id_col) < n_codes),
+        "code", sub_dim, id_col, vec_col, micro,
+    ).select("code", "s", "o", F.col("m").alias("cm"))
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    n_codes: int = 4,
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """PQ code assignment: (vid, s, code, dist) — per vector and
+    subspace, the nearest codebook entry by exact integer squared-L2.
+    Shared core of :func:`pq_encode` and :func:`ivf_pq_topk`."""
+    dim = _probe_dim(embeddings, vec_col) or 1
+    sub_dim = dim // n_subspaces
+    ex = _pq_explode(spread(embeddings), "vid", sub_dim, id_col, vec_col, micro)
+    cb = pq_subspace_codebook(embeddings, n_codes, sub_dim, id_col, vec_col, micro)
+    d = F.col("m") - F.col("cm")
+    dists = (
+        ex.join(F.broadcast(cb), ["s", "o"])
+        .groupBy("vid", "s", "code")
+        .agg(F.sum(d * d).alias("dist"))
+    )
+    return (
+        dists.groupBy("vid", "s")
+        .agg(F.min(F.struct("dist", "code")).alias("b"))
+        .select(
+            "vid", "s", F.col("b.code").alias("code"), F.col("b.dist").alias("dist")
+        )
+    )
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    query_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    n_codes: int = 4,
+    n_subspaces: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the full two-level ANN serving
+    stack: an IVF coarse quantizer prunes the corpus to ``nprobe``
+    inverted lists, then candidates are ranked by PQ **asymmetric
+    distance** (ADC): the query's raw subvectors are compared to each
+    subspace codebook entry ONCE (an n_subspaces×n_codes lookup
+    table), and a candidate's distance is the sum of table lookups on
+    its stored codes — no candidate vector is ever touched.
+
+    Exactness: the ADC table is built in-plan from the query row's
+    micro-quantized components (``query_id`` names the table row the
+    query came from; a free-standing vector would be quantized
+    driver-side with SQL-equivalent rounding), so every distance is
+    an exact BIGINT and the ranking needs no float tolerance.
+
+    Plan shape: the codes pipeline shuffles a few longs per vector;
+    the ADC table and the probe list broadcast; the only join against
+    per-vector state is codes⋈assignment on vec_id. At 100 TB both
+    cid and the PQ codes are ingest-time columns of the SAME row (the
+    serving index), collapsing that join into a pure scan: this
+    composition is the query-time plan, not the storage layout.
+    """
+    dim = _probe_dim(embeddings, vec_col) or 1
+    sub_dim = dim // n_subspaces
+    spark = embeddings.sparkSession
+    # Coarse probes: identical driver-side ranking to ivf_topk.
+    q = F.lit([float(v) for v in query_vec])
+    cent_rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.round(cosine(F.col(vec_col), q, None), 6).alias("qsim"),
+        )
+        .collect()
+    )
+    probe_cids = [
+        int(r.cid)
+        for r in sorted(cent_rows, key=lambda r: (-r.qsim, r.cid))[:nprobe]
+    ]
+    probes = spark.createDataFrame([(c,) for c in probe_cids], "pcid long")
+    scorer = _numpy_ivf_scorer(
+        [[float(v) for v in r.cvec] for r in cent_rows],
+        [_lit_norm(r.cvec) for r in cent_rows],
+        [float(v) for v in query_vec],
+        _lit_norm(query_vec),
+    )
+    assigned = (
+        embeddings.select(id_col, scorer(F.col(vec_col)).alias("s"))
+        .select(F.col(id_col).alias("vid"), _rounded_argmax_cid(cent_rows).alias("cid"))
+        .join(F.broadcast(probes), F.col("cid") == F.col("pcid"), "left_semi")
+    )
+    # ADC lookup table: query subvector vs every codebook entry.
+    cb = pq_subspace_codebook(embeddings, n_codes, sub_dim, id_col, vec_col, micro)
+    qx = _pq_explode(
+        embeddings.filter(F.col(id_col) == query_id),
+        "qid", sub_dim, id_col, vec_col, micro,
+    )
+    dq = F.col("m") - F.col("cm")
+    adc_table = (
+        qx.join(cb, ["s", "o"])
+        .groupBy("s", "code")
+        .agg(F.sum(dq * dq).alias("qdist"))
+    )
+    codes = pq_codes(embeddings, n_codes, n_subspaces, id_col, vec_col, micro)
+    adc = (
+        codes.join(F.broadcast(adc_table), ["s", "code"])
+        .groupBy("vid")
+        .agg(F.sum("qdist").alias("adc_dist"))
+    )
+    return (
+        assigned.join(adc, "vid")
+        .select(
+            F.col("vid").alias(id_col),
+            F.col("cid").cast("bigint").alias("cid"),
+            "adc_dist",
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+        .limit(k)
     )

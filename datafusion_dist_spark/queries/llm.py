@@ -1901,3 +1901,88 @@ def sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.pq_encode(emb, n_codes=4, n_subspaces=4)
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id < 8
+        ),
+        assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT a.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+        probes AS (
+            SELECT cid FROM cents, q
+            ORDER BY {_cos_sql("cvec", "qvec")} DESC, cid ASC
+            LIMIT 2
+        ),
+        ex AS (
+            SELECT vec_id, (d.i - 1) // 16 AS s, (d.i - 1) % 16 AS o,
+                   CAST(ROUND(CAST(embedding[d.i] AS DOUBLE) * 1000000)
+                        AS BIGINT) AS m
+            FROM embeddings, UNNEST(range(1, 65)) AS d(i)
+        ),
+        cb AS (
+            SELECT vec_id AS code, s, o, m AS cm FROM ex WHERE vec_id < 4
+        ),
+        dists AS (
+            SELECT e.vec_id, e.s, c.code,
+                   CAST(sum((e.m - c.cm) * (e.m - c.cm)) AS BIGINT) AS dist
+            FROM ex e JOIN cb c ON e.s = c.s AND e.o = c.o
+            GROUP BY e.vec_id, e.s, c.code
+        ),
+        best AS (
+            SELECT vec_id, s, code FROM (
+                SELECT vec_id, s, code,
+                       row_number() OVER (
+                           PARTITION BY vec_id, s
+                           ORDER BY dist, code
+                       ) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT c.code, e.s,
+                   CAST(sum((e.m - c.cm) * (e.m - c.cm)) AS BIGINT) AS qdist
+            FROM ex e JOIN cb c ON e.s = c.s AND e.o = c.o
+            WHERE e.vec_id = 0
+            GROUP BY c.code, e.s
+        ),
+        adc AS (
+            SELECT b.vec_id, CAST(sum(t.qdist) AS BIGINT) AS adc_dist
+            FROM best b JOIN qtab t ON b.s = t.s AND b.code = t.code
+            GROUP BY b.vec_id
+        )
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, d.adc_dist
+        FROM assigned a
+        JOIN probes p ON a.cid = p.cid
+        JOIN adc d ON d.vec_id = a.vec_id
+        ORDER BY d.adc_dist ASC, a.vec_id ASC LIMIT 10
+    """,
+    doc="IVF-PQ approximate top-10 — the full two-level ANN serving "
+    "stack: IVF prunes to the 2 probed inverted lists, PQ asymmetric "
+    "distance ranks candidates by summing a broadcast "
+    "subspace-distance lookup table over each vector's stored codes "
+    "(exact BIGINT arithmetic end-to-end, no candidate vector "
+    "touched). At scale cid and the codes are ingest-time columns of "
+    "one row, so the query is a probe-pruned scan plus table "
+    "lookups. (operators/similarity.py:ivf_pq_topk)",
+)
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = _query_vec(spark, sf_dir)
+    return similarity.ivf_pq_topk(
+        emb, list(qvec), query_id=0, k=10, n_centroids=8, nprobe=2,
+        n_codes=4, n_subspaces=4,
+    )

@@ -325,3 +325,17 @@ def test_boilerplate_score_broadcast_total(spark):
 
     facts = plan_facts(text_boilerplate_score(spark, SF_DIR))
     assert facts["n_broadcast_joins"] >= 1, facts
+
+
+def test_ivf_pq_adc_broadcasts_lookup_table(spark):
+    """IVF-PQ: the probe list and the ADC lookup table must broadcast
+    (the only shuffled state is the codes pipeline's few-longs rows),
+    no cartesian anywhere, and the final ranking compiles to TopK."""
+    from datafusion_dist_spark.queries.llm import ann_ivf_pq_topk
+
+    df = ann_ivf_pq_topk(spark, SF_DIR)
+    plan = formatted_plan(df)
+    facts = plan_facts(df)
+    assert "CartesianProduct" not in plan
+    assert facts["n_broadcast_joins"] >= 2, facts
+    assert facts["has_topk"], facts
