@@ -178,3 +178,44 @@ def sample_frames(
             )
 
     return spread(payloads).mapInPandas(_sample, FRAME_SCHEMA)
+
+
+def perceptual_hash(
+    payloads: DataFrame, bits: int = 16, window: int = 256
+) -> DataFrame:
+    """Deterministic pHash analog over opaque binary payloads: bit i is
+    the parity of the byte-sum of the i-th ``window/bits``-byte chunk
+    of the payload's first ``window`` bytes.
+
+    A real image pHash reduces pixel blocks to sign bits after a
+    decoder+DCT pass; with decoders stubbed (build contract), byte-
+    chunk parities exercise the identical shape — Python computes the
+    hash FROM THE BYTES in an Arrow-batched mapInPandas (exactly
+    where the decoder would run), while the oracle recomputes it from
+    the source text's character codes (the payload is UTF-8-encoded
+    ASCII, so byte k == ascii(char k)).
+
+    Output (doc_id, phash BIGINT) plugs straight into the SimHash
+    Hamming-banding machinery (operators/dedup.py:
+    simhash_hamming_pairs) — one sketch-pair pipeline serves text and
+    media alike.
+    """
+    import pandas as pd
+
+    chunk = window // bits
+
+    def _hash(it):
+        for pdf in it:
+            pdf = pdf[pdf["payload"].notna()]
+            def one(b: bytes) -> int:
+                h = 0
+                head = b[:window]
+                for i in range(bits):
+                    if sum(head[i * chunk : (i + 1) * chunk]) % 2:
+                        h |= 1 << i
+                return h
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "phash": pdf["payload"].map(one)}
+            )
+
+    return spread(payloads).mapInPandas(_hash, "doc_id long, phash long")

@@ -1986,3 +1986,36 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, list(qvec), query_id=0, k=10, n_centroids=8, nprobe=2,
         n_codes=4, n_subspaces=4,
     )
+
+@register(
+    "multimodal_phash_pairs",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        ph AS (
+            SELECT doc_id,
+                   CAST((coalesce(list_sum(list_transform(range(1, least(length(text), 16) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 1 + (coalesce(list_sum(list_transform(range(17, least(length(text), 32) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 2 + (coalesce(list_sum(list_transform(range(33, least(length(text), 48) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 4 + (coalesce(list_sum(list_transform(range(49, least(length(text), 64) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 8 + (coalesce(list_sum(list_transform(range(65, least(length(text), 80) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 16 + (coalesce(list_sum(list_transform(range(81, least(length(text), 96) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 32 + (coalesce(list_sum(list_transform(range(97, least(length(text), 112) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 64 + (coalesce(list_sum(list_transform(range(113, least(length(text), 128) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 128 + (coalesce(list_sum(list_transform(range(129, least(length(text), 144) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 256 + (coalesce(list_sum(list_transform(range(145, least(length(text), 160) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 512 + (coalesce(list_sum(list_transform(range(161, least(length(text), 176) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 1024 + (coalesce(list_sum(list_transform(range(177, least(length(text), 192) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 2048 + (coalesce(list_sum(list_transform(range(193, least(length(text), 208) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 4096 + (coalesce(list_sum(list_transform(range(209, least(length(text), 224) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 8192 + (coalesce(list_sum(list_transform(range(225, least(length(text), 240) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 16384 + (coalesce(list_sum(list_transform(range(241, least(length(text), 256) + 1), i -> ascii(substr(text, i, 1)))), 0) % 2) * 32768
+                        AS BIGINT) AS phash
+            FROM corpus
+        )
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= 2
+    """,
+    doc="Media near-dup pairs by perceptual hash: a 16-bit byte-chunk-"
+    "parity pHash computed from the binary payload in Arrow-batched "
+    "Python (where the real decoder+DCT would run), then the SimHash "
+    "bit-block pigeonhole banding finds all pairs within Hamming "
+    "distance 2 without an all-pairs join. One sketch-pair pipeline "
+    "serves text and media alike. "
+    "(operators/multimodal.py:perceptual_hash, "
+    "operators/dedup.py:simhash_hamming_pairs)",
+)
+def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pay = multimodal.attach_payload(_corpus(spark, sf_dir))
+    ph = multimodal.perceptual_hash(pay, bits=16, window=256)
+    return dedup.simhash_hamming_pairs(
+        ph.select("doc_id", F.col("phash").alias("simhash")),
+        bits=16,
+        max_distance=2,
+    )
