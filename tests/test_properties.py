@@ -322,3 +322,64 @@ def test_ngram_cap_bounds_stop_shingle_pairs(spark):
     # Capped scores never exceed exact scores anywhere.
     merged = capped.merge(uncapped, on=["a_id", "b_id"], suffixes=("_c", "_u"))
     assert (merged.jaccard_c <= merged.jaccard_u).all()
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100.0, max_value=100.0, width=32, allow_nan=False
+            ),
+            min_size=16,
+            max_size=16,
+        ),
+        min_size=4,
+        max_size=12,
+    )
+)
+def test_semantic_dedup_matches_bruteforce_oracle(spark, vecs):
+    """The grouped-numpy pairwise scorer (rank-1-update accumulation +
+    conservative raw prefilter) must reproduce the brute-force
+    all-pairs DuckDB decision EXACTLY on adversarial float32 vectors:
+    the prefilter may never drop a pair whose rounded cosine reaches
+    the threshold, and the in-plan round must make the final decision.
+    Single-centroid setup puts every vector in one cluster so the
+    brute force needs no assignment CTE."""
+    import numpy as np
+
+    from datafusion_dist_spark.operators.similarity import (
+        semantic_dedup_decisions,
+    )
+    from tests.oracle_compare import assert_frames_match
+
+    vecs = [v for v in vecs if any(x != 0.0 for x in v)]
+    if len(vecs) < 3:
+        return
+    rows = [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = semantic_dedup_decisions(df, n_centroids=1, threshold=0.5).toPandas()
+    con = duckdb.connect()
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [r[0] for r in rows],
+            "embedding": [r[1] for r in rows],
+        }
+    )
+    con.register("embeddings", pdf)
+    exp = con.execute(
+        """
+        WITH dups AS (
+            SELECT y.vec_id, min(x.vec_id) AS dup_of, count(*) AS n_dups
+            FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id
+            WHERE round(CAST(list_cosine_similarity(
+                      CAST(x.embedding AS DOUBLE[]),
+                      CAST(y.embedding AS DOUBLE[])) AS DOUBLE), 6) >= 0.5
+            GROUP BY y.vec_id
+        )
+        SELECT e.vec_id, CAST(0 AS BIGINT) AS cid, d.dup_of,
+               CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
+        FROM embeddings e LEFT JOIN dups d USING (vec_id)
+        """
+    ).fetchdf()
+    assert_frames_match(got, exp, "semantic_dedup_property")
