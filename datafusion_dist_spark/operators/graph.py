@@ -30,6 +30,11 @@ DAMPING_NUM = 85  # damping 0.85 as an exact rational 85/100
 DAMPING_DEN = 100
 BASE = SCALE * (DAMPING_DEN - DAMPING_NUM) // DAMPING_DEN  # (1-d)*SCALE
 
+# Single-entry cache for the degree-annotated edge table (see
+# pagerank); bounded like llm._PAIR_CACHE so a session sweeping
+# multiple graphs never pins more than one edge list.
+_CACHED_SRC_DEG: DataFrame | None = None
+
 
 def bipartite_edges(
     orders: DataFrame, lineitem: DataFrame
@@ -75,12 +80,22 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     its subtree (measured: 14 re-scans of lineitem for 3 iterations
     with no cache, zero ReusedExchange), so the edge materialization
     is the load-bearing step — the same pattern as the persisted
-    MinHash pair set, and Spark's CacheManager keys on the logical
-    plan, so repeated calls share one cache entry instead of piling
-    up. 100 TB of lineitem distills to |C|+|S| nodes ≪ input.
+    MinHash pair set. The cache is bounded to a SINGLE entry: a call
+    over a different edge input unpersists the previous table first
+    (CacheManager keys on the logical plan, so identical repeated
+    calls still share one entry; an interleaved second graph merely
+    recomputes, never miscomputes). 100 TB of lineitem distills to
+    |C|+|S| nodes ≪ input.
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    global _CACHED_SRC_DEG
+    if _CACHED_SRC_DEG is not None:
+        try:
+            _CACHED_SRC_DEG.unpersist()
+        except Exception:  # session of the stale entry may be gone
+            pass
     src_deg = edges.join(deg, "src").persist()
+    _CACHED_SRC_DEG = src_deg
     # Initial score: 1.0 (== SCALE) for every node. Node set = all
     # srcs (symmetric graph: srcs == dsts == nodes); derived from the
     # cached edge table so nothing upstream re-executes.
