@@ -504,9 +504,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
 
-@register(
-    "text_quality",
-    oracle=f"""
+_QUALITY_SQL = f"""
         WITH t AS (
             SELECT doc_id, {TOKS} AS toks, text FROM documents
         ), m AS (
@@ -535,7 +533,11 @@ _STOP_IN = ", ".join(f"'{w}'" for w in text.STOPWORDS)
                               THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END), 6)
                  AS quality
         FROM m
-    """,
+"""
+
+@register(
+    "text_quality",
+    oracle=_QUALITY_SQL,
     doc="Heuristic quality scoring: length / stopword ratio / "
     "repetition ratio → composite score. (operators/text.py:quality_score)",
 )
@@ -2018,4 +2020,98 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ph.select("doc_id", F.col("phash").alias("simhash")),
         bits=16,
         max_distance=2,
+    )
+
+
+@register(
+    "pipeline_quality_buckets",
+    oracle=f"""
+        WITH q AS ({_QUALITY_SQL})
+        SELECT bucket,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               min(quality) AS min_q,
+               max(quality) AS max_q
+        FROM (
+            SELECT doc_id, n_tokens, quality,
+                   ntile(10) OVER (ORDER BY quality, doc_id) AS bucket
+            FROM q
+        ) GROUP BY bucket
+    """,
+    doc="Curriculum / quality-binning pass: decile-bucket the corpus "
+    "by the heuristic quality score (ntile with a doc_id tiebreak so "
+    "the split is deterministic), then per-bucket volume stats — the "
+    "shape that feeds mix weighting or staged training curricula. "
+    "One global-sort window on a scalar projection (the text never "
+    "enters the window) + one tiny aggregation.",
+)
+def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    q = text.quality_score(load_table(spark, sf_dir, "documents"))
+    w = Window.orderBy("quality", "doc_id")
+    return (
+        q.select("doc_id", "n_tokens", "quality")
+        .withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+    )
+
+
+@register(
+    "entity_match_fuzzy",
+    oracle="""
+        WITH ents AS (
+            SELECT c_custkey AS ent_key, c_name AS name FROM customer
+            UNION ALL
+            SELECT c_custkey + 1000000 AS ent_key,
+                   substr(c_name, 1, length(c_name) - 1) || 'X' AS name
+            FROM customer WHERE c_custkey % 10 = 0
+        )
+        SELECT a.ent_key AS a_key, b.ent_key AS b_key,
+               CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+        FROM ents a JOIN ents b
+          ON substr(a.name, 1, 16) = substr(b.name, 1, 16)
+         AND a.ent_key < b.ent_key
+        WHERE levenshtein(a.name, b.name) <= 1
+    """,
+    doc="Entity resolution by blocked fuzzy matching: entities (plus "
+    "a deterministic typo'd copy of every 10th) block on a 16-char "
+    "name prefix, then candidates verify with exact Levenshtein "
+    "distance <= 1 — the classic block-then-verify shape that "
+    "replaces the quadratic all-pairs string comparison (blocks are "
+    "bounded key ranges; the join shuffles on the fixed-width "
+    "prefix, and AQE splits a skewed block).",
+)
+def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    typo = c.filter(F.col("c_custkey") % 10 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("ent_key"),
+        F.concat(
+            F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
+        ).alias("name"),
+    )
+    ents = c.select(
+        F.col("c_custkey").alias("ent_key"), F.col("c_name").alias("name")
+    ).unionByName(typo)
+    blocked = ents.withColumn("blk", F.expr("substr(name, 1, 16)"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.ent_key") < F.col("b.ent_key")),
+        )
+        .select(
+            F.col("a.ent_key").alias("a_key"),
+            F.col("b.ent_key").alias("b_key"),
+            dist.cast("int").alias("dist"),
+        )
+        .filter(F.col("dist") <= 1)
     )
