@@ -542,3 +542,53 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             "deviation"
         ),
     )
+
+
+@register(
+    "join_range_banded",
+    oracle="""
+        SELECT a.event_id, count(b.event_id) AS n_close
+        FROM (SELECT event_id, value FROM events WHERE event_id < 3000) a
+        LEFT JOIN (SELECT event_id, value FROM events
+                   WHERE event_id < 3000) b
+          ON abs(a.value - b.value) <= 0.5 AND a.event_id <> b.event_id
+        GROUP BY a.event_id
+    """,
+    doc="Range-ONLY join (no equi key): per event, how many other "
+    "events fall within +/-0.5 of its value. Spark has no native "
+    "band join, so the range predicate is rewritten as an equi-join "
+    "on width-0.5 value buckets: one side explodes to its bucket "
+    "+/- 1 (any pair within the band straddles at most adjacent "
+    "buckets, so candidates are a proven superset), the exact "
+    "|a-b| <= 0.5 predicate verifies, and each true pair lands in "
+    "exactly one bucket cell (the probed bucket ids are distinct). "
+    "This replaces the BroadcastNestedLoopJoin Spark would otherwise "
+    "pick — O(n*k) candidates instead of O(n^2), shuffled on a "
+    "fixed-width long key that AQE can re-split on skew.",
+)
+def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    width = 0.5
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 3000)
+        .select("event_id", "value")
+    )
+    bb = F.floor(F.col("value") / width).cast("bigint")
+    lhs = base.select(
+        "event_id",
+        "value",
+        F.explode(F.array(bb - 1, bb, bb + 1)).alias("nb"),
+    )
+    rhs = base.select(
+        F.col("event_id").alias("b_id"),
+        F.col("value").alias("b_value"),
+        bb.alias("bb"),
+    )
+    j = lhs.join(
+        rhs,
+        (F.col("nb") == F.col("bb"))
+        & (F.abs(F.col("value") - F.col("b_value")) <= width)
+        & (F.col("event_id") != F.col("b_id")),
+        "left_outer",
+    )
+    return j.groupBy("event_id").agg(F.count("b_id").alias("n_close"))

@@ -339,3 +339,13 @@ def test_ivf_pq_adc_broadcasts_lookup_table(spark):
     assert "CartesianProduct" not in plan
     assert facts["n_broadcast_joins"] >= 2, facts
     assert facts["has_topk"], facts
+
+
+def test_banded_range_join_no_nlj(spark):
+    """The range-only join must run as a bucket equi-join, never the
+    BroadcastNestedLoopJoin Spark picks for a bare range predicate."""
+    from datafusion_dist_spark.queries.temporal import join_range_banded
+
+    plan = formatted_plan(join_range_banded(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan.split("Initial Plan")[0]
+    assert "CartesianProduct" not in plan
