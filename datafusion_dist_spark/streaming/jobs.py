@@ -285,3 +285,55 @@ def stream_static_enrich_agg(events: DataFrame, dim: DataFrame) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("value_c"),
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful streaming via ``transformWithStateInPandas``
+    (Spark 4's successor to applyInPandasWithState): a ValueState per
+    user carries (event count, cents total) across micro-batches and
+    each batch emits the user's updated running totals.
+
+    Exactness discipline: the cents column is computed IN-PLAN
+    (round(value*100) as BIGINT) before the stateful operator, so
+    Python only ever adds integers — no pandas banker's-rounding in
+    the state path. State is two longs per user: at scale this is the
+    canonical online-feature/running-aggregate operator with state
+    bounded by cardinality, not history; requires the RocksDB state
+    store provider (set by the runner/test conf).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, sum_value_c BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, sc = self._totals.get()
+            else:
+                n, sc = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                sc += int(pdf["value_c"].sum())
+            self._totals.update((n, sc))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n": [n], "sum_value_c": [sc]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    cents = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )
+    return cents.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id BIGINT, n BIGINT, sum_value_c BIGINT",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -3,6 +3,8 @@ exactly the batch query's result when driven over the same files."""
 
 from __future__ import annotations
 
+import pytest
+
 from datafusion_dist_spark.queries.temporal import events_window_tumble
 from datafusion_dist_spark.streaming import run_stream_to_memory, streaming_tumble_agg
 from datafusion_dist_spark.streaming.jobs import read_events_stream
@@ -264,3 +266,63 @@ def test_stream_static_join_matches_batch(spark):
         .toPandas()
     )
     assert_frames_match(streamed, expect, "stream_static_vs_batch")
+
+
+def test_transform_with_state_running_totals_match_batch(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary state): after the
+    stream drains, each user's ValueState-carried running totals must
+    equal the batch groupBy — integer cents end-to-end, so equality
+    is exact. Mirrors the reference's stateful-runtime behaviors the
+    way stateful_sessions does for applyInPandasWithState.
+
+    The operator's state-server protocol needs google.protobuf, which
+    this container does not ship (no installs per the build
+    contract) — skip there; the job builder itself is plain PySpark
+    and runs wherever protobuf exists."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from datafusion_dist_spark.streaming.jobs import (
+        read_events_stream,
+        run_stream_to_memory,
+        running_user_totals_tws,
+    )
+    from datafusion_dist_spark.catalog import load_table
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = running_user_totals_tws(read_events_stream(spark, SF_DIR))
+        run_stream_to_memory(out, "tws_totals", output_mode="update")
+        got = (
+            spark.table("tws_totals")
+            .groupBy("user_id")
+            .agg(F.max_by("n", "n").alias("n"), F.max_by("sum_value_c", "n").alias("sum_value_c"))
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        exp = (
+            load_table(spark, SF_DIR, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
+                    "sum_value_c"
+                ),
+            )
+            .toPandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        assert got["user_id"].tolist() == exp["user_id"].tolist()
+        assert got["n"].tolist() == exp["n"].tolist()
+        assert got["sum_value_c"].tolist() == exp["sum_value_c"].tolist()
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
