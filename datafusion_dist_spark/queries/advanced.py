@@ -713,3 +713,27 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem"),
     )
     return pagerank(edges, iterations=3)
+
+
+register_sql(
+    "fn_variant",
+    spark_sql="""
+        SELECT event_id,
+               variant_get(parse_json(props), '$.k', 'long') AS k_long,
+               CAST(parse_json(props) AS STRING) AS vjson,
+               schema_of_variant(parse_json(props)) AS vschema
+        FROM events WHERE event_id < 500
+    """,
+    oracle="""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_long,
+               CAST(json(props) AS VARCHAR) AS vjson,
+               'OBJECT<k: BIGINT>' AS vschema
+        FROM events WHERE event_id < 500
+    """,
+    doc="VARIANT semi-structured type (Spark 4): parse_json into the "
+    "binary variant encoding, typed path extraction via variant_get, "
+    "string round-trip, and schema_of_variant introspection — the "
+    "open-format successor to string-JSON columns; oracle mirrors "
+    "with DuckDB JSON extraction and normalization.",
+)
