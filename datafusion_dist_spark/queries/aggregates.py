@@ -511,3 +511,31 @@ register_sql(
     "one bitmap per (key, bucket): the production-scale exact "
     "distinct, verified against the naive COUNT(DISTINCT).",
 )
+
+
+register_sql(
+    "agg_group_by_all",
+    spark_sql="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS total_c
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS total_c
+        FROM orders
+        GROUP BY ALL
+        ORDER BY ALL
+    """,
+    doc="GROUP BY ALL / ORDER BY ALL resolution sugar (Spark 3.4+ and "
+    "DuckDB share the dialect): non-aggregate select items become the "
+    "grouping keys, ALL orders by the full select list — the "
+    "exploratory-SQL shape users type constantly; physical plan is "
+    "the ordinary two-phase aggregate.",
+)

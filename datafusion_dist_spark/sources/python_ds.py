@@ -24,7 +24,13 @@ from __future__ import annotations
 import hashlib
 import json
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 JOBS_SCHEMA = "job_id string, created_at_us long, job_meta string, stages string"
 SYNTH_SCHEMA = "doc_id long, part_id int, text string, quality double"
@@ -236,9 +242,102 @@ def register_sources(spark) -> None:
     """Register the sources on the session (idempotent)."""
     spark.dataSource.register(JobsDataSource)
     spark.dataSource.register(SynthDataSource)
+    spark.dataSource.register(ArrowDirDataSource)
     try:
         import pyarrow.flight  # noqa: F401
 
         spark.dataSource.register(FlightDataSource)
     except ImportError:  # pragma: no cover - env without flight
         pass
+
+
+class ArrowFileCommit(WriterCommitMessage):
+    def __init__(self, filename: str, rows: int) -> None:
+        self.filename = filename
+        self.rows = rows
+
+
+class ArrowDirDataSource(DataSource):
+    """``ddspark_arrow_dir`` — Arrow IPC directory SINK.
+
+    The reference's data plane is LZ4 Arrow IPC end-to-end
+    (``networks/tonic/src/server.rs:125-127``) but it has no file
+    sinks; this extension writes the same wire format to storage with
+    the DataSource writer contract: each task streams its partition's
+    record batches into one ``part-*.arrow`` file (Arrow writer API —
+    columnar batches straight from the scan, no row conversion), the
+    driver commit writes a ``_MANIFEST`` naming exactly the committed
+    files, and abort removes this attempt's files. Readers that honor
+    the manifest never observe a partial write — the same
+    task-commit/job-commit protocol as Spark's file sinks.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "ddspark_arrow_dir"
+
+    def writer(self, schema, overwrite: bool):
+        return ArrowDirWriter(self.options["path"], overwrite)
+
+
+class ArrowDirWriter(DataSourceArrowWriter):
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self._path = path
+        self._overwrite = overwrite
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        import pyarrow as pa
+
+        os.makedirs(self._path, exist_ok=True)
+        fname = f"part-{uuid.uuid4().hex}.arrow"
+        full = os.path.join(self._path, fname)
+        rows = 0
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pa.ipc.new_file(
+                        full,
+                        batch.schema,
+                        options=pa.ipc.IpcWriteOptions(compression="lz4"),
+                    )
+                writer.write_batch(batch)
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            # Empty partition: no file, nothing to commit.
+            return ArrowFileCommit("", 0)
+        return ArrowFileCommit(fname, rows)
+
+    def commit(self, messages):
+        import json as _json
+        import os
+
+        files = [
+            {"file": m.filename, "rows": m.rows}
+            for m in messages
+            if m is not None and m.filename
+        ]
+        if self._overwrite:
+            # Drop files from prior jobs that this commit supersedes.
+            keep = {f["file"] for f in files}
+            for existing in os.listdir(self._path):
+                if existing.startswith("part-") and existing not in keep:
+                    os.remove(os.path.join(self._path, existing))
+        with open(os.path.join(self._path, "_MANIFEST"), "w") as fh:
+            _json.dump({"files": files}, fh)
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and m.filename:
+                try:
+                    os.remove(os.path.join(self._path, m.filename))
+                except FileNotFoundError:
+                    pass

@@ -207,3 +207,48 @@ def test_ctas_insert_drop_lifecycle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS nation_ctas")
         spark.catalog.dropTempView("_nation_src")
     assert not spark.catalog.tableExists("nation_ctas")
+
+
+def test_arrow_dir_writer_manifest_and_roundtrip(spark, tmp_path):
+    """ddspark_arrow_dir sink: per-task LZ4 Arrow IPC files + a
+    driver-side _MANIFEST naming exactly the committed files (the
+    task-commit/job-commit protocol of Spark's file sinks, over the
+    reference's wire format). Read-back through the manifest must
+    reproduce the rows exactly; a second overwrite commit must
+    supersede the first attempt's files."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.sources.python_ds import register_sources
+
+    register_sources(spark)
+    out = str(tmp_path / "arrowdir")
+    n = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    n.write.format("ddspark_arrow_dir").option("path", out).mode(
+        "append"
+    ).save()
+    manifest = json.load(open(os.path.join(out, "_MANIFEST")))
+    files = manifest["files"]
+    assert files and all(f["rows"] > 0 for f in files)
+    assert sum(f["rows"] for f in files) == n.count()
+    # Every manifest file exists; read back and compare contents.
+    tables = []
+    for f in files:
+        with pa.ipc.open_file(os.path.join(out, f["file"])) as r:
+            tables.append(r.read_all())
+    got = pa.concat_tables(tables).to_pandas().sort_values("n_nationkey")
+    exp = n.toPandas().sort_values("n_nationkey")
+    assert got["n_nationkey"].tolist() == exp["n_nationkey"].tolist()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    # Overwrite: the new manifest must reference only surviving files.
+    n.limit(5).write.format("ddspark_arrow_dir").option("path", out).mode(
+        "overwrite"
+    ).save()
+    manifest2 = json.load(open(os.path.join(out, "_MANIFEST")))
+    named = {f["file"] for f in manifest2["files"]}
+    on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
+    assert named == on_disk
+    assert sum(f["rows"] for f in manifest2["files"]) == 5
