@@ -279,6 +279,62 @@ class ArrowDirDataSource(DataSource):
     def writer(self, schema, overwrite: bool):
         return ArrowDirWriter(self.options["path"], overwrite)
 
+    def _manifest_files(self) -> list[str]:
+        import json as _json
+        import os
+
+        path = self.options["path"]
+        with open(os.path.join(path, "_MANIFEST")) as fh:
+            return [f["file"] for f in _json.load(fh)["files"]]
+
+    def schema(self):
+        import os
+
+        import pyarrow as pa
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        files = self._manifest_files()
+        if not files:
+            return "dummy string"  # empty dataset: no schema recorded
+        with pa.ipc.open_file(
+            os.path.join(self.options["path"], files[0])
+        ) as r:
+            return from_arrow_schema(r.schema_arrow if hasattr(r, "schema_arrow") else r.schema)
+
+    def reader(self, schema):
+        return ArrowDirReader(self.options["path"], self._manifest_files())
+
+
+class ArrowDirPartition(InputPartition):
+    def __init__(self, path: str, filename: str) -> None:
+        self.path = path
+        self.filename = filename
+
+
+class ArrowDirReader(DataSourceReader):
+    """Manifest-honoring scan of an Arrow-IPC directory: one input
+    partition per committed file (uncommitted stragglers are
+    invisible), RecordBatches straight into the scan."""
+
+    def __init__(self, path: str, files: list[str]) -> None:
+        self._path = path
+        self._files = files
+
+    def partitions(self):
+        return [ArrowDirPartition(self._path, f) for f in self._files]
+
+    def read(self, partition: ArrowDirPartition):
+        import os
+
+        import pyarrow as pa
+
+        with pa.ipc.open_file(
+            os.path.join(partition.path, partition.filename)
+        ) as r:
+            for i in range(r.num_record_batches):
+                yield r.get_batch(i)
+
 
 class ArrowDirWriter(DataSourceArrowWriter):
     def __init__(self, path: str, overwrite: bool) -> None:

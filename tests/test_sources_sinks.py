@@ -252,3 +252,27 @@ def test_arrow_dir_writer_manifest_and_roundtrip(spark, tmp_path):
     on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
     assert named == on_disk
     assert sum(f["rows"] for f in manifest2["files"]) == 5
+
+
+def test_arrow_dir_reads_back_through_spark(spark, tmp_path):
+    """The arrow-dir format is symmetric: spark.read of the manifest
+    reproduces the written rows exactly, one input partition per
+    committed file, and a stray uncommitted part file on disk is
+    invisible to the scan (the manifest IS the source of truth)."""
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.sources.python_ds import register_sources
+
+    register_sources(spark)
+    out = str(tmp_path / "arrowdir2")
+    src = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    src.write.format("ddspark_arrow_dir").option("path", out).mode("append").save()
+    # Plant a stray file that no commit references.
+    with open(f"{out}/part-deadbeef.arrow", "wb") as fh:
+        fh.write(b"not arrow")
+    back = (
+        spark.read.format("ddspark_arrow_dir").option("path", out).load()
+    )
+    got = back.toPandas().sort_values("n_nationkey").reset_index(drop=True)
+    exp = src.toPandas().sort_values("n_nationkey").reset_index(drop=True)
+    assert got["n_nationkey"].tolist() == exp["n_nationkey"].tolist()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
