@@ -49,6 +49,13 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument(
         "--port", type=int, default=50061, help="--serve listen port"
     )
+    parser.add_argument(
+        "--no-lz4",
+        action="store_true",
+        help="serve uncompressed Arrow streams (for clients whose "
+        "Arrow build lacks LZ4 IPC support; default matches the "
+        "reference: LZ4 end-to-end)",
+    )
     args = parser.parse_args(argv)
 
     from datafusion_dist_spark.catalog import DEFAULT_SF_DIR
@@ -60,7 +67,11 @@ def main(argv: list[str] | None = None) -> int:
         from datafusion_dist_spark.flight_server import DistFlightServer
 
         eng.start_job_gc()  # reference: job_ttl=60s / check 3s, main.rs:53-55
-        server = DistFlightServer(eng, f"grpc://0.0.0.0:{args.port}")
+        server = DistFlightServer(
+            eng,
+            f"grpc://0.0.0.0:{args.port}",
+            compress_results=not args.no_lz4,
+        )
         print(f"FlightSQL-analog server listening on grpc://0.0.0.0:{server.port}")
         try:
             server.serve()

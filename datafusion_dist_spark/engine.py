@@ -112,15 +112,36 @@ class JobRegistry:
             self._jobs[entry.job_id] = entry
         return entry
 
+    ABANDONED = "abandoned by client"
+
     def finish(self, job_id: str, error: str | None = None) -> None:
         """Idempotent: the first finisher wins — concurrent pulls of the
         last two partitions must not double-finish or rewrite a
-        completed status into a failed one (and vice versa)."""
+        completed status into a failed one (and vice versa).
+
+        One sanctioned exception: ``abandoned by client`` is a
+        *provisional* failure — a retrying client (``call_with_retry``
+        re-pulling a ticket after a transient stream break) destroys
+        the first server-side generator (GeneratorExit → abandoned),
+        then completes the second pull. That successful completion
+        overwrites the abandonment, so observability reports what the
+        client actually experienced. A genuine execution failure is
+        never overwritten."""
         with self._lock:
             e = self._jobs.get(job_id)
-            if e is not None and e.status == "running":
+            if e is None:
+                return
+            if e.status == "running":
                 e.status = "failed" if error else "completed"
                 e.error = error
+                e.finished_at = time.time()
+            elif (
+                e.status == "failed"
+                and e.error == self.ABANDONED
+                and error is None
+            ):
+                e.status = "completed"
+                e.error = None
                 e.finished_at = time.time()
 
     # -- pull bookkeeping (thread-safe; entries may outlive the registry
@@ -286,7 +307,7 @@ class JobHandle:
                         reg.begin_pull(self._entry)
             reg.finish(self.job_id)
         except GeneratorExit:
-            reg.finish(self.job_id, error="abandoned by client")
+            reg.finish(self.job_id, error=reg.ABANDONED)
             raise
         except Exception as exc:  # noqa: BLE001 - propagate after recording
             reg.finish(self.job_id, error=str(exc))

@@ -103,10 +103,19 @@ if _HAVE_FLIGHT:
         """
 
         def __init__(
-            self, engine: DistEngine, location: str = "grpc://127.0.0.1:0"
+            self,
+            engine: DistEngine,
+            location: str = "grpc://127.0.0.1:0",
+            compress_results: bool = True,
         ) -> None:
             super().__init__(location)
             self.engine = engine
+            # LZ4 on by default (the reference compresses its data
+            # plane unconditionally, networks/tonic/src/server.rs:
+            # 125-127); Flight has no compression negotiation, so a
+            # deployment serving Arrow implementations without LZ4
+            # IPC support turns it off here (--no-lz4 in --serve).
+            self.compress_results = compress_results
             self._handles: dict[str, JobHandle] = {}
             self._lock = threading.Lock()
 
@@ -219,11 +228,15 @@ if _HAVE_FLIGHT:
                 raw = handle_bytes
             try:
                 spec = json.loads(raw.decode("utf-8"))
-            except (ValueError, UnicodeDecodeError) as exc:
+                job_id = spec["job_id"]
+            except (ValueError, UnicodeDecodeError, KeyError, TypeError) as exc:
+                # Also covers well-formed JSON that is not our spec
+                # (another service's statement_handle, b'{}', a bare
+                # number): a clean error, not a KeyError escaping as
+                # an opaque gRPC internal error.
                 raise flight.FlightServerError(
                     "unrecognized ticket format"
                 ) from exc
-            job_id = spec["job_id"]
             self._prune_handles()
             with self._lock:
                 handle = self._handles.get(job_id)
@@ -244,7 +257,9 @@ if _HAVE_FLIGHT:
             # uncompressed for the wire would undo that. The reference
             # compresses its data plane end-to-end
             # (networks/tonic/src/server.rs:125-127).
-            opts = pa.ipc.IpcWriteOptions(compression="lz4")
+            opts = pa.ipc.IpcWriteOptions(
+                compression="lz4" if self.compress_results else None
+            )
             try:
                 first = next(gen)
             except StopIteration:

@@ -110,3 +110,19 @@ def shingle_array_oracle(tokens_expr: str, k: int = 3) -> str:
         f"list_transform(range(1, len({tokens_expr}) - {k} + 2), "
         f"i -> array_to_string(list_slice({tokens_expr}, i, i + {k} - 1), ' ')) END"
     )
+
+
+def char_ngrams(text_col: str, n: int) -> "Column":
+    """Every character n-gram of a string column as an array —
+    ``transform`` over ``sequence``, pure codegen, with the
+    short-string guard (< n chars → empty array). One definition for
+    every char-gram consumer (bigram LM, substring-span dedup) so the
+    guard and the off-by-one-prone sequence bound live in one place.
+    """
+    return F.when(
+        F.length(text_col) >= n,
+        F.expr(
+            f"transform(sequence(1, length({text_col}) - {n} + 1), "
+            f"i -> substring({text_col}, i, {n}))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -2,7 +2,11 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
+
+_EXCHANGE_RE = re.compile(r"Exchange\b")
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
@@ -19,8 +23,24 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     payload before shingling/hashing would be the single biggest
     avoidable cost at scale. Only an under-parallel input (fewer
     partitions than the target) pays the shuffle.
+
+    Laziness discipline: the partition-count decision must not execute
+    anything at plan-build time. Under AQE, ``df.rdd`` forces
+    ``getFinalPhysicalPlan()``, which EXECUTES every shuffle stage in
+    the input plan and throws the work away — so that probe is only
+    taken for shuffle-free plans (where it is pure planning, no jobs).
+    A plan that already contains a shuffle exchange emerges with
+    ``spark.sql.shuffle.partitions`` (or AQE-coalesced) partitions —
+    already parallel — and passes through unprobed.
     """
     n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    # Physical-plan *text* is lazy to produce (explain never runs
+    # jobs). ANY exchange (shuffle or broadcast) makes the .rdd probe
+    # eager under AQE, and a shuffle output is already parallel — so
+    # exchange-bearing plans pass through unprobed.
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if _EXCHANGE_RE.search(plan):
+        return df
     if df.rdd.getNumPartitions() >= n:
         return df
     return df.repartition(n)

@@ -436,14 +436,9 @@ def substring_span_pairs(
     span_containment = shared / min(set sizes) — 1.0 means every span
     of the shorter doc appears in the longer one (doc-in-doc copy).
     """
-    n_spans = F.length(text_col) - span_chars + 1
-    grams = F.when(
-        n_spans >= 1,
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - {span_chars} + 1), "
-            f"i -> substring({text_col}, i, {span_chars}))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from datafusion_dist_spark.functions.hashing import char_ngrams
+
+    grams = char_ngrams(text_col, span_chars)
     shingles = (
         spread(docs)
         .select("doc_id", F.array_distinct(grams).alias("shs"))

@@ -307,8 +307,12 @@ def tfidf_topk(
     shuffle); document frequencies aggregate from those SAME counts
     (term-keyed, vocabulary-sized — tiny next to the corpus); the
     re-join back to (doc, term) rows is term-keyed too, so only the
-    count rows shuffle, never the text. Final per-doc top-k is a
-    window with rank, deterministic tiebreak on term.
+    count rows shuffle, never the text. N (the corpus size) is a
+    deliberate SECOND pass over the source — a doc_id-only
+    column-pruned scan, so docs with zero tokens still count toward
+    N (deriving N from the tf rows would silently shrink it). Final
+    per-doc top-k is a window with rank, deterministic tiebreak on
+    term.
     """
     tf = (
         spread(docs)
@@ -361,13 +365,9 @@ def bigram_lm_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     model table once and reuse it — the scoring pass itself is
     single-scan.
     """
-    grams = F.when(
-        F.length(text_col) >= 2,
-        F.expr(
-            f"transform(sequence(1, length({text_col}) - 1), "
-            f"i -> substring({text_col}, i, 2))"
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from datafusion_dist_spark.functions.hashing import char_ngrams
+
+    grams = char_ngrams(text_col, 2)
     doc_bigrams = (
         spread(docs)
         .select("doc_id", F.explode(grams).alias("bg"))

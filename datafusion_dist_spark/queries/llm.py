@@ -86,21 +86,34 @@ def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     downstream consumers (cluster resolution, keep-list builds) reuse
     it without touching the corpus again.
 
-    Bounded to a SINGLE entry (ADVICE r2): switching sf_dir (or
-    session) unpersists the previous pair set before building the new
-    one, so executor storage never grows across directories; the lock
-    prevents a first-call race from double-persisting.
+    Bounded to TWO entries (ADVICE r2, tightened after review):
+    entries from a dead session are dropped always, and beyond
+    capacity the oldest live entry is evicted — but a concurrent job
+    on the OTHER sf_dir of the same session keeps its pair set (a
+    single-entry cache let alternating X/Y requests unpersist a
+    DataFrame another job's connected-components loop was still
+    iterating, reintroducing the re-derivation the persist exists to
+    avoid). The lock prevents a first-call race from
+    double-persisting.
     """
     key = (spark.sparkContext.applicationId, sf_dir)
     with _PAIR_CACHE_LOCK:
         df = _PAIR_CACHE.get(key)
         if df is None:
-            for old in _PAIR_CACHE.values():
+            for k in list(_PAIR_CACHE):
+                if k[0] != key[0]:  # stale session
+                    try:
+                        _PAIR_CACHE[k].unpersist()
+                    except Exception:  # its session may be gone
+                        pass
+                    del _PAIR_CACHE[k]
+            while len(_PAIR_CACHE) >= 2:  # capacity: evict oldest
+                k = next(iter(_PAIR_CACHE))
                 try:
-                    old.unpersist()
-                except Exception:  # session of a stale entry may be gone
+                    _PAIR_CACHE[k].unpersist()
+                except Exception:
                     pass
-            _PAIR_CACHE.clear()
+                del _PAIR_CACHE[k]
             df = dedup.minhash_dedup_pairs(
                 _corpus(spark, sf_dir),
                 bands=BANDS,

@@ -238,6 +238,12 @@ def test_spread_passthrough_for_parallel_input(spark):
     out = spread(wide)
     # Identity return = provably zero added Exchange in any downstream plan.
     assert out is wide, "spread() must pass an already-parallel input through"
+    # Laziness: an exchange-bearing plan must pass through WITHOUT the
+    # .rdd partition probe — under AQE that probe executes the upstream
+    # shuffle at plan-build time (double execution; breaks the
+    # engine's no-execution-before-pull contract).
+    agg = spark.range(10_000).groupBy((F.col("id") % 7).alias("k")).count()
+    assert spread(agg) is agg, "exchange-bearing plans must not be probed"
 
     narrow = spark.range(10_000).coalesce(1)
     assert spread(narrow).rdd.getNumPartitions() == n

@@ -398,3 +398,27 @@ def test_gc_never_sweeps_executing_pull(engine):
     # found the row present and recorded a real terminal status.
     assert entry.status == "completed"
     assert entry.pulls_in_flight == 0
+
+
+def test_retry_after_abandonment_reports_completed(engine):
+    """A transiently-broken first pull marks the job abandoned
+    (provisional failure); the retrying client's successful second
+    pull must overwrite it with completed — observability reports
+    what the client actually experienced. A genuine execution
+    failure is never overwritten."""
+    h = engine.submit("SELECT n_nationkey FROM nation")
+    gen = h.stream_arrow()
+    next(gen)
+    gen.close()  # first attempt dies mid-stream -> abandoned
+
+    def entry():
+        return next(e for e in engine.jobs.all() if e.job_id == h.job_id)
+
+    assert entry().status == "failed"
+    assert entry().error == engine.jobs.ABANDONED
+    for _ in h.stream_arrow():  # the client's retry drains fully
+        pass
+    assert entry().status == "completed" and entry().error is None
+    # Real failures stay terminal: a later no-error finish is a no-op.
+    engine.jobs.finish(h.job_id, error="boom")  # already completed: no-op
+    assert entry().status == "completed"
