@@ -72,6 +72,7 @@ HEADLINE = [
     "text_tfidf_topk",
     "text_lm_score",
     "pipeline_clean_corpus",
+    "pipeline_multisignal_dedup",
     "pipeline_pack_sequences",
     "pipeline_chunk_documents",
     "multimodal_features",

@@ -2128,3 +2128,100 @@ def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 1)
     )
+
+
+@register(
+    "pipeline_multisignal_dedup",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        exact AS (
+            SELECT doc_id,
+                   row_number() OVER (
+                       PARTITION BY md5(text) ORDER BY doc_id
+                   ) > 1 AS is_exact_dup
+            FROM corpus
+        ),
+        cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < 8
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT a.vec_id, a.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        sem AS (
+            SELECT DISTINCT y.vec_id
+            FROM assigned x
+            JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE {_cos_sql("x.embedding", "y.embedding")} >= 0.5
+        ),
+        toks AS (SELECT doc_id, len({TOKS}) AS n_tok FROM corpus)
+        SELECT c.doc_id,
+               e.is_exact_dup,
+               s.vec_id IS NOT NULL AS is_semantic_dup,
+               t.n_tok < 10 AS low_quality,
+               NOT (e.is_exact_dup OR s.vec_id IS NOT NULL
+                    OR t.n_tok < 10) AS keep
+        FROM corpus c
+        JOIN exact e ON c.doc_id = e.doc_id
+        JOIN toks t ON c.doc_id = t.doc_id
+        LEFT JOIN sem s ON c.doc_id = s.vec_id
+    """,
+    doc="The capstone composition: one keep/drop decision per corpus "
+    "document from three independent dedup/quality signals — exact "
+    "text duplication (digest-keyed first-occurrence window), "
+    "semantic duplication (SemDeDup decisions bridged over the "
+    "doc_id==vec_id embedding), and a token-count quality floor. "
+    "Each signal is the production operator, not a re-derivation; "
+    "the decision join keys on doc_id only (signals are boolean "
+    "columns, never text). This is the shape a real cleaning run "
+    "ships: signals computed once, composed declaratively, keep "
+    "decision auditable per document.",
+)
+def pipeline_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    corpus = _corpus(spark, sf_dir)
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    exact = corpus.select(
+        "doc_id", (F.row_number().over(w) > 1).alias("is_exact_dup")
+    )
+    sem = (
+        similarity.semantic_dedup_decisions(
+            load_table(spark, sf_dir, "embeddings"), n_centroids=8, threshold=0.5
+        )
+        .filter(F.col("dup_of").isNotNull())
+        .select(F.col("vec_id").alias("sem_id"))
+    )
+    toks = corpus.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("n_tok"),
+    )
+    return (
+        exact.join(toks, "doc_id")
+        .join(sem, exact.doc_id == F.col("sem_id"), "left")
+        .select(
+            "doc_id",
+            "is_exact_dup",
+            F.col("sem_id").isNotNull().alias("is_semantic_dup"),
+            (F.col("n_tok") < 10).alias("low_quality"),
+            (
+                ~(
+                    F.col("is_exact_dup")
+                    | F.col("sem_id").isNotNull()
+                    | (F.col("n_tok") < 10)
+                )
+            ).alias("keep"),
+        )
+    )
