@@ -331,10 +331,14 @@ if _HAVE_FLIGHT:
             raise flight.FlightServerError(_err_msg(exc)) from exc
 
     def serve_background(
-        engine: DistEngine, location: str = "grpc://127.0.0.1:0"
+        engine: DistEngine,
+        location: str = "grpc://127.0.0.1:0",
+        compress_results: bool = True,
     ) -> DistFlightServer:
         """Start a server on a daemon thread; returns once listening."""
-        server = DistFlightServer(engine, location)
+        server = DistFlightServer(
+            engine, location, compress_results=compress_results
+        )
         threading.Thread(target=server.serve, daemon=True).start()
         return server
 

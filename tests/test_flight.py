@@ -593,3 +593,17 @@ def test_flight_stream_is_lz4_compressed(server, engine, monkeypatch):
     plain = ipc_size(pa.ipc.IpcWriteOptions())
     lz4 = ipc_size(pa.ipc.IpcWriteOptions(compression="lz4"))
     assert lz4 < plain / 5, (lz4, plain)
+
+
+def test_no_lz4_serves_uncompressed_streams(engine):
+    """compress_results=False (--no-lz4): for clients whose Arrow
+    build lacks LZ4 IPC support, the server must emit plain streams —
+    same rows, no compression option on the outbound stream."""
+    import datafusion_dist_spark.flight_server as fsrv
+
+    srv = fsrv.serve_background(engine, compress_results=False)
+    try:
+        t = flight_execute(srv.location, "SELECT n_nationkey FROM nation")
+        assert t.num_rows == 25
+    finally:
+        srv.shutdown()
