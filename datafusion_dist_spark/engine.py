@@ -491,12 +491,23 @@ class DistEngine:
 
     # -- query entry points -------------------------------------------------
 
-    def sql(self, query: str) -> DataFrame:
-        """Parse/plan only (lazy) — reference ``ctx.sql`` at main.rs:273."""
+    def sql(self, query: str, args: dict | None = None) -> DataFrame:
+        """Parse/plan only (lazy) — reference ``ctx.sql`` at main.rs:273.
+
+        ``args`` binds named parameters (``:name`` markers) at plan
+        time — the engine-level analog of FlightSQL prepared
+        statements (``CommandPreparedStatementQuery``): the statement
+        text is reusable, values never need SQL-literal escaping."""
+        if args:
+            return self.spark.sql(query, args=args)
         return self.spark.sql(query)
 
     def submit(
-        self, query: str, meta: dict | None = None, pool: str = "default"
+        self,
+        query: str,
+        meta: dict | None = None,
+        pool: str = "default",
+        args: dict | None = None,
     ) -> JobHandle:
         """Plan the query and mint a job — no execution yet (lazy pull
         model, reference ``runtime.submit`` at main.rs:288-295).
@@ -504,7 +515,8 @@ class DistEngine:
         ``pool`` names a FAIR scheduler pool: the Spark analog of the
         reference's dedicated CPU runtime (dist/src/executor.rs:55-96)
         — CPU-heavy jobs go to a separate pool so interactive queries
-        keep getting task slots.
+        keep getting task slots. ``args`` binds named parameters (see
+        :meth:`sql`).
         """
         if self._terminating:
             raise EngineTerminatingError(
@@ -513,7 +525,7 @@ class DistEngine:
         entry = self.jobs.create({"query": query, **(meta or {})})
         entry.extra["pool"] = pool
         try:
-            df = self.spark.sql(query)
+            df = self.sql(query, args=args)
         except Exception as exc:  # parse/analysis error: record, don't leak
             self.jobs.finish(entry.job_id, error=str(exc))
             raise

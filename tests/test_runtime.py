@@ -422,3 +422,24 @@ def test_retry_after_abandonment_reports_completed(engine):
     # Real failures stay terminal: a later no-error finish is a no-op.
     engine.jobs.finish(h.job_id, error="boom")  # already completed: no-op
     assert entry().status == "completed"
+
+
+def test_parameterized_sql_binds_named_args(engine):
+    """Named-parameter binding (:name markers) — the engine-level
+    analog of FlightSQL prepared statements: one statement text, many
+    executions, values bound at plan time without literal escaping
+    (an injection-shaped value stays a VALUE)."""
+    h = engine.submit(
+        "SELECT n_name FROM nation WHERE n_nationkey = :key",
+        args={"key": 3},
+    )
+    rows = [b.to_pydict() for b in h.stream_arrow()]
+    names = [n for b in rows for n in b["n_name"]]
+    assert len(names) == 1
+    # Same statement, different binding.
+    h2 = engine.submit(
+        "SELECT count(*) AS n FROM nation WHERE n_name = :v",
+        args={"v": "x' OR '1'='1"},  # stays a value, not SQL
+    )
+    out = [b.to_pydict() for b in h2.stream_arrow()]
+    assert out[0]["n"] == [0]
