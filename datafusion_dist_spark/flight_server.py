@@ -44,6 +44,7 @@ from __future__ import annotations
 import itertools
 import json
 import threading
+import uuid
 
 from datafusion_dist_spark import flightsql
 from datafusion_dist_spark.engine import (
@@ -117,6 +118,11 @@ if _HAVE_FLIGHT:
             # IPC support turns it off here (--no-lz4 in --serve).
             self.compress_results = compress_results
             self._handles: dict[str, JobHandle] = {}
+            # Prepared statements: handle -> SQL text. Tiny (statement
+            # text only, no plan, no data); bounded at 128 with
+            # oldest-first eviction so an uncloseable client cannot
+            # grow it without limit.
+            self._prepared: dict[bytes, str] = {}
             self._lock = threading.Lock()
 
         # -- helpers --------------------------------------------------------
@@ -153,7 +159,21 @@ if _HAVE_FLIGHT:
             #    documented cost of materializing upstream stages now.
             cmd = bytes(descriptor.command)
             partitioned = False
-            fsql_query = flightsql.parse_statement_query(cmd)
+            # Prepared statement (Any<CommandPreparedStatementQuery>):
+            # resolve the handle minted by CreatePreparedStatement —
+            # one prepared text, many executions. Ticket shape is
+            # identical to the ad-hoc path from here on.
+            prep_handle = flightsql.parse_prepared_query(cmd)
+            if prep_handle is not None:
+                with self._lock:
+                    prep_sql = self._prepared.get(prep_handle)
+                if prep_sql is None:
+                    raise flight.FlightServerError(
+                        "unknown or closed prepared-statement handle"
+                    )
+                fsql_query = prep_sql
+            else:
+                fsql_query = flightsql.parse_statement_query(cmd)
             if fsql_query is not None:
                 query = fsql_query
             else:
@@ -311,6 +331,42 @@ if _HAVE_FLIGHT:
             elif action.type == "shutdown_engine":
                 self.engine.shutdown()
                 yield flight.Result(b"terminating")
+            elif action.type == "CreatePreparedStatement":
+                # FlightSQL prepared-statement handshake (beyond the
+                # reference's ad-hoc-only surface): store the SQL,
+                # return Any<ActionCreatePreparedStatementResult> with
+                # the opaque handle + the result's serialized Arrow
+                # schema (planning only — no execution).
+                sql = flightsql.parse_create_prepared_request(
+                    action.body.to_pybytes()
+                )
+                if sql is None:
+                    raise flight.FlightServerError(
+                        "malformed CreatePreparedStatement request"
+                    )
+                try:
+                    schema_bytes = _arrow_schema(
+                        self.engine.sql(sql)
+                    ).serialize().to_pybytes()
+                except Exception as exc:
+                    raise flight.FlightServerError(_err_msg(exc)) from exc
+                handle = uuid.uuid4().bytes
+                with self._lock:
+                    while len(self._prepared) >= 128:
+                        self._prepared.pop(next(iter(self._prepared)))
+                    self._prepared[handle] = sql
+                yield flight.Result(
+                    flightsql.encode_create_prepared_result(
+                        handle, schema_bytes
+                    )
+                )
+            elif action.type == "ClosePreparedStatement":
+                handle = flightsql.parse_close_prepared_request(
+                    action.body.to_pybytes()
+                )
+                with self._lock:
+                    self._prepared.pop(handle, None)
+                yield flight.Result(b"closed")
             else:
                 raise flight.FlightServerError(f"unknown action {action.type!r}")
 
@@ -319,6 +375,11 @@ if _HAVE_FLIGHT:
                 ("health", "run the SELECT 1 health check"),
                 ("cleanup", "sweep expired jobs; body = ttl seconds"),
                 ("shutdown_engine", "refuse new queries, drain in-flight"),
+                (
+                    "CreatePreparedStatement",
+                    "FlightSQL: prepare SQL, returns handle + schema",
+                ),
+                ("ClosePreparedStatement", "FlightSQL: drop a handle"),
             ]
 
     def _trap_errors(gen):

@@ -122,3 +122,98 @@ def parse_ticket(ticket: bytes) -> bytes | None:
         return fields[1][-1] if 1 in fields else None
     except (ValueError, UnicodeDecodeError, IndexError):
         return None
+
+
+# -- prepared statements ---------------------------------------------------
+# Beyond the reference's surface (its app implements only ad-hoc
+# statements): the FlightSQL prepared-statement handshake, from the
+# public FlightSql.proto —
+#   ActionCreatePreparedStatementRequest = {1: query, 2: transaction_id}
+#   ActionCreatePreparedStatementResult  = {1: prepared_statement_handle,
+#                                           2: dataset_schema,
+#                                           3: parameter_schema}
+#   ActionClosePreparedStatementRequest  = {1: prepared_statement_handle}
+#   CommandPreparedStatementQuery        = {1: prepared_statement_handle}
+# Again only length-delimited fields, so the same codec carries them.
+
+ACTION_CREATE_PREPARED_REQUEST = (
+    _TYPE_PREFIX + "ActionCreatePreparedStatementRequest"
+)
+ACTION_CREATE_PREPARED_RESULT = (
+    _TYPE_PREFIX + "ActionCreatePreparedStatementResult"
+)
+ACTION_CLOSE_PREPARED_REQUEST = (
+    _TYPE_PREFIX + "ActionClosePreparedStatementRequest"
+)
+CMD_PREPARED_STATEMENT_QUERY = _TYPE_PREFIX + "CommandPreparedStatementQuery"
+
+
+def encode_create_prepared_request(sql: str) -> bytes:
+    return encode_any(
+        ACTION_CREATE_PREPARED_REQUEST, _ld_field(1, sql.encode("utf-8"))
+    )
+
+
+def parse_create_prepared_request(body: bytes) -> str | None:
+    try:
+        type_url, value = decode_any(body)
+        if type_url != ACTION_CREATE_PREPARED_REQUEST:
+            return None
+        fields = _parse_fields(value)
+        return fields[1][-1].decode("utf-8") if 1 in fields else None
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return None
+
+
+def encode_create_prepared_result(
+    handle: bytes, dataset_schema: bytes = b""
+) -> bytes:
+    msg = _ld_field(1, handle)
+    if dataset_schema:
+        msg += _ld_field(2, dataset_schema)
+    return encode_any(ACTION_CREATE_PREPARED_RESULT, msg)
+
+
+def parse_create_prepared_result(body: bytes) -> tuple[bytes, bytes] | None:
+    """(handle, dataset_schema) from an
+    Any<ActionCreatePreparedStatementResult>, else None."""
+    try:
+        type_url, value = decode_any(body)
+        if type_url != ACTION_CREATE_PREPARED_RESULT:
+            return None
+        fields = _parse_fields(value)
+        handle = fields[1][-1] if 1 in fields else b""
+        schema = fields[2][-1] if 2 in fields else b""
+        return handle, schema
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return None
+
+
+def encode_close_prepared_request(handle: bytes) -> bytes:
+    return encode_any(ACTION_CLOSE_PREPARED_REQUEST, _ld_field(1, handle))
+
+
+def parse_close_prepared_request(body: bytes) -> bytes | None:
+    try:
+        type_url, value = decode_any(body)
+        if type_url != ACTION_CLOSE_PREPARED_REQUEST:
+            return None
+        fields = _parse_fields(value)
+        return fields[1][-1] if 1 in fields else None
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return None
+
+
+def encode_prepared_query(handle: bytes) -> bytes:
+    return encode_any(CMD_PREPARED_STATEMENT_QUERY, _ld_field(1, handle))
+
+
+def parse_prepared_query(command: bytes) -> bytes | None:
+    try:
+        type_url, value = decode_any(command)
+        if type_url != CMD_PREPARED_STATEMENT_QUERY:
+            return None
+        fields = _parse_fields(value)
+        return fields[1][-1] if 1 in fields else None
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return None

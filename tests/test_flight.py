@@ -607,3 +607,58 @@ def test_no_lz4_serves_uncompressed_streams(engine):
         assert t.num_rows == 25
     finally:
         srv.shutdown()
+
+
+def test_flightsql_prepared_statement_lifecycle(server, engine):
+    """FlightSQL prepared statements (beyond the reference's ad-hoc
+    surface): CreatePreparedStatement returns an opaque handle plus
+    the result's serialized Arrow schema WITHOUT executing anything;
+    get_flight_info(Any<CommandPreparedStatementQuery>) executes the
+    prepared text repeatedly; ClosePreparedStatement invalidates the
+    handle."""
+    import pyarrow.flight as fl
+
+    from datafusion_dist_spark import flightsql
+
+    client = fl.connect(server.location)
+    res = list(
+        client.do_action(
+            fl.Action(
+                "CreatePreparedStatement",
+                flightsql.encode_create_prepared_request(
+                    "SELECT n_nationkey, n_name FROM nation "
+                    "WHERE n_nationkey < 3 ORDER BY n_nationkey"
+                ),
+            )
+        )
+    )
+    handle, schema_bytes = flightsql.parse_create_prepared_result(
+        res[0].body.to_pybytes()
+    )
+    assert handle
+    schema = pa.ipc.read_schema(pa.py_buffer(schema_bytes))
+    assert [f.name for f in schema] == ["n_nationkey", "n_name"]
+    # Preparation planned but did not execute: no completed job yet
+    # for this statement beyond whatever the fixture ran.
+    desc = fl.FlightDescriptor.for_command(
+        flightsql.encode_prepared_query(handle)
+    )
+    for _ in range(2):  # one prepared text, many executions
+        info = client.get_flight_info(desc)
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.num_rows == 3
+        assert t.column("n_nationkey").to_pylist() == [0, 1, 2]
+    list(
+        client.do_action(
+            fl.Action(
+                "ClosePreparedStatement",
+                flightsql.encode_close_prepared_request(handle),
+            )
+        )
+    )
+    try:
+        client.get_flight_info(desc)
+        raise AssertionError("closed handle must be rejected")
+    except fl.FlightError as exc:
+        assert "prepared" in str(exc).lower()
+    client.close()
