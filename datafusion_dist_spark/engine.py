@@ -491,13 +491,16 @@ class DistEngine:
 
     # -- query entry points -------------------------------------------------
 
-    def sql(self, query: str, args: dict | None = None) -> DataFrame:
+    def sql(
+        self, query: str, args: dict | list | None = None
+    ) -> DataFrame:
         """Parse/plan only (lazy) — reference ``ctx.sql`` at main.rs:273.
 
-        ``args`` binds named parameters (``:name`` markers) at plan
-        time — the engine-level analog of FlightSQL prepared
-        statements (``CommandPreparedStatementQuery``): the statement
-        text is reusable, values never need SQL-literal escaping."""
+        ``args`` binds parameters at plan time — a dict for ``:name``
+        markers, a list for positional ``?`` markers (what FlightSQL
+        DoPut parameter rows carry). The engine-level analog of
+        prepared statements: the statement text is reusable, values
+        never need SQL-literal escaping."""
         if args:
             return self.spark.sql(query, args=args)
         return self.spark.sql(query)
@@ -507,7 +510,7 @@ class DistEngine:
         query: str,
         meta: dict | None = None,
         pool: str = "default",
-        args: dict | None = None,
+        args: dict | list | None = None,
     ) -> JobHandle:
         """Plan the query and mint a job — no execution yet (lazy pull
         model, reference ``runtime.submit`` at main.rs:288-295).

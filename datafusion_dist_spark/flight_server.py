@@ -123,6 +123,7 @@ if _HAVE_FLIGHT:
             # oldest-first eviction so an uncloseable client cannot
             # grow it without limit.
             self._prepared: dict[bytes, str] = {}
+            self._prepared_params: dict[bytes, list] = {}
             self._lock = threading.Lock()
 
         # -- helpers --------------------------------------------------------
@@ -163,10 +164,12 @@ if _HAVE_FLIGHT:
             # resolve the handle minted by CreatePreparedStatement —
             # one prepared text, many executions. Ticket shape is
             # identical to the ad-hoc path from here on.
+            bound_args = None
             prep_handle = flightsql.parse_prepared_query(cmd)
             if prep_handle is not None:
                 with self._lock:
                     prep_sql = self._prepared.get(prep_handle)
+                    bound_args = self._prepared_params.get(prep_handle)
                 if prep_sql is None:
                     raise flight.FlightServerError(
                         "unknown or closed prepared-statement handle"
@@ -198,7 +201,9 @@ if _HAVE_FLIGHT:
             if "running_jobs" in query.lower():
                 self.engine.register_running_jobs_view()
             try:
-                handle = self.engine.submit(query, meta={"via": "flight"})
+                handle = self.engine.submit(
+                    query, meta={"via": "flight"}, args=bound_args
+                )
             except EngineTerminatingError as exc:
                 raise flight.FlightUnavailableError(str(exc)) from exc
             except Exception as exc:  # parse/analysis error → client
@@ -311,6 +316,35 @@ if _HAVE_FLIGHT:
                     -1,
                 )
 
+        def do_put(self, context, descriptor, reader, writer):
+            """FlightSQL parameter binding: an ADBC-style client DoPuts
+            one row of positional parameter values under the prepared
+            statement's descriptor; the next execution of that handle
+            binds them as ``?`` markers (values, never SQL literals).
+            Only the LAST row sticks — rebinding replaces, matching
+            client expectations of statement-level bind state."""
+            prep_handle = flightsql.parse_prepared_query(
+                bytes(descriptor.command)
+            )
+            if prep_handle is None:
+                raise flight.FlightServerError(
+                    "do_put expects a prepared-statement descriptor"
+                )
+            with self._lock:
+                known = prep_handle in self._prepared
+            if not known:
+                raise flight.FlightServerError(
+                    "unknown or closed prepared-statement handle"
+                )
+            table = reader.read_all()
+            if table.num_rows:
+                row = [
+                    table.column(i)[table.num_rows - 1].as_py()
+                    for i in range(table.num_columns)
+                ]
+                with self._lock:
+                    self._prepared_params[prep_handle] = row
+
         def do_action(self, context, action):
             if action.type == "health":
                 # Reference health check = `SELECT 1` answered locally
@@ -349,7 +383,15 @@ if _HAVE_FLIGHT:
                         self.engine.sql(sql)
                     ).serialize().to_pybytes()
                 except Exception as exc:
-                    raise flight.FlightServerError(_err_msg(exc)) from exc
+                    if "UNBOUND_SQL_PARAMETER" in str(exc):
+                        # Parameterized statement: the result schema
+                        # is unknowable until values bind — the spec
+                        # allows an empty dataset_schema.
+                        schema_bytes = b""
+                    else:
+                        raise flight.FlightServerError(
+                            _err_msg(exc)
+                        ) from exc
                 handle = uuid.uuid4().bytes
                 with self._lock:
                     while len(self._prepared) >= 128:
@@ -366,6 +408,7 @@ if _HAVE_FLIGHT:
                 )
                 with self._lock:
                     self._prepared.pop(handle, None)
+                    self._prepared_params.pop(handle, None)
                 yield flight.Result(b"closed")
             else:
                 raise flight.FlightServerError(f"unknown action {action.type!r}")

@@ -662,3 +662,44 @@ def test_flightsql_prepared_statement_lifecycle(server, engine):
     except fl.FlightError as exc:
         assert "prepared" in str(exc).lower()
     client.close()
+
+
+def test_flightsql_prepared_parameter_binding(server, engine):
+    """The full ADBC prepared-statement flow: prepare with ? markers,
+    DoPut one row of positional parameter values, execute, rebind,
+    execute again — each execution sees its bound values as VALUES
+    (no SQL-literal escaping anywhere)."""
+    import pyarrow.flight as fl
+
+    from datafusion_dist_spark import flightsql
+
+    client = fl.connect(server.location)
+    res = list(
+        client.do_action(
+            fl.Action(
+                "CreatePreparedStatement",
+                flightsql.encode_create_prepared_request(
+                    "SELECT n_name FROM nation WHERE n_nationkey = ?"
+                ),
+            )
+        )
+    )
+    handle, _ = flightsql.parse_create_prepared_result(
+        res[0].body.to_pybytes()
+    )
+    desc = fl.FlightDescriptor.for_command(
+        flightsql.encode_prepared_query(handle)
+    )
+    for key in (3, 7):
+        params = pa.table({"param0": pa.array([key], pa.int64())})
+        w, _meta = client.do_put(desc, params.schema)
+        w.write_table(params)
+        w.close()
+        info = client.get_flight_info(desc)
+        t = client.do_get(info.endpoints[0].ticket).read_all()
+        assert t.num_rows == 1
+        expected = engine.execute(
+            f"SELECT n_name FROM nation WHERE n_nationkey = {key}"
+        )[0].n_name
+        assert t.column("n_name").to_pylist() == [expected]
+    client.close()
