@@ -395,7 +395,9 @@ if _HAVE_FLIGHT:
                 handle = uuid.uuid4().bytes
                 with self._lock:
                     while len(self._prepared) >= 128:
-                        self._prepared.pop(next(iter(self._prepared)))
+                        evicted = next(iter(self._prepared))
+                        self._prepared.pop(evicted)
+                        self._prepared_params.pop(evicted, None)
                     self._prepared[handle] = sql
                 yield flight.Result(
                     flightsql.encode_create_prepared_result(
