@@ -76,6 +76,11 @@ HEADLINE = [
     "pipeline_pack_sequences",
     "pipeline_chunk_documents",
     "multimodal_features",
+    "dedup_exact_normalized",
+    "decontaminate_bloom_verify",
+    "sample_temperature",
+    "pipeline_shuffle_shard",
+    "graph_triangle_count",
 ]
 
 

@@ -20,7 +20,7 @@ oracle reproduces every value bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from datafusion_dist_spark.functions.hashing import (
@@ -38,6 +38,34 @@ def exact_dedup_keep_min(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup on content digest; keep the smallest doc_id per
     group. Returns (digest, n_copies, keep_id) for duplicated groups."""
     digest = F.md5(F.col(text_col)).alias("digest")
+    return (
+        docs.select(digest, "doc_id")
+        .groupBy("digest")
+        .agg(F.count("*").alias("n_copies"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def normalized_text(text: Column) -> Column:
+    """C4/CCNet-style normalization before exact dedup: lowercase,
+    collapse every non-alphanumeric run to a single space, trim. Two
+    scrapes of one page that differ only in casing/punctuation/
+    whitespace collapse to one digest."""
+    return F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+
+
+def normalized_text_oracle(text_expr: str) -> str:
+    """DuckDB mirror of ``normalized_text`` (needs the 'g' flag —
+    DuckDB regexp_replace is first-match-only by default)."""
+    return f"trim(regexp_replace(lower({text_expr}), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def exact_dedup_normalized(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Normalized-exact ("fuzzy exact") dedup: digest the normalized
+    text instead of the raw bytes. Same single-shuffle plan shape as
+    ``exact_dedup_keep_min`` — the normalization is a codegen'd
+    projection on the scan; only (digest, doc_id) is shuffled."""
+    digest = F.md5(normalized_text(F.col(text_col))).alias("digest")
     return (
         docs.select(digest, "doc_id")
         .groupBy("digest")

@@ -149,3 +149,99 @@ def pagerank_iter_oracle(prev: str, out: str) -> str:
         GROUP BY e.dst
     )
     """
+
+
+def copurchase_edges(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_quantity: int = 45,
+    max_group: int = 20,
+) -> DataFrame:
+    """Customer co-purchase graph: an undirected edge (u < v) between
+    customers who bought the same part (high-quantity lines only).
+
+    Pair enumeration from an inverted index (part → customers) is the
+    same posting-list shape as n-gram dedup, with the same skew
+    hazard: one hot part with d buyers emits d² pairs. ``max_group``
+    is the skew cap — hot posting lists are dropped before the
+    self-join (dedup_ngram_jaccard_capped's discipline), bounding the
+    pair fan-out per part to max_group² at any data scale.
+    """
+    cp = (
+        lineitem.filter(F.col("l_quantity") >= min_quantity)
+        .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
+        .distinct()
+    )
+    small = (
+        cp.groupBy("pk")
+        .agg(F.count("*").alias("nc"))
+        .filter(F.col("nc") <= max_group)
+    )
+    a, b = cp.alias("a"), cp.alias("b")
+    return (
+        a.join(small.select("pk"), "pk")
+        .join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.ck") < F.col("b.ck")))
+        .select(F.col("a.ck").alias("u"), F.col("b.ck").alias("v"))
+        .distinct()
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over an undirected edge list (u < v).
+
+    Degree-ordered orientation (the scale-critical trick): every edge
+    is directed from its lower-(degree, id) endpoint, so a node's
+    out-degree is bounded by O(sqrt(|E|)) on any graph and the wedge
+    self-join cannot blow up on hubs — the naive id-ordered
+    enumeration would square a celebrity node's degree. The closing
+    wedge→edge check is an equi-join on the oriented list. Orientation
+    changes only the join sizes, never the triangle set, so a plain
+    a<b<c SQL enumeration is a valid oracle.
+
+    Three shuffles total (degree agg, wedge join, closure join) over
+    id-only rows; the payload never moves.
+    """
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # Total order key packing (deg, node) into one BIGINT comparator.
+    key = lambda d, n: (F.col(d) * F.lit(1 << 32) + F.col(n))  # noqa: E731
+    e = (
+        edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+        .select(
+            F.when(key("du", "u") < key("dv", "v"), F.col("u"))
+            .otherwise(F.col("v"))
+            .alias("src"),
+            F.when(key("du", "u") < key("dv", "v"), F.col("v"))
+            .otherwise(F.col("u"))
+            .alias("dst"),
+            F.when(key("du", "u") < key("dv", "v"), key("dv", "v"))
+            .otherwise(key("du", "u"))
+            .alias("dst_key"),
+        )
+    )
+    w1, w2 = e.alias("w1"), e.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.src") == F.col("w2.src"))
+        & (F.col("w1.dst_key") < F.col("w2.dst_key")),
+    ).select(
+        F.col("w1.src").alias("a"),
+        F.col("w1.dst").alias("b"),
+        F.col("w2.dst").alias("c"),
+    )
+    closing = e.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tris = wedges.join(closing, ["b", "c"])
+    corners = (
+        tris.select(F.col("a").alias("node"))
+        .unionAll(tris.select(F.col("b").alias("node")))
+        .unionAll(tris.select(F.col("c").alias("node")))
+    )
+    return corners.groupBy("node").agg(F.count("*").alias("n_triangles"))

@@ -105,6 +105,86 @@ def mix_rebalance(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key: str,
+    stratum: str,
+    alpha: float = 0.7,
+    frac: float = 0.5,
+    seed: int | str = "temp",
+) -> DataFrame:
+    """Temperature sampling over strata (languages/sources): target
+    mixture q_s ∝ p_s^alpha — the multilingual rebalancing knob of
+    XLM-R / mT5-style pretraining (alpha < 1 upweights rare strata).
+
+    Keeps ~``frac`` of the corpus overall, distributed across strata
+    by the temperature-flattened distribution: per-stratum quota
+    q_s · frac · N, keep-rate min(1, quota/n_s). Plan: one tiny
+    per-stratum count aggregation → scalar normalizer (1-row cross
+    joins) → integer hash thresholds broadcast back onto the single
+    corpus scan. Membership is a pure function of the row key —
+    reproducible on any cluster size and in the oracle.
+    """
+    counts = df.groupBy(stratum).agg(F.count("*").alias("n"))
+    tot = counts.select(F.sum("n").alias("n_total"))
+    q = counts.crossJoin(tot).withColumn(
+        "q", F.pow(F.col("n") / F.col("n_total"), F.lit(float(alpha)))
+    )
+    z = q.select(F.sum("q").alias("z"))
+    thresholds = q.crossJoin(z).select(
+        stratum,
+        F.round(
+            F.least(
+                F.lit(1.0),
+                F.col("q") / F.col("z") * float(frac) * F.col("n_total") / F.col("n"),
+            )
+            * _SPACE
+        )
+        .cast("int")
+        .alias("thr"),
+    )
+    return (
+        df.join(F.broadcast(thresholds), stratum)
+        .filter(_bucket(F.col(key), seed) < F.col("thr"))
+        .select(key, stratum, "thr")
+    )
+
+
+def temperature_sample_oracle(
+    table: str,
+    key_expr: str,
+    stratum: str,
+    alpha: float = 0.7,
+    frac: float = 0.5,
+    seed: int | str = "temp",
+) -> str:
+    """DuckDB mirror of ``temperature_sample`` — same expression tree
+    (pow → normalize → least → round) so the integer thresholds match
+    bit-for-bit."""
+    return f"""
+        WITH counts AS (
+            SELECT {stratum}, count(*) AS n FROM {table} GROUP BY {stratum}
+        ),
+        tot AS (SELECT sum(n) AS n_total FROM counts),
+        q AS (
+            SELECT {stratum}, n, n_total,
+                   pow(CAST(n AS DOUBLE) / n_total, {float(alpha)}) AS q
+            FROM counts CROSS JOIN tot
+        ),
+        z AS (SELECT sum(q) AS z FROM q),
+        thresholds AS (
+            SELECT {stratum},
+                   CAST(round(least(1.0,
+                        q / z.z * {float(frac)} * n_total / n) * {_SPACE})
+                        AS INTEGER) AS thr
+            FROM q CROSS JOIN z
+        )
+        SELECT d.{key_expr}, t.{stratum}, t.thr
+        FROM {table} d JOIN thresholds t USING ({stratum})
+        WHERE {bucket_oracle('d.' + key_expr, seed)} < t.thr
+    """
+
+
 def importance_weights_dsir(
     docs: DataFrame,
     text_col: str = "text",

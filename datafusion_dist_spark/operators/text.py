@@ -238,6 +238,108 @@ def decontaminate_overlap(
     return w_best
 
 
+def decontaminate_bloom_verify(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_shared: int = 2,
+    m_bits: int = 1 << 20,
+    n_probes: int = 4,
+) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination, exact after verify.
+
+    The 100 TB shape of eval-set scrubbing: the benchmark shingle set
+    is small (eval suites are MBs), the corpus shingle stream is not.
+    Stage 1 builds a Bloom bitset over the benchmark's distinct
+    shingles on the driver (one tiny collect) and broadcasts it;
+    stage 2 streams corpus shingles through a vectorized numpy
+    membership probe — non-matching shingles (the overwhelming
+    majority) die in the map stage without ever being shuffled;
+    stage 3 exactly verifies the survivors with a broadcast join, so
+    Bloom false positives cannot reach the output and the result is
+    bit-identical to the exact inverted-index join.
+
+    The Bloom probes hash JVM-side (two md5-derived 32-bit ints per
+    shingle, double hashing h1 + i*h2 — Kirsch & Mitzenmacher 2006);
+    the Python side only does numpy bit tests on int columns, so the
+    Arrow batches carry no strings into Python.
+
+    Returns (doc_id, n_shared) for corpus docs sharing >=
+    ``min_shared`` distinct shingles with the union of benchmark
+    shingles.
+    """
+    import numpy as np
+
+    from datafusion_dist_spark.functions.hashing import (
+        hash_int32,
+        shingle_array,
+    )
+    from datafusion_dist_spark.operators.common import spread
+
+    def shingles(df: DataFrame, id_alias: str) -> DataFrame:
+        t = df.select(
+            F.col("doc_id").alias(id_alias),
+            tokens(F.col(text_col)).alias("toks"),
+        )
+        return t.select(
+            id_alias,
+            F.explode(F.array_distinct(shingle_array(F.col("toks"), k))).alias(
+                "shingle"
+            ),
+        )
+
+    def with_probes(df: DataFrame) -> DataFrame:
+        return df.withColumn(
+            "h1", hash_int32(F.col("shingle"), seed="bl1")
+        ).withColumn("h2", hash_int32(F.col("shingle"), seed="bl2"))
+
+    bench = with_probes(
+        shingles(benchmark, "bench_id").select("shingle").distinct()
+    )
+    rows = bench.select("h1", "h2").collect()  # eval-set sized: tiny
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    if rows:
+        h1 = np.array([r["h1"] for r in rows], dtype=np.uint64)
+        h2 = np.array([r["h2"] for r in rows], dtype=np.uint64)
+        for i in range(n_probes):
+            idx = (h1 + np.uint64(i) * h2) % np.uint64(m_bits)
+            # unbuffered |=: plain fancy-indexed assignment drops bits
+            # when two shingles land in the same 64-bit word.
+            np.bitwise_or.at(
+                bits, idx >> np.uint64(6), np.uint64(1) << (idx & np.uint64(63))
+            )
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast(bits)
+
+    import pandas as pd
+
+    # No type hints: under ``from __future__ import annotations`` the
+    # hints are strings referencing this function's local ``pd`` import,
+    # which pandas_udf's signature resolver cannot see.
+    @F.pandas_udf("boolean")
+    def might_contain(h1s, h2s):
+        b = bc.value
+        a = h1s.to_numpy(dtype=np.uint64)
+        c = h2s.to_numpy(dtype=np.uint64)
+        hit = np.ones(len(a), dtype=bool)
+        for i in range(n_probes):
+            idx = (a + np.uint64(i) * c) % np.uint64(m_bits)
+            word = b[idx >> np.uint64(6)]
+            hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+        return pd.Series(hit)
+
+    corp = with_probes(shingles(spread(corpus), "doc_id"))
+    survivors = corp.filter(might_contain(F.col("h1"), F.col("h2")))
+    # Exact verify: broadcast the true benchmark shingle set; FPs die.
+    return (
+        survivors.join(F.broadcast(bench.select("shingle")), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: tuple[str, ...],

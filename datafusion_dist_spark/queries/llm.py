@@ -2225,3 +2225,144 @@ def pipeline_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("keep"),
         )
     )
+
+
+# -- round-3 additions: normalized dedup, bloom decontamination, ----------
+# -- temperature sampling, shard shuffle ----------------------------------
+
+_NORM_ORACLE = dedup.normalized_text_oracle("text")
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle=f"""
+        WITH ncorpus AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT doc_id + 200000 AS doc_id, upper(text) || '!!' AS text
+            FROM documents WHERE doc_id % 7 = 0
+        )
+        SELECT md5({_NORM_ORACLE}) AS digest, count(*) AS n_copies,
+               min(doc_id) AS keep_id
+        FROM ncorpus GROUP BY md5({_NORM_ORACLE}) HAVING count(*) > 1
+    """,
+    doc="Normalized-exact (C4/CCNet 'fuzzy exact') dedup: digest of "
+    "lowercased, punctuation/whitespace-collapsed text, so re-scrapes "
+    "differing only in casing or markup noise collapse. The demo "
+    "corpus plants uppercased+'!!' variants of every 7th doc — raw "
+    "exact dedup finds nothing, normalized dedup finds them all. "
+    "Same single-shuffle plan as dedup_exact: normalization is a "
+    "codegen'd projection; only (digest, doc_id) moves. "
+    "(operators/dedup.py:exact_dedup_normalized)",
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variant = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
+    )
+    return dedup.exact_dedup_normalized(d.unionByName(variant))
+
+
+@register(
+    "decontaminate_bloom_verify",
+    oracle=f"""
+        WITH corp AS (
+            SELECT doc_id, sh.shingle
+            FROM (SELECT doc_id, list_distinct({SHINGLES}) AS shs
+                  FROM documents WHERE doc_id >= 20) t,
+                 UNNEST(shs) AS sh(shingle)
+        ),
+        bench AS (
+            SELECT DISTINCT sh.shingle
+            FROM (SELECT list_distinct({SHINGLES}) AS shs
+                  FROM documents WHERE doc_id < 20) t,
+                 UNNEST(shs) AS sh(shingle)
+        )
+        SELECT doc_id, count(*) AS n_shared
+        FROM corp JOIN bench USING (shingle)
+        GROUP BY doc_id HAVING count(*) >= 2
+    """,
+    doc="Bloom-prefiltered eval-set decontamination, exact after "
+    "verify: benchmark shingles build a broadcast Bloom bitset (one "
+    "eval-set-sized collect); corpus shingles stream through a "
+    "vectorized numpy membership probe so non-matching shingles die "
+    "map-side without shuffling; survivors are exactly verified with "
+    "a broadcast join, so Bloom false positives cannot reach the "
+    "output — bit-identical to the exact inverted-index join the "
+    "oracle runs. (operators/text.py:decontaminate_bloom_verify)",
+)
+def decontaminate_bloom_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return text.decontaminate_bloom_verify(
+        d.filter(F.col("doc_id") >= 20),
+        d.filter(F.col("doc_id") < 20),
+        min_shared=2,
+    )
+
+
+@register(
+    "sample_temperature",
+    oracle=sampling.temperature_sample_oracle(
+        "documents", "doc_id", "lang", alpha=0.7, frac=0.5
+    ),
+    doc="Temperature sampling over languages: target mixture "
+    "q_l ∝ p_l^0.7 (XLM-R/mT5's multilingual rebalancing knob — "
+    "alpha < 1 upweights rare languages). One tiny per-language "
+    "count agg → scalar normalizer → integer hash thresholds "
+    "broadcast onto a single corpus scan; membership is a pure "
+    "function of doc_id, reproducible at any cluster size. "
+    "(operators/sampling.py:temperature_sample)",
+)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.temperature_sample(
+        docs, "doc_id", "lang", alpha=0.7, frac=0.5
+    )
+
+
+@register(
+    "pipeline_shuffle_shard",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   {hash_hex_oracle("CAST(doc_id AS VARCHAR)", "shuf")} AS hx
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, hx,
+                   CAST(('0x' || substr(hx, 1, 4)) AS INTEGER) % 8 AS shard
+            FROM h
+        )
+        SELECT doc_id, shard,
+               row_number() OVER (
+                   PARTITION BY shard ORDER BY hx, doc_id
+               ) AS pos
+        FROM s
+    """,
+    doc="Deterministic global shuffle + sharding for training-data "
+    "serving: hash doc_id to a pseudorandom key, route to one of 8 "
+    "output shards, order within the shard by the hash — a seeded, "
+    "engine-independent permutation (change the seed for a new "
+    "epoch). Exactly one hash-partition shuffle then a within-"
+    "partition sort; at 100 TB each shard sorts locally after a "
+    "single exchange, the classic write path for tokenizer-ready "
+    "shards.",
+)
+def pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datafusion_dist_spark.functions.hashing import hash_hex
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = docs.select(
+        "doc_id", hash_hex(F.col("doc_id").cast("string"), "shuf").alias("hx")
+    )
+    s = h.withColumn(
+        "shard",
+        (F.conv(F.substring("hx", 1, 4), 16, 10).cast("int") % 8),
+    )
+    w = Window.partitionBy("shard").orderBy("hx", "doc_id")
+    return s.select(
+        "doc_id", "shard", F.row_number().over(w).alias("pos")
+    )

@@ -396,3 +396,109 @@ def test_bigram_lm_score_ranks_typical_text_higher(spark):
               text_ops.bigram_lm_score(docs).collect()}
     assert scores[0] > scores[9], scores
     assert len(scores) == 10
+
+
+def test_normalized_dedup_catches_case_punct_variants(spark):
+    """Raw exact dedup misses an uppercased/punctuated re-scrape;
+    normalized dedup collapses it onto the original."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(20)
+    variant = docs.limit(1).select(
+        (F.col("doc_id") + 900000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!  ")).alias("text"),
+    )
+    corpus = docs.unionByName(variant)
+    assert dedup.exact_dedup_keep_min(corpus).count() == 0
+    groups = dedup.exact_dedup_normalized(corpus).collect()
+    assert len(groups) == 1 and groups[0].n_copies == 2
+
+
+def test_bloom_decontaminate_matches_exact_join(spark):
+    """The Bloom prefilter must be loss-free: verify-stage output is
+    bit-identical to the exact inverted-index overlap (no false
+    negatives by construction; false positives die in verify)."""
+    from datafusion_dist_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") < 10)
+    corpus = docs.filter(F.col("doc_id") >= 10)
+    bloom = text_ops.decontaminate_bloom_verify(
+        corpus, bench, min_shared=2
+    ).collect()
+    # Exact twin: union-of-benchmark-shingles overlap counts.
+    from datafusion_dist_spark.functions.hashing import shingle_array, tokens
+
+    def sh(df, alias):
+        t = df.select(F.col("doc_id").alias(alias), tokens(F.col("text")).alias("toks"))
+        return t.select(alias, F.explode(F.array_distinct(shingle_array(F.col("toks"), 3))).alias("shingle"))
+
+    exact = (
+        sh(corpus, "doc_id")
+        .join(sh(bench, "bench_id").select("shingle").distinct(), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+        .collect()
+    )
+    assert sorted(map(tuple, bloom)) == sorted(map(tuple, exact))
+
+
+def test_bloom_decontaminate_tiny_filter_still_exact(spark):
+    """Even a saturated 1-Kbit Bloom (FP rate ~1) cannot corrupt the
+    result — the verify join makes the pipeline exact, only slower."""
+    from datafusion_dist_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    bench = docs.filter(F.col("doc_id") < 5)
+    corpus = docs.filter(F.col("doc_id") >= 5)
+    small = text_ops.decontaminate_bloom_verify(
+        corpus, bench, min_shared=2, m_bits=1 << 10
+    ).collect()
+    big = text_ops.decontaminate_bloom_verify(
+        corpus, bench, min_shared=2, m_bits=1 << 20
+    ).collect()
+    assert sorted(map(tuple, small)) == sorted(map(tuple, big))
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha<1 must upweight rare strata: the rare stratum's keep-rate
+    exceeds the common stratum's, and the overall kept fraction is
+    within a few points of frac."""
+    from datafusion_dist_spark.operators import sampling as smp
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    n = docs.count()
+    out = smp.temperature_sample(docs, "doc_id", "lang", alpha=0.5, frac=0.5)
+    kept = out.groupBy("lang").count().collect()
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    rates = {r["lang"]: r["count"] / base[r["lang"]] for r in kept}
+    rare = min(base, key=base.get)
+    common = max(base, key=base.get)
+    assert rates.get(rare, 0) >= rates.get(common, 1e9) or rates.get(rare, 0) == 1.0
+    total_kept = sum(r["count"] for r in kept)
+    assert abs(total_kept / n - 0.5) < 0.1
+
+
+def test_triangle_count_k4_plus_chain(spark):
+    """K4 (4 triangles, 3 per node) plus a pendant chain (0)."""
+    from datafusion_dist_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "u long, v long",
+    )
+    out = {r.node: r.n_triangles for r in triangle_count(edges).collect()}
+    assert out == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_shuffle_shard_is_a_permutation(spark):
+    """Every doc appears exactly once; positions are 1..n_s per shard."""
+    import __spark_entry__ as E
+
+    out = E.queries()["pipeline_shuffle_shard"](spark, SF_DIR).collect()
+    n = load_table(spark, SF_DIR, "documents").count()
+    assert len(out) == n and len({r.doc_id for r in out}) == n
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
