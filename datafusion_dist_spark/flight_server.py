@@ -142,6 +142,90 @@ if _HAVE_FLIGHT:
                     if job_id not in live:
                         del self._handles[job_id]
 
+        def _metadata_table(self, kind: str, params: dict) -> "pa.Table":
+            """Catalog-metadata result tables with the column layouts
+            the FlightSQL spec prescribes (FlightSql.proto comments for
+            CommandGetCatalogs/GetDbSchemas/GetTables/GetTableTypes),
+            so stock clients can bind them without translation."""
+            spark = self.engine.spark
+            if kind == "catalogs":
+                return pa.table(
+                    {"catalog_name": [c.name for c in spark.catalog.listCatalogs()]},
+                    schema=pa.schema(
+                        [pa.field("catalog_name", pa.string(), nullable=False)]
+                    ),
+                )
+            if kind == "db_schemas":
+                pat = params.get("db_schema_filter_pattern")
+                names = [
+                    d.name
+                    for d in spark.catalog.listDatabases()
+                    if flightsql.sql_like_match(pat, d.name)
+                ]
+                return pa.table(
+                    {
+                        "catalog_name": [spark.catalog.currentCatalog()] * len(names),
+                        "db_schema_name": names,
+                    },
+                    schema=pa.schema(
+                        [
+                            pa.field("catalog_name", pa.string()),
+                            pa.field("db_schema_name", pa.string(), nullable=False),
+                        ]
+                    ),
+                )
+            if kind == "table_types":
+                return pa.table(
+                    {"table_type": ["TABLE", "VIEW"]},
+                    schema=pa.schema(
+                        [pa.field("table_type", pa.string(), nullable=False)]
+                    ),
+                )
+            if kind == "tables":
+                name_pat = params.get("table_name_filter_pattern")
+                schema_pat = params.get("db_schema_filter_pattern")
+                want_types = set(params.get("table_types") or ())
+                include_schema = bool(params.get("include_schema"))
+                cat = spark.catalog.currentCatalog()
+                rows = []
+                for t in spark.catalog.listTables():
+                    # Temp views have no database; expose them under an
+                    # empty schema name like most FlightSQL servers do.
+                    db = t.namespace[0] if t.namespace else ""
+                    ttype = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "TABLE"
+                    if not flightsql.sql_like_match(name_pat, t.name):
+                        continue
+                    if schema_pat and not flightsql.sql_like_match(schema_pat, db):
+                        continue
+                    if want_types and ttype not in want_types:
+                        continue
+                    rows.append((cat, db, t.name, ttype))
+                fields = [
+                    pa.field("catalog_name", pa.string()),
+                    pa.field("db_schema_name", pa.string()),
+                    pa.field("table_name", pa.string(), nullable=False),
+                    pa.field("table_type", pa.string(), nullable=False),
+                ]
+                cols = {
+                    "catalog_name": [r[0] for r in rows],
+                    "db_schema_name": [r[1] for r in rows],
+                    "table_name": [r[2] for r in rows],
+                    "table_type": [r[3] for r in rows],
+                }
+                if include_schema:
+                    # IPC-serialized Arrow schema per table, as the
+                    # spec requires (clients deserialize it to plan
+                    # reads without running a probe query).
+                    cols["table_schema"] = [
+                        _arrow_schema(spark.table(r[2])).serialize().to_pybytes()
+                        for r in rows
+                    ]
+                    fields.append(
+                        pa.field("table_schema", pa.binary(), nullable=False)
+                    )
+                return pa.table(cols, schema=pa.schema(fields))
+            raise flight.FlightServerError(f"unknown metadata command {kind!r}")
+
         # -- Flight RPCs ----------------------------------------------------
 
         def get_flight_info(self, context, descriptor):
@@ -159,6 +243,27 @@ if _HAVE_FLIGHT:
             #    final-stage partition (main.rs:298-306) — at the
             #    documented cost of materializing upstream stages now.
             cmd = bytes(descriptor.command)
+            # 0. FlightSQL catalog metadata (CommandGetCatalogs /
+            #    GetDbSchemas / GetTables / GetTableTypes) — what stock
+            #    ADBC/JDBC clients issue on connect to browse the
+            #    catalog. Served directly from the Spark catalog, no
+            #    job minted (metadata is not a query).
+            meta_cmd = flightsql.parse_metadata_command(cmd)
+            if meta_cmd is not None:
+                kind, params = meta_cmd
+                table = self._metadata_table(kind, params)
+                ticket = flight.Ticket(
+                    flightsql.encode_ticket(
+                        json.dumps({"meta": kind, "params": params}).encode()
+                    )
+                )
+                return flight.FlightInfo(
+                    table.schema,
+                    descriptor,
+                    [flight.FlightEndpoint(ticket, [])],
+                    table.num_rows,
+                    -1,
+                )
             partitioned = False
             # Prepared statement (Any<CommandPreparedStatementQuery>):
             # resolve the handle minted by CreatePreparedStatement —
@@ -253,6 +358,13 @@ if _HAVE_FLIGHT:
                 raw = handle_bytes
             try:
                 spec = json.loads(raw.decode("utf-8"))
+                if isinstance(spec, dict) and "meta" in spec:
+                    # Catalog-metadata ticket: serve from the Spark
+                    # catalog directly, no job registry involved.
+                    table = self._metadata_table(
+                        spec["meta"], spec.get("params", {})
+                    )
+                    return flight.RecordBatchStream(table)
                 job_id = spec["job_id"]
             except (ValueError, UnicodeDecodeError, KeyError, TypeError) as exc:
                 # Also covers well-formed JSON that is not our spec

@@ -217,3 +217,142 @@ def parse_prepared_query(command: bytes) -> bytes | None:
         return fields[1][-1] if 1 in fields else None
     except (ValueError, UnicodeDecodeError, IndexError):
         return None
+
+
+# -- catalog metadata discovery --------------------------------------------
+# Also beyond the reference's surface: the FlightSQL metadata commands a
+# stock ADBC/JDBC client issues on connect to browse the catalog, from
+# the public FlightSql.proto —
+#   CommandGetCatalogs   = {}
+#   CommandGetDbSchemas  = {1: catalog, 2: db_schema_filter_pattern}
+#   CommandGetTables     = {1: catalog, 2: db_schema_filter_pattern,
+#                           3: table_name_filter_pattern,
+#                           4: repeated table_types,
+#                           5: include_schema (bool, wire type 0)}
+#   CommandGetTableTypes = {}
+# include_schema is the one varint field in the whole surface, so these
+# commands get a mixed-wire-type parser.
+
+CMD_GET_CATALOGS = _TYPE_PREFIX + "CommandGetCatalogs"
+CMD_GET_DB_SCHEMAS = _TYPE_PREFIX + "CommandGetDbSchemas"
+CMD_GET_TABLES = _TYPE_PREFIX + "CommandGetTables"
+CMD_GET_TABLE_TYPES = _TYPE_PREFIX + "CommandGetTableTypes"
+
+
+def _varint_field(field_no: int, value: int) -> bytes:
+    return _varint(field_no << 3 | 0) + _varint(value)
+
+
+def _parse_fields_mixed(buf: bytes) -> dict[int, list]:
+    """Parse length-delimited (-> bytes) and varint (-> int) fields."""
+    fields: dict[int, list] = {}
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        field_no, wire_type = tag >> 3, tag & 7
+        if field_no == 0:
+            raise ValueError("field number 0")
+        if wire_type == 2:
+            length, pos = _read_varint(buf, pos)
+            if pos + length > len(buf):
+                raise ValueError("truncated length-delimited field")
+            fields.setdefault(field_no, []).append(buf[pos : pos + length])
+            pos += length
+        elif wire_type == 0:
+            value, pos = _read_varint(buf, pos)
+            fields.setdefault(field_no, []).append(value)
+        else:
+            raise ValueError(f"unsupported wire type {wire_type}")
+    return fields
+
+
+def encode_get_catalogs() -> bytes:
+    return encode_any(CMD_GET_CATALOGS, b"")
+
+
+def encode_get_db_schemas(
+    catalog: str | None = None, db_schema_filter_pattern: str | None = None
+) -> bytes:
+    body = b""
+    if catalog is not None:
+        body += _ld_field(1, catalog.encode("utf-8"))
+    if db_schema_filter_pattern is not None:
+        body += _ld_field(2, db_schema_filter_pattern.encode("utf-8"))
+    return encode_any(CMD_GET_DB_SCHEMAS, body)
+
+
+def encode_get_tables(
+    catalog: str | None = None,
+    db_schema_filter_pattern: str | None = None,
+    table_name_filter_pattern: str | None = None,
+    table_types: tuple[str, ...] = (),
+    include_schema: bool = False,
+) -> bytes:
+    body = b""
+    if catalog is not None:
+        body += _ld_field(1, catalog.encode("utf-8"))
+    if db_schema_filter_pattern is not None:
+        body += _ld_field(2, db_schema_filter_pattern.encode("utf-8"))
+    if table_name_filter_pattern is not None:
+        body += _ld_field(3, table_name_filter_pattern.encode("utf-8"))
+    for t in table_types:
+        body += _ld_field(4, t.encode("utf-8"))
+    if include_schema:
+        body += _varint_field(5, 1)
+    return encode_any(CMD_GET_TABLES, body)
+
+
+def encode_get_table_types() -> bytes:
+    return encode_any(CMD_GET_TABLE_TYPES, b"")
+
+
+def parse_metadata_command(command: bytes) -> tuple[str, dict] | None:
+    """(kind, params) when ``command`` is a FlightSQL catalog-metadata
+    Any; None otherwise. kind ∈ {catalogs, db_schemas, tables,
+    table_types}; params carry the decoded filters."""
+    try:
+        type_url, value = decode_any(command)
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return None
+    if type_url == CMD_GET_CATALOGS:
+        return "catalogs", {}
+    if type_url == CMD_GET_TABLE_TYPES:
+        return "table_types", {}
+    try:
+        fields = _parse_fields_mixed(value)
+    except ValueError:
+        return None
+    if type_url == CMD_GET_DB_SCHEMAS:
+        return "db_schemas", {
+            "catalog": fields[1][-1].decode("utf-8") if 1 in fields else None,
+            "db_schema_filter_pattern": (
+                fields[2][-1].decode("utf-8") if 2 in fields else None
+            ),
+        }
+    if type_url == CMD_GET_TABLES:
+        return "tables", {
+            "catalog": fields[1][-1].decode("utf-8") if 1 in fields else None,
+            "db_schema_filter_pattern": (
+                fields[2][-1].decode("utf-8") if 2 in fields else None
+            ),
+            "table_name_filter_pattern": (
+                fields[3][-1].decode("utf-8") if 3 in fields else None
+            ),
+            "table_types": [b.decode("utf-8") for b in fields.get(4, [])],
+            "include_schema": bool(fields[5][-1]) if 5 in fields else False,
+        }
+    return None
+
+
+def sql_like_match(pattern: str | None, value: str) -> bool:
+    """FlightSQL filter patterns are SQL LIKE: ``%`` any run, ``_`` one
+    char; None/empty matches everything."""
+    if not pattern:
+        return True
+    import re
+
+    rx = "".join(
+        ".*" if ch == "%" else "." if ch == "_" else re.escape(ch)
+        for ch in pattern
+    )
+    return re.fullmatch(rx, value) is not None

@@ -703,3 +703,101 @@ def test_flightsql_prepared_parameter_binding(server, engine):
         )[0].n_name
         assert t.column("n_name").to_pylist() == [expected]
     client.close()
+
+
+def test_flightsql_catalog_metadata_commands(server, engine):
+    """Stock ADBC/JDBC clients browse the catalog with the FlightSQL
+    metadata commands on connect (public FlightSql.proto:
+    CommandGetCatalogs/GetDbSchemas/GetTables/GetTableTypes). The
+    server answers all four with the spec-prescribed column layouts,
+    served from the Spark catalog without minting a job."""
+    from datafusion_dist_spark import flightsql
+
+    client = flight.connect(server.location)
+    try:
+        def fetch(cmd):
+            info = client.get_flight_info(
+                flight.FlightDescriptor.for_command(cmd)
+            )
+            # Metadata tickets are FlightSQL envelopes too.
+            assert flightsql.parse_ticket(
+                bytes(info.endpoints[0].ticket.ticket)
+            ) is not None
+            return client.do_get(info.endpoints[0].ticket).read_all()
+
+        cats = fetch(flightsql.encode_get_catalogs())
+        assert cats.schema.field("catalog_name").nullable is False
+        assert "spark_catalog" in cats.column("catalog_name").to_pylist()
+
+        schemas = fetch(flightsql.encode_get_db_schemas())
+        assert "default" in schemas.column("db_schema_name").to_pylist()
+        none = fetch(
+            flightsql.encode_get_db_schemas(db_schema_filter_pattern="zz%")
+        )
+        assert none.num_rows == 0
+
+        types = fetch(flightsql.encode_get_table_types())
+        assert set(types.column("table_type").to_pylist()) == {"TABLE", "VIEW"}
+
+        tables = fetch(flightsql.encode_get_tables())
+        names = tables.column("table_name").to_pylist()
+        assert "lineitem" in names and "orders" in names
+        assert set(tables.column("table_type").to_pylist()) <= {"TABLE", "VIEW"}
+
+        # SQL LIKE filter pattern on table names.
+        li = fetch(
+            flightsql.encode_get_tables(table_name_filter_pattern="line%")
+        )
+        assert li.column("table_name").to_pylist() == ["lineitem"]
+
+        # include_schema: per-table IPC-serialized Arrow schema a client
+        # can deserialize without a probe query.
+        with_schema = fetch(
+            flightsql.encode_get_tables(
+                table_name_filter_pattern="orders", include_schema=True
+            )
+        )
+        assert with_schema.schema.field("table_schema").nullable is False
+        ser = with_schema.column("table_schema").to_pylist()[0]
+        schema = pa.ipc.read_schema(pa.BufferReader(ser))
+        assert "o_orderkey" in schema.names
+
+        # No jobs were minted for any of the seven metadata calls.
+        assert all(
+            e.meta.get("via") != "flight-metadata"
+            for e in engine.jobs.all()
+        )
+    finally:
+        client.close()
+
+
+def test_flightsql_metadata_command_wire_parse_rejects_garbage():
+    """The mixed-wire-type parser must reject non-metadata commands
+    cleanly so plain SQL / statement envelopes keep their paths."""
+    from datafusion_dist_spark import flightsql
+
+    assert flightsql.parse_metadata_command(b"SELECT 1") is None
+    assert (
+        flightsql.parse_metadata_command(
+            flightsql.encode_statement_query("SELECT 1")
+        )
+        is None
+    )
+    # Round-trip every filter field, including the varint bool.
+    kind, params = flightsql.parse_metadata_command(
+        flightsql.encode_get_tables(
+            catalog="spark_catalog",
+            db_schema_filter_pattern="def%",
+            table_name_filter_pattern="l_ne%",
+            table_types=("TABLE", "VIEW"),
+            include_schema=True,
+        )
+    )
+    assert kind == "tables"
+    assert params == {
+        "catalog": "spark_catalog",
+        "db_schema_filter_pattern": "def%",
+        "table_name_filter_pattern": "l_ne%",
+        "table_types": ["TABLE", "VIEW"],
+        "include_schema": True,
+    }
