@@ -81,6 +81,8 @@ HEADLINE = [
     "sample_temperature",
     "pipeline_shuffle_shard",
     "graph_triangle_count",
+    "dedup_incremental",
+    "ann_ivf_knn_join",
 ]
 
 

@@ -192,6 +192,7 @@ def minhash_dedup_pairs(
     bands: int = 4,
     rows_per_band: int = 4,
     threshold: float = 0.5,
+    split_id: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
     join → estimate Jaccard as matching-signature-component fraction;
@@ -209,11 +210,27 @@ def minhash_dedup_pairs(
     big to broadcast). The estimate (a scalar) is computed before the
     per-pair dedup so dropDuplicates hash-aggregates primitive columns
     only, never signature arrays.
+
+    ``split_id`` switches self-dedup into **incremental** dedup — the
+    production "dedupe the new crawl against the existing corpus"
+    pass: ``docs`` is index ∪ batch with disjoint id ranges (index ids
+    < split_id ≤ batch ids), and the band join pairs index docs with
+    batch docs only (a = index, b = new), never index-index or
+    batch-batch. Same single computed signature subtree; at 100 TB the
+    index side's signatures come from storage instead of recompute,
+    but the join shape — one banded equi-join, no all-pairs — is
+    identical.
     """
     num_hashes = bands * rows_per_band
     sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
     banded = _banded(sigs, bands, rows_per_band)
     a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
+    if split_id is None:
+        side_pred = F.col("a.doc_id") < F.col("b.doc_id")
+    else:
+        side_pred = (F.col("a.doc_id") < split_id) & (
+            F.col("b.doc_id") >= split_id
+        )
     matches = F.aggregate(
         F.zip_with(
             F.col("a.sig"), F.col("b.sig"), lambda x, y: (x == y).cast("int")
@@ -227,7 +244,7 @@ def minhash_dedup_pairs(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & side_pred,
         )
         .select(
             F.col("a.doc_id").alias("a_id"),

@@ -481,6 +481,36 @@ def kmeans_train(
     return out, rounds
 
 
+def _probe_cids(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    n_centroids: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[list, list[int]]:
+    """(cent_rows, nprobe nearest centroid ids) for one query. The
+    query-to-centroid scores are Spark-computed (rounded cosine) so
+    the ranking's rounding/tiebreak matches the SQL ORDER BY exactly;
+    this ranking discipline lives ONLY here (ivf_topk, ivf_pq_topk,
+    ivf_knn_join all route through it)."""
+    q = F.lit([float(v) for v in query_vec])
+    cent_rows = (
+        embeddings.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("cvec"),
+            F.round(cosine(F.col(vec_col), q, None), 6).alias("qsim"),
+        )
+        .collect()
+    )
+    probe_cids = [
+        int(r.cid)
+        for r in sorted(cent_rows, key=lambda r: (-r.qsim, r.cid))[:nprobe]
+    ]
+    return cent_rows, probe_cids
+
+
 def _coarse_probe(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -507,20 +537,9 @@ def _coarse_probe(
     ONLY here so ``ivf_topk`` and ``ivf_pq_topk`` cannot drift.
     """
     spark = embeddings.sparkSession
-    q = F.lit([float(v) for v in query_vec])
-    cent_rows = (
-        embeddings.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.col(id_col).alias("cid"),
-            F.col(vec_col).alias("cvec"),
-            F.round(cosine(F.col(vec_col), q, None), 6).alias("qsim"),
-        )
-        .collect()
+    cent_rows, probe_cids = _probe_cids(
+        embeddings, query_vec, n_centroids, nprobe, id_col, vec_col
     )
-    probe_cids = [
-        int(r.cid)
-        for r in sorted(cent_rows, key=lambda r: (-r.qsim, r.cid))[:nprobe]
-    ]
     probes = spark.createDataFrame([(c,) for c in probe_cids], "pcid long")
     scorer = _numpy_ivf_scorer(
         [[float(v) for v in r.cvec] for r in cent_rows],
@@ -1056,4 +1075,91 @@ def ivf_pq_topk(
         )
         .orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+def ivf_knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-accelerated kNN join: ``knn_join``'s output contract served
+    through the coarse-quantizer route — per query, only the
+    ``nprobe`` probed inverted lists are scored, not the whole corpus.
+
+    The batch-serving shape at 100 TB: corpus assignment is a per-row
+    expression over one scan (no shuffle — at scale it is precomputed
+    at ingest with ``cid`` as the partition key, making each probe a
+    partition-pruned read); the query set is small by contract, so its
+    probe lists are ranked driver-side with the shared
+    ``_probe_cids`` discipline and broadcast as (q_id, q_vec, pcid)
+    rows. Candidates come from one broadcast equi-join on cid —
+    |corpus| × nprobe/n_centroids rows instead of knn_join's
+    |corpus| × |Q| — then exact cosine + per-query top-k exactly as
+    the brute-force join. Recall < 1 by design (vectors whose list
+    was not probed are unseen), the standard IVF trade.
+    """
+    dim = _probe_dim(corpus, vec_col) or 1
+    assigned, _cents = ivf_assignments(
+        corpus, n_centroids, id_col, vec_col, dim
+    )
+    spark = corpus.sparkSession
+    # One tiny job ranks EVERY query's probe list: centroids × queries
+    # (both driver-sized) with the same rounded-cosine/tiebreak
+    # discipline as _probe_cids — a per-query job would serialize |Q|
+    # round-trips for no reason.
+    qdf = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    sims = (
+        cents.crossJoin(F.broadcast(qdf))
+        .select(
+            "q_id",
+            "q_vec",
+            "cid",
+            F.round(cosine(F.col("cvec"), F.col("q_vec"), None), 6).alias(
+                "qsim"
+            ),
+        )
+        .collect()
+    )
+    by_q: dict[int, list] = {}
+    for r in sims:
+        by_q.setdefault(int(r.q_id), []).append(r)
+    probe_rows = []
+    for q_id, rows in by_q.items():
+        qvec = [float(v) for v in rows[0].q_vec]
+        qn = _lit_norm(qvec)
+        for r in sorted(rows, key=lambda r: (-r.qsim, r.cid))[:nprobe]:
+            probe_rows.append((q_id, qvec, qn, int(r.cid)))
+    probes = spark.createDataFrame(
+        probe_rows, "q_id long, q_vec array<double>, q_norm double, pcid long"
+    )
+    cand = (
+        assigned.withColumnRenamed(id_col, "c_id")
+        .withColumnRenamed(vec_col, "c_vec")
+        .join(F.broadcast(probes), F.col("cid") == F.col("pcid"))
+        .filter(F.col("c_id") != F.col("q_id"))
+    )
+    scored = cand.select(
+        "q_id",
+        "c_id",
+        F.round(
+            _dot("c_vec", "q_vec", dim) / (F.col("_norm") * F.col("q_norm")), 6
+        ).alias("score"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("score"), F.asc("c_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "c_id", "score", "rn")
     )

@@ -2366,3 +2366,126 @@ def pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", "shard", F.row_number().over(w).alias("pos")
     )
+
+
+@register(
+    "dedup_incremental",
+    oracle=f"""
+        WITH corpus AS (
+            SELECT doc_id, text FROM documents WHERE doc_id < 400
+            UNION ALL
+            SELECT doc_id + 300000 AS doc_id, text FROM documents
+            WHERE doc_id < 400 AND doc_id % 9 = 0
+            UNION ALL
+            SELECT doc_id, text FROM documents WHERE doc_id >= 400
+        ),
+        {_shingle_cte()},
+        {_sig_cte()},
+        {_band_cte()},
+        cands AS (
+            SELECT DISTINCT a.doc_id AS index_id, b.doc_id AS new_id
+            FROM banded a JOIN banded b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < 400 AND b.doc_id >= 400
+        ),
+        pairs AS (
+            SELECT c.index_id, c.new_id, {_match_frac_sql()} AS est
+            FROM cands c
+            JOIN sigs sa ON c.index_id = sa.doc_id
+            JOIN sigs sb ON c.new_id = sb.doc_id
+            WHERE {_match_frac_sql()} >= 0.5
+        )
+        SELECT index_id, new_id, round(est, 6) AS est_jaccard FROM pairs
+    """,
+    doc="Incremental dedup: flag docs in a NEW batch that near-"
+    "duplicate the EXISTING corpus index (the nightly-crawl pass of a "
+    "production pipeline — self-dedup of the full corpus every run "
+    "would be quadratic in corpus growth). Demo: index = docs < 400, "
+    "batch = docs >= 400 plus planted copies of every 9th index doc. "
+    "Banded cross-set join only (index x batch); never index x index. "
+    "(operators/dedup.py:minhash_dedup_pairs with split_id)",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    index = d.filter(F.col("doc_id") < 400)
+    planted = index.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    batch = d.filter(F.col("doc_id") >= 400).unionByName(planted)
+    return (
+        dedup.minhash_dedup_pairs(
+            index.unionByName(batch),
+            bands=BANDS,
+            rows_per_band=ROWS_PER_BAND,
+            threshold=0.5,
+            split_id=400,
+        )
+        .withColumnRenamed("a_id", "index_id")
+        .withColumnRenamed("b_id", "new_id")
+    )
+
+
+@register(
+    "ann_ivf_knn_join",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id < 8
+        ),
+        assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT a.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+            WHERE vec_id % 40 = 0
+        ),
+        probes AS (
+            SELECT q_id, cid FROM (
+                SELECT q.q_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {_cos_sql("c.cvec", "q.qvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM cents c CROSS JOIN q
+            ) WHERE rn <= 2
+        ),
+        s AS (
+            SELECT p.q_id, a.vec_id AS c_id,
+                   {_cos_sql("e.embedding", "q.qvec")} AS score
+            FROM assigned a
+            JOIN probes p ON a.cid = p.cid
+            JOIN q ON q.q_id = p.q_id
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE a.vec_id <> p.q_id
+        )
+        SELECT q_id, c_id, score, rn FROM (
+            SELECT q_id, c_id, score,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, c_id ASC
+                   ) AS rn
+            FROM s
+        ) WHERE rn <= 5
+    """,
+    doc="IVF-accelerated kNN join: knn_join's contract (top-5 "
+    "neighbors for every 40th embedding) served through the coarse "
+    "quantizer — each query scores only its 2 probed inverted lists "
+    "(|corpus| x nprobe/K candidate rows instead of |corpus| x |Q|). "
+    "Corpus assignment is one shuffle-free scan; probe lists rank "
+    "driver-side via the shared _probe_cids discipline and broadcast. "
+    "Approximate by design (unprobed lists unseen) — the oracle "
+    "replays the same probe policy, so results hash-match exactly. "
+    "(operators/similarity.py:ivf_knn_join)",
+)
+def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 40 == 0)
+    return similarity.ivf_knn_join(qs, emb, k=5, n_centroids=8, nprobe=2)

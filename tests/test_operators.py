@@ -502,3 +502,54 @@ def test_shuffle_shard_is_a_permutation(spark):
         by_shard.setdefault(r.shard, []).append(r.pos)
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_incremental_dedup_only_cross_set_pairs(spark):
+    """Planted batch copies of index docs are flagged; the pair list
+    never contains index-index or batch-batch pairs."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") < 40)
+    planted = index.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") >= 40).unionByName(planted)
+    pairs = dedup.minhash_dedup_pairs(
+        index.unionByName(batch), threshold=0.5, split_id=40
+    ).collect()
+    assert all(r.a_id < 40 <= r.b_id for r in pairs)
+    flagged = {r.b_id for r in pairs}
+    for r in planted.collect():
+        assert r.doc_id in flagged, f"planted copy {r.doc_id} not flagged"
+
+
+def test_ivf_knn_join_probing_all_lists_is_exact(spark):
+    """nprobe == n_centroids probes every inverted list, so the IVF
+    route must return knn_join's exact result, bit for bit."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)
+    exact = similarity.knn_join(qs, emb, k=3).collect()
+    ivf = similarity.ivf_knn_join(
+        qs, emb, k=3, n_centroids=8, nprobe=8
+    ).collect()
+    assert sorted(map(tuple, ivf)) == sorted(map(tuple, exact))
+
+
+def test_ivf_knn_join_candidates_respect_probes(spark):
+    """With nprobe < K every returned neighbor's assigned list must be
+    one of its query's probed lists (no leakage past the quantizer)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    out = similarity.ivf_knn_join(qs, emb, k=4, n_centroids=8, nprobe=2)
+    assigned, _ = similarity.ivf_assignments(emb, n_centroids=8)
+    cid_of = {r.vec_id: r.cid for r in assigned.select("vec_id", "cid").collect()}
+    rows = out.collect()
+    assert rows, "no neighbors returned"
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r)
+    for q_id, nbrs in per_q.items():
+        assert [r.rn for r in sorted(nbrs, key=lambda r: r.rn)] == list(
+            range(1, len(nbrs) + 1)
+        )
+        lists_used = {cid_of[r.c_id] for r in nbrs}
+        assert len(lists_used) <= 2
