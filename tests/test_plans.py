@@ -355,3 +355,85 @@ def test_banded_range_join_no_nlj(spark):
     plan = formatted_plan(join_range_banded(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan.split("Initial Plan")[0]
     assert "CartesianProduct" not in plan
+
+
+def test_normalized_dedup_single_exchange(spark):
+    """Normalization is a projection on the scan; only (digest, id)
+    shuffles through the one dedup aggregation."""
+    from datafusion_dist_spark.operators import dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    facts = plan_facts(dedup.exact_dedup_normalized(docs))
+    assert facts["n_exchanges"] <= 1, facts
+    assert facts["partial_aggregate"], facts
+
+
+def test_bloom_decontaminate_corpus_joins_broadcast_only(spark):
+    """The corpus shingle stream must reach the verify join without a
+    shuffle: survivors join the broadcast benchmark set, never a
+    shuffled join of the corpus side. The one exchange is the final
+    per-doc count aggregation."""
+    from datafusion_dist_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = text_ops.decontaminate_bloom_verify(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        min_shared=2,
+    )
+    facts = plan_facts(out)
+    assert facts["n_sortmerge_joins"] + facts["n_shuffledhash_joins"] == 0, facts
+    assert facts["n_broadcast_joins"] >= 1, facts
+    assert facts["n_bnl_joins"] == 0, facts
+
+
+def test_temperature_sample_broadcast_thresholds_single_scan(spark):
+    """The big table is scanned once and never shuffled: per-stratum
+    thresholds come back via a broadcast join; the only exchanges
+    belong to the tiny counts/normalizer aggregations."""
+    from datafusion_dist_spark.operators import sampling as smp
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "lang")
+    facts = plan_facts(smp.temperature_sample(docs, "doc_id", "lang"))
+    assert facts["n_sortmerge_joins"] + facts["n_shuffledhash_joins"] == 0, facts
+    assert facts["n_broadcast_joins"] >= 1, facts
+
+
+def test_shuffle_shard_single_exchange(spark):
+    """One hash exchange on shard, then a local sort — the classic
+    shard-writer plan; no global sort, no second shuffle."""
+    import __spark_entry__ as E
+
+    facts = plan_facts(E.queries()["pipeline_shuffle_shard"](spark, SF_DIR))
+    assert facts["n_exchanges"] == 1, facts
+    assert not facts["has_topk"], facts
+
+
+def test_triangle_count_no_cartesian_no_bnl(spark):
+    """Wedge enumeration and closure must stay equi-joins (degree
+    orientation bounds them); a BroadcastNestedLoopJoin or cartesian
+    here would square a hub's neighborhood at scale."""
+    from datafusion_dist_spark.operators.graph import triangle_count
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "u long, v long"
+    )
+    plan = formatted_plan(triangle_count(edges))
+    assert "CartesianProduct" not in plan, plan[:1500]
+    facts = plan_facts(triangle_count(edges))
+    assert facts["n_bnl_joins"] == 0, facts
+
+
+def test_ivf_knn_join_broadcast_probes_no_corpus_shuffle_join(spark):
+    """Candidate generation is a broadcast equi-join of the corpus
+    stream against the tiny probe table — the corpus is never the
+    build side of a shuffled join; the only exchange is the per-query
+    top-k window."""
+    from datafusion_dist_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    facts = plan_facts(sim.ivf_knn_join(qs, emb, k=3))
+    assert facts["n_sortmerge_joins"] + facts["n_shuffledhash_joins"] == 0, facts
+    assert facts["n_broadcast_joins"] >= 1, facts
+    assert facts["n_bnl_joins"] == 0, facts
