@@ -1103,15 +1103,13 @@ def ivf_knn_join(
     the brute-force join. Recall < 1 by design (vectors whose list
     was not probed are unseen), the standard IVF trade.
     """
-    dim = _probe_dim(corpus, vec_col) or 1
-    assigned, _cents = ivf_assignments(
-        corpus, n_centroids, id_col, vec_col, dim
-    )
     spark = corpus.sparkSession
-    # One tiny job ranks EVERY query's probe list: centroids × queries
-    # (both driver-sized) with the same rounded-cosine/tiebreak
-    # discipline as _probe_cids — a per-query job would serialize |Q|
-    # round-trips for no reason.
+    # ONE driver-side job feeds everything: centroids × queries (both
+    # driver-sized) yields the probe ranking for every query — same
+    # rounded-cosine/tiebreak discipline as _probe_cids — AND the
+    # centroid vectors for the numpy scorer (a per-query ranking job
+    # or a separate codebook collect would serialize extra
+    # round-trips; measured ~5 s/call in a busy session).
     qdf = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
@@ -1124,12 +1122,25 @@ def ivf_knn_join(
             "q_id",
             "q_vec",
             "cid",
+            "cvec",
             F.round(cosine(F.col("cvec"), F.col("q_vec"), None), 6).alias(
                 "qsim"
             ),
         )
         .collect()
     )
+    if not sims:  # no centroids or no queries: empty result, k columns
+        return corpus.limit(0).select(
+            F.lit(None).cast("bigint").alias("q_id"),
+            F.lit(None).cast("bigint").alias("c_id"),
+            F.lit(None).cast("double").alias("score"),
+            F.lit(None).cast("int").alias("rn"),
+        )
+    cmap = {int(r.cid): [float(v) for v in r.cvec] for r in sims}
+    cids = sorted(cmap)
+    cvecs = [cmap[c] for c in cids]
+    cnorms = [_lit_norm(v) for v in cvecs]
+    dim = len(cvecs[0])
     by_q: dict[int, list] = {}
     for r in sims:
         by_q.setdefault(int(r.q_id), []).append(r)
@@ -1142,17 +1153,35 @@ def ivf_knn_join(
     probes = spark.createDataFrame(
         probe_rows, "q_id long, q_vec array<double>, q_norm double, pcid long"
     )
-    cand = (
-        assigned.withColumnRenamed(id_col, "c_id")
-        .withColumnRenamed(vec_col, "c_vec")
-        .join(F.broadcast(probes), F.col("cid") == F.col("pcid"))
-        .filter(F.col("c_id") != F.col("q_id"))
+    # Corpus assignment via the Arrow-batched numpy scorer + in-plan
+    # rounded argmax — ivf_topk's route: no K×dim unrolled expression,
+    # so no cold Janino spike and milliseconds of planning instead of
+    # a monster expression tree per call. The query-score half of the
+    # scorer is unused here (dummy query = centroid 0).
+    from types import SimpleNamespace
+
+    cent_rows = [SimpleNamespace(cid=c) for c in cids]
+    scorer = _numpy_ivf_scorer(cvecs, cnorms, cvecs[0], cnorms[0])
+    scored0 = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        scorer(F.col(vec_col)).alias("s"),
     )
+    assigned = scored0.select(
+        "c_id",
+        "c_vec",
+        _rounded_argmax_cid(cent_rows).alias("cid"),
+        F.expr(f"sqrt({_dot_sql('c_vec', 'c_vec', dim)})").alias("c_norm"),
+    )
+    cand = assigned.join(
+        F.broadcast(probes), F.col("cid") == F.col("pcid")
+    ).filter(F.col("c_id") != F.col("q_id"))
     scored = cand.select(
         "q_id",
         "c_id",
         F.round(
-            _dot("c_vec", "q_vec", dim) / (F.col("_norm") * F.col("q_norm")), 6
+            _dot("c_vec", "q_vec", dim) / (F.col("c_norm") * F.col("q_norm")),
+            6,
         ).alias("score"),
     )
     from pyspark.sql import Window

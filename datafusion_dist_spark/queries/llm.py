@@ -2489,3 +2489,70 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 40 == 0)
     return similarity.ivf_knn_join(qs, emb, k=5, n_centroids=8, nprobe=2)
+
+
+@register(
+    "text_rule_filters",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {TOKS} AS toks FROM documents
+        ), m AS (
+            SELECT doc_id,
+                   len(toks) AS n_tok,
+                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                        AS BIGINT) AS sum_len,
+                   len(list_distinct(toks)) AS n_uniq,
+                   len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop
+            FROM t
+        )
+        SELECT doc_id,
+               n_tok >= 30 AS r_min_words,
+               sum_len >= 3 * n_tok AND sum_len <= 7 * n_tok
+                 AS r_mean_wordlen,
+               5 * n_uniq >= 2 * n_tok AS r_unique_ratio,
+               n_stop >= 1 AS r_has_stopword,
+               (n_tok >= 30 AND sum_len >= 3 * n_tok AND sum_len <= 7 * n_tok
+                AND 5 * n_uniq >= 2 * n_tok AND n_stop >= 1) AS keep
+        FROM m
+    """,
+    doc="C4/Gopher-style rule-based filtering: per-document boolean "
+    "rule flags (minimum word count, mean word length in [3,7], "
+    "unique-token ratio >= 0.4, contains a stopword) plus the "
+    "composed keep decision. Every rule is integer-exact arithmetic "
+    "(sum_len vs 3n/7n instead of a float mean) over one tokenize "
+    "pass — pure codegen'd projection, no shuffle, no Python; the "
+    "auditable per-rule flags are what a pipeline logs to explain "
+    "why a document was dropped.",
+)
+def text_rule_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from datafusion_dist_spark.functions.hashing import tokens as tok_fn
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = d.select("doc_id", tok_fn(F.col("text")).alias("toks"))
+    m = t.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.aggregate(
+            F.transform("toks", lambda x: F.length(x).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.array_distinct("toks")).alias("n_uniq"),
+        F.size(
+            F.filter("toks", lambda x: x.isin(*text.STOPWORDS))
+        ).alias("n_stop"),
+    )
+    r_minw = F.col("n_tok") >= 30
+    r_len = (F.col("sum_len") >= 3 * F.col("n_tok")) & (
+        F.col("sum_len") <= 7 * F.col("n_tok")
+    )
+    r_uniq = 5 * F.col("n_uniq") >= 2 * F.col("n_tok")
+    r_stop = F.col("n_stop") >= 1
+    return m.select(
+        "doc_id",
+        r_minw.alias("r_min_words"),
+        r_len.alias("r_mean_wordlen"),
+        r_uniq.alias("r_unique_ratio"),
+        r_stop.alias("r_has_stopword"),
+        (r_minw & r_len & r_uniq & r_stop).alias("keep"),
+    )

@@ -592,3 +592,43 @@ def join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_outer",
     )
     return j.groupBy("event_id").agg(F.count("b_id").alias("n_close"))
+
+
+@register(
+    "events_window_quantiles",
+    oracle="""
+        SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS VARCHAR) AS win_start,
+               event_type,
+               round(median(CAST(ROUND(value*1000) AS BIGINT)), 4) AS p50_m,
+               round(quantile_cont(CAST(ROUND(value*1000) AS BIGINT), 0.95), 4)
+                 AS p95_m,
+               CAST(max(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS max_m
+        FROM events
+        GROUP BY time_bucket(INTERVAL 6 HOUR, ts), event_type
+    """,
+    doc="Per-window latency-style quantiles: exact p50/p95/max of the "
+    "event value over tumbling 6h windows per event type — the "
+    "observability rollup (p95 dashboards) computed batch-side. Exact "
+    "percentiles on integer milli-units with continuous interpolation "
+    "are deterministic cross-engine (agg_percentiles' discipline); "
+    "one two-phase aggregation, keys = (window, type).",
+)
+def events_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    val_m = F.round(F.col("value") * 1000).cast("bigint")
+    return (
+        e.select(F.window("ts", "6 hours").alias("w"), "event_type", val_m.alias("vm"))
+        .groupBy("w", "event_type")
+        .agg(
+            F.round(F.median("vm"), 4).alias("p50_m"),
+            F.round(F.percentile("vm", F.lit(0.95)), 4).alias("p95_m"),
+            F.max("vm").alias("max_m"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type",
+            "p50_m",
+            "p95_m",
+            "max_m",
+        )
+    )
