@@ -49,14 +49,19 @@ sf = SF
 # One per execution family: broadcast star join + two-phase agg,
 # sketch dedup (md5 + band self-join), Arrow-batched Python workers,
 # the numpy IVF scorer (pandas UDF closure with captured ndarrays —
-# pickled to executor-forked workers), and the fixed-point k-means
-# step (scorer + posexplode + integer aggregation).
+# pickled to executor-forked workers), the fixed-point k-means
+# step (scorer + posexplode + integer aggregation), the Bloom
+# decontaminator (sc.broadcast of a numpy bitset probed inside a
+# pandas UDF on executor workers), and the triangle counter
+# (persisted edge caches shared across executor JVMs).
 for name in [
     "tpch_q5",
     "dedup_minhash_lsh",
     "multimodal_resize",
     "ann_ivf_topk",
     "ann_kmeans_refine",
+    "decontaminate_bloom_verify",
+    "graph_triangle_count",
 ]:
     sdf = qs[name](spark, sf).toPandas()
     odf = con.execute(os_[name]).fetchdf()
@@ -106,4 +111,4 @@ def test_queries_match_oracle_on_two_executor_cluster():
     assert "ALL-OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-3000:]}\n\nstderr:\n{proc.stderr[-3000:]}"
     )
-    assert proc.stdout.count("CLUSTER-OK") == 6
+    assert proc.stdout.count("CLUSTER-OK") == 8
