@@ -142,70 +142,122 @@ if _HAVE_FLIGHT:
                     if job_id not in live:
                         del self._handles[job_id]
 
-        def _metadata_table(self, kind: str, params: dict) -> "pa.Table":
-            """Catalog-metadata result tables with the column layouts
-            the FlightSQL spec prescribes (FlightSql.proto comments for
-            CommandGetCatalogs/GetDbSchemas/GetTables/GetTableTypes),
-            so stock clients can bind them without translation."""
-            spark = self.engine.spark
+        def _metadata_schema(self, kind: str, params: dict) -> "pa.Schema":
+            """Result schema per metadata command — static given the
+            command (+ include_schema flag), so get_flight_info never
+            has to build the result table just to describe it."""
             if kind == "catalogs":
-                return pa.table(
-                    {"catalog_name": [c.name for c in spark.catalog.listCatalogs()]},
-                    schema=pa.schema(
-                        [pa.field("catalog_name", pa.string(), nullable=False)]
-                    ),
+                return pa.schema(
+                    [pa.field("catalog_name", pa.string(), nullable=False)]
                 )
             if kind == "db_schemas":
-                pat = params.get("db_schema_filter_pattern")
-                names = [
-                    d.name
-                    for d in spark.catalog.listDatabases()
-                    if flightsql.sql_like_match(pat, d.name)
-                ]
-                return pa.table(
-                    {
-                        "catalog_name": [spark.catalog.currentCatalog()] * len(names),
-                        "db_schema_name": names,
-                    },
-                    schema=pa.schema(
-                        [
-                            pa.field("catalog_name", pa.string()),
-                            pa.field("db_schema_name", pa.string(), nullable=False),
-                        ]
-                    ),
+                return pa.schema(
+                    [
+                        pa.field("catalog_name", pa.string()),
+                        pa.field("db_schema_name", pa.string(), nullable=False),
+                    ]
                 )
             if kind == "table_types":
-                return pa.table(
-                    {"table_type": ["TABLE", "VIEW"]},
-                    schema=pa.schema(
-                        [pa.field("table_type", pa.string(), nullable=False)]
-                    ),
+                return pa.schema(
+                    [pa.field("table_type", pa.string(), nullable=False)]
                 )
             if kind == "tables":
-                name_pat = params.get("table_name_filter_pattern")
-                schema_pat = params.get("db_schema_filter_pattern")
-                want_types = set(params.get("table_types") or ())
-                include_schema = bool(params.get("include_schema"))
-                cat = spark.catalog.currentCatalog()
-                rows = []
-                for t in spark.catalog.listTables():
-                    # Temp views have no database; expose them under an
-                    # empty schema name like most FlightSQL servers do.
-                    db = t.namespace[0] if t.namespace else ""
-                    ttype = "VIEW" if t.tableType in ("TEMPORARY", "VIEW") else "TABLE"
-                    if not flightsql.sql_like_match(name_pat, t.name):
-                        continue
-                    if schema_pat and not flightsql.sql_like_match(schema_pat, db):
-                        continue
-                    if want_types and ttype not in want_types:
-                        continue
-                    rows.append((cat, db, t.name, ttype))
                 fields = [
                     pa.field("catalog_name", pa.string()),
                     pa.field("db_schema_name", pa.string()),
                     pa.field("table_name", pa.string(), nullable=False),
                     pa.field("table_type", pa.string(), nullable=False),
                 ]
+                if bool(params.get("include_schema")):
+                    fields.append(
+                        pa.field("table_schema", pa.binary(), nullable=False)
+                    )
+                return pa.schema(fields)
+            raise flight.FlightServerError(f"unknown metadata command {kind!r}")
+
+        def _metadata_table(self, kind: str, params: dict) -> "pa.Table":
+            """Catalog-metadata result tables with the column layouts
+            the FlightSQL spec prescribes (FlightSql.proto comments for
+            CommandGetCatalogs/GetDbSchemas/GetTables/GetTableTypes),
+            so stock clients can bind them without translation."""
+            spark = self.engine.spark
+            schema = self._metadata_schema(kind, params)
+            cat = spark.catalog.currentCatalog()
+            # A request scoped to another catalog must come back empty,
+            # not mislabel this catalog's objects (the decoded catalog
+            # field is a filter, not decoration).
+            wrong_catalog = (
+                params.get("catalog") is not None
+                and params["catalog"] != cat
+            )
+            if kind == "catalogs":
+                return pa.table(
+                    {"catalog_name": [c.name for c in spark.catalog.listCatalogs()]},
+                    schema=schema,
+                )
+            if kind == "db_schemas":
+                pat = params.get("db_schema_filter_pattern")
+                names = (
+                    []
+                    if wrong_catalog
+                    else [
+                        d.name
+                        for d in spark.catalog.listDatabases()
+                        if flightsql.sql_like_match(pat, d.name)
+                    ]
+                )
+                return pa.table(
+                    {
+                        "catalog_name": [cat] * len(names),
+                        "db_schema_name": names,
+                    },
+                    schema=schema,
+                )
+            if kind == "table_types":
+                return pa.table({"table_type": ["TABLE", "VIEW"]}, schema=schema)
+            if kind == "tables":
+                name_pat = params.get("table_name_filter_pattern")
+                schema_pat = params.get("db_schema_filter_pattern")
+                want_types = set(params.get("table_types") or ())
+                include_schema = bool(params.get("include_schema"))
+                rows = []
+                seen = set()
+                # Enumerate EVERY database (GetDbSchemas advertises them
+                # all — listing only the current one would make other
+                # schemas look permanently empty), plus the temp views
+                # that ride along in each listTables() result.
+                if wrong_catalog:
+                    dbs: list = []
+                else:
+                    dbs = [d.name for d in spark.catalog.listDatabases()] or [None]
+                for dbname in dbs:
+                    listed = (
+                        spark.catalog.listTables(dbname)
+                        if dbname is not None
+                        else spark.catalog.listTables()
+                    )
+                    for t in listed:
+                        # Temp views have no database; expose them under
+                        # an empty schema name like most FlightSQL
+                        # servers do.
+                        db = t.namespace[0] if t.namespace else ""
+                        if (db, t.name) in seen:
+                            continue  # temp views repeat per database
+                        seen.add((db, t.name))
+                        ttype = (
+                            "VIEW"
+                            if t.tableType in ("TEMPORARY", "VIEW")
+                            else "TABLE"
+                        )
+                        if not flightsql.sql_like_match(name_pat, t.name):
+                            continue
+                        if schema_pat and not flightsql.sql_like_match(
+                            schema_pat, db
+                        ):
+                            continue
+                        if want_types and ttype not in want_types:
+                            continue
+                        rows.append((cat, db, t.name, ttype))
                 cols = {
                     "catalog_name": [r[0] for r in rows],
                     "db_schema_name": [r[1] for r in rows],
@@ -215,15 +267,24 @@ if _HAVE_FLIGHT:
                 if include_schema:
                     # IPC-serialized Arrow schema per table, as the
                     # spec requires (clients deserialize it to plan
-                    # reads without running a probe query).
+                    # reads without running a probe query). Qualified
+                    # backtick-quoted names: a bare spark.table(name)
+                    # would resolve a shadowing temp view for a
+                    # catalog table, and break on names needing
+                    # quoting. Temp views (empty schema) stay bare.
+                    def qualified(db: str, name: str) -> str:
+                        esc = name.replace("`", "``")
+                        if not db:
+                            return f"`{esc}`"
+                        return f"`{db.replace('`', '``')}`.`{esc}`"
+
                     cols["table_schema"] = [
-                        _arrow_schema(spark.table(r[2])).serialize().to_pybytes()
+                        _arrow_schema(spark.table(qualified(r[1], r[2])))
+                        .serialize()
+                        .to_pybytes()
                         for r in rows
                     ]
-                    fields.append(
-                        pa.field("table_schema", pa.binary(), nullable=False)
-                    )
-                return pa.table(cols, schema=pa.schema(fields))
+                return pa.table(cols, schema=schema)
             raise flight.FlightServerError(f"unknown metadata command {kind!r}")
 
         # -- Flight RPCs ----------------------------------------------------
@@ -251,17 +312,19 @@ if _HAVE_FLIGHT:
             meta_cmd = flightsql.parse_metadata_command(cmd)
             if meta_cmd is not None:
                 kind, params = meta_cmd
-                table = self._metadata_table(kind, params)
+                # Schema only — the result table is built once, in
+                # do_get (building it here too would double the
+                # catalog RPC load per client connect).
                 ticket = flight.Ticket(
                     flightsql.encode_ticket(
                         json.dumps({"meta": kind, "params": params}).encode()
                     )
                 )
                 return flight.FlightInfo(
-                    table.schema,
+                    self._metadata_schema(kind, params),
                     descriptor,
                     [flight.FlightEndpoint(ticket, [])],
-                    table.num_rows,
+                    -1,
                     -1,
                 )
             partitioned = False

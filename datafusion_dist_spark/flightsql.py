@@ -320,27 +320,39 @@ def parse_metadata_command(command: bytes) -> tuple[str, dict] | None:
         return "table_types", {}
     try:
         fields = _parse_fields_mixed(value)
-    except ValueError:
+
+        def s(no: int) -> str | None:
+            # A malformed client may send a string field varint-encoded;
+            # treat any non-bytes value as a malformed command (→ None
+            # via the enclosing except), never an AttributeError
+            # escaping as an opaque gRPC internal error.
+            if no not in fields:
+                return None
+            v = fields[no][-1]
+            if not isinstance(v, bytes):
+                raise ValueError(f"field {no}: expected bytes")
+            return v.decode("utf-8")
+
+        if type_url == CMD_GET_DB_SCHEMAS:
+            return "db_schemas", {
+                "catalog": s(1),
+                "db_schema_filter_pattern": s(2),
+            }
+        if type_url == CMD_GET_TABLES:
+            types = []
+            for b in fields.get(4, []):
+                if not isinstance(b, bytes):
+                    raise ValueError("field 4: expected bytes")
+                types.append(b.decode("utf-8"))
+            return "tables", {
+                "catalog": s(1),
+                "db_schema_filter_pattern": s(2),
+                "table_name_filter_pattern": s(3),
+                "table_types": types,
+                "include_schema": bool(fields[5][-1]) if 5 in fields else False,
+            }
+    except (ValueError, UnicodeDecodeError):
         return None
-    if type_url == CMD_GET_DB_SCHEMAS:
-        return "db_schemas", {
-            "catalog": fields[1][-1].decode("utf-8") if 1 in fields else None,
-            "db_schema_filter_pattern": (
-                fields[2][-1].decode("utf-8") if 2 in fields else None
-            ),
-        }
-    if type_url == CMD_GET_TABLES:
-        return "tables", {
-            "catalog": fields[1][-1].decode("utf-8") if 1 in fields else None,
-            "db_schema_filter_pattern": (
-                fields[2][-1].decode("utf-8") if 2 in fields else None
-            ),
-            "table_name_filter_pattern": (
-                fields[3][-1].decode("utf-8") if 3 in fields else None
-            ),
-            "table_types": [b.decode("utf-8") for b in fields.get(4, [])],
-            "include_schema": bool(fields[5][-1]) if 5 in fields else False,
-        }
     return None
 
 

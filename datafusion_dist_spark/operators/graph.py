@@ -224,21 +224,22 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         .groupBy("node")
         .agg(F.count("*").alias("deg"))
     )
-    # Total order key packing (deg, node) into one BIGINT comparator.
-    key = lambda d, n: (F.col(d) * F.lit(1 << 32) + F.col(n))  # noqa: E731
+    # Total order on (deg, node) as an explicit lexicographic
+    # comparison over two BIGINT columns — NOT a deg*2^32+node packed
+    # bigint (stops being a total order, and can overflow, for 64-bit
+    # hashed or negative node ids), and NOT a struct<deg,node>
+    # comparison (struct ordering drops the join out of whole-stage
+    # codegen: measured 3x slower end-to-end).
+    forward = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
     e = (
         edges.join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
         .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
         .select(
-            F.when(key("du", "u") < key("dv", "v"), F.col("u"))
-            .otherwise(F.col("v"))
-            .alias("src"),
-            F.when(key("du", "u") < key("dv", "v"), F.col("v"))
-            .otherwise(F.col("u"))
-            .alias("dst"),
-            F.when(key("du", "u") < key("dv", "v"), key("dv", "v"))
-            .otherwise(key("du", "u"))
-            .alias("dst_key"),
+            F.when(forward, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(forward, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(forward, F.col("dv")).otherwise(F.col("du")).alias("dst_deg"),
         )
     )
     # The oriented list is itself referenced three times (both wedge
@@ -246,10 +247,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     global _CACHED_TRI_ORIENTED
     e, _CACHED_TRI_ORIENTED = _single_entry_cache(e, _CACHED_TRI_ORIENTED)
     w1, w2 = e.alias("w1"), e.alias("w2")
+    dst_lt = (F.col("w1.dst_deg") < F.col("w2.dst_deg")) | (
+        (F.col("w1.dst_deg") == F.col("w2.dst_deg"))
+        & (F.col("w1.dst") < F.col("w2.dst"))
+    )
     wedges = w1.join(
         w2,
-        (F.col("w1.src") == F.col("w2.src"))
-        & (F.col("w1.dst_key") < F.col("w2.dst_key")),
+        (F.col("w1.src") == F.col("w2.src")) & dst_lt,
     ).select(
         F.col("w1.src").alias("a"),
         F.col("w1.dst").alias("b"),

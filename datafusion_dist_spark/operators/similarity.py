@@ -481,6 +481,16 @@ def kmeans_train(
     return out, rounds
 
 
+def _probe_rank_key(row):
+    """Probe-ranking sort key over a (cid, qsim) row: highest rounded
+    cosine first, centroid id as tiebreak — identical to the oracle's
+    ORDER BY qsim DESC, cid ASC. The ONE definition of the probe
+    tiebreak, shared by _probe_cids (ivf_topk / ivf_pq_topk) and
+    ivf_knn_join's batch ranking — change it in both universes or not
+    at all."""
+    return (-row.qsim, row.cid)
+
+
 def _probe_cids(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -492,8 +502,7 @@ def _probe_cids(
     """(cent_rows, nprobe nearest centroid ids) for one query. The
     query-to-centroid scores are Spark-computed (rounded cosine) so
     the ranking's rounding/tiebreak matches the SQL ORDER BY exactly;
-    this ranking discipline lives ONLY here (ivf_topk, ivf_pq_topk,
-    ivf_knn_join all route through it)."""
+    the sort key is the shared :func:`_probe_rank_key`."""
     q = F.lit([float(v) for v in query_vec])
     cent_rows = (
         embeddings.filter(F.col(id_col) < n_centroids)
@@ -506,7 +515,7 @@ def _probe_cids(
     )
     probe_cids = [
         int(r.cid)
-        for r in sorted(cent_rows, key=lambda r: (-r.qsim, r.cid))[:nprobe]
+        for r in sorted(cent_rows, key=_probe_rank_key)[:nprobe]
     ]
     return cent_rows, probe_cids
 
@@ -1148,7 +1157,7 @@ def ivf_knn_join(
     for q_id, rows in by_q.items():
         qvec = [float(v) for v in rows[0].q_vec]
         qn = _lit_norm(qvec)
-        for r in sorted(rows, key=lambda r: (-r.qsim, r.cid))[:nprobe]:
+        for r in sorted(rows, key=_probe_rank_key)[:nprobe]:
             probe_rows.append((q_id, qvec, qn, int(r.cid)))
     probes = spark.createDataFrame(
         probe_rows, "q_id long, q_vec array<double>, q_norm double, pcid long"

@@ -2499,7 +2499,7 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), m AS (
             SELECT doc_id,
                    len(toks) AS n_tok,
-                   CAST(list_sum(list_transform(toks, x -> length(x)))
+                   CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0)
                         AS BIGINT) AS sum_len,
                    len(list_distinct(toks)) AS n_uniq,
                    len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS n_stop

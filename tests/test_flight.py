@@ -713,6 +713,7 @@ def test_flightsql_catalog_metadata_commands(server, engine):
     served from the Spark catalog without minting a job."""
     from datafusion_dist_spark import flightsql
 
+    jobs_before = len(engine.jobs.all())
     client = flight.connect(server.location)
     try:
         def fetch(cmd):
@@ -762,11 +763,11 @@ def test_flightsql_catalog_metadata_commands(server, engine):
         schema = pa.ipc.read_schema(pa.BufferReader(ser))
         assert "o_orderkey" in schema.names
 
-        # No jobs were minted for any of the seven metadata calls.
-        assert all(
-            e.meta.get("via") != "flight-metadata"
-            for e in engine.jobs.all()
-        )
+        # No jobs were minted for any of the seven metadata calls —
+        # the registry must be exactly as it was before them (a
+        # regression that falls through to engine.submit() would
+        # add via='flight' jobs here).
+        assert len(engine.jobs.all()) == jobs_before
     finally:
         client.close()
 
