@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
 )
@@ -305,6 +306,9 @@ class ArrowDirDataSource(DataSource):
     def reader(self, schema):
         return ArrowDirReader(self.options["path"], self._manifest_files())
 
+    def streamReader(self, schema):
+        return ArrowDirStreamReader(self.options["path"])
+
 
 class ArrowDirPartition(InputPartition):
     def __init__(self, path: str, filename: str) -> None:
@@ -334,6 +338,60 @@ class ArrowDirReader(DataSourceReader):
         ) as r:
             for i in range(r.num_record_batches):
                 yield r.get_batch(i)
+
+
+class ArrowDirStreamReader(DataSourceStreamReader):
+    """Streaming twin of the Arrow-dir scan: incremental ingest of
+    newly COMMITTED files (Spark 4 DataSourceStreamReader).
+
+    Offsets are positions in the manifest's append-ordered file list —
+    ``{"n": k}`` means the first k committed files are consumed. Each
+    microbatch plans one input partition per new file, so the read
+    itself runs on executors (not a driver-side simple reader — at
+    scale a microbatch may ingest thousands of files). Readers only
+    ever see manifest entries, so a crashed writer's stragglers are
+    invisible here exactly as in the batch scan; a file enters the
+    stream atomically with its manifest commit.
+    """
+
+    def __init__(self, path: str) -> None:
+        self._path = path
+
+    def _files(self) -> list[str]:
+        import json as _json
+        import os
+
+        try:
+            with open(os.path.join(self._path, "_MANIFEST")) as fh:
+                return [f["file"] for f in _json.load(fh)["files"]]
+        except FileNotFoundError:
+            return []
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def latestOffset(self) -> dict:
+        return {"n": len(self._files())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._files()[int(start["n"]) : int(end["n"])]
+        return [ArrowDirPartition(self._path, f) for f in files]
+
+    def read(self, partition: ArrowDirPartition):
+        import os
+
+        import pyarrow as pa
+
+        with pa.ipc.open_file(
+            os.path.join(partition.path, partition.filename)
+        ) as r:
+            for i in range(r.num_record_batches):
+                yield r.get_batch(i)
+
+    def commit(self, end: dict) -> None:
+        # Progress tracking lives in the stream's checkpoint; nothing
+        # source-side to clean up (files stay for batch readers).
+        pass
 
 
 class ArrowDirWriter(DataSourceArrowWriter):
@@ -379,13 +437,26 @@ class ArrowDirWriter(DataSourceArrowWriter):
             for m in messages
             if m is not None and m.filename
         ]
+        manifest = os.path.join(self._path, "_MANIFEST")
         if self._overwrite:
             # Drop files from prior jobs that this commit supersedes.
             keep = {f["file"] for f in files}
             for existing in os.listdir(self._path):
                 if existing.startswith("part-") and existing not in keep:
                     os.remove(os.path.join(self._path, existing))
-        with open(os.path.join(self._path, "_MANIFEST"), "w") as fh:
+        else:
+            # Append mode: this job's files EXTEND the dataset — a
+            # manifest naming only the new files would strand every
+            # previously committed file (and break the streaming
+            # reader's append-ordered offsets).
+            try:
+                with open(manifest) as fh:
+                    prior = _json.load(fh)["files"]
+            except FileNotFoundError:
+                prior = []
+            known = {f["file"] for f in prior}
+            files = prior + [f for f in files if f["file"] not in known]
+        with open(manifest, "w") as fh:
             _json.dump({"files": files}, fh)
 
     def abort(self, messages):
