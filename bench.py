@@ -83,6 +83,10 @@ HEADLINE = [
     "graph_triangle_count",
     "dedup_incremental",
     "ann_ivf_knn_join",
+    "text_vocab_coverage",
+    "pipeline_epoch_upsample",
+    "text_rule_filters",
+    "events_window_quantiles",
 ]
 
 

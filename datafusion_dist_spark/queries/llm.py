@@ -2556,3 +2556,141 @@ def text_rule_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_stop.alias("r_has_stopword"),
         (r_minw & r_len & r_uniq & r_stop).alias("keep"),
     )
+
+
+@register(
+    "text_vocab_coverage",
+    oracle=f"""
+        WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+        occ AS (
+            SELECT tk.tok FROM t, UNNEST(toks) AS tk(tok)
+        ),
+        freq AS (
+            SELECT tok, count(*) AS n FROM occ GROUP BY tok
+        ),
+        tot AS (SELECT sum(n) AS total FROM freq),
+        ranked AS (
+            SELECT tok, n,
+                   row_number() OVER (ORDER BY n DESC, tok ASC) AS rank,
+                   CAST(SUM(n) OVER (ORDER BY n DESC, tok ASC
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+            FROM freq
+        )
+        SELECT rank, tok, n,
+               round(CAST(cum AS DOUBLE) / total, 6) AS coverage
+        FROM ranked CROSS JOIN tot
+        WHERE rank <= 32
+    """,
+    doc="Vocabulary coverage curve: token occurrence counts ranked "
+    "descending with the cumulative corpus share each vocab-size "
+    "prefix covers — the tokenizer-design question ('how big a vocab "
+    "for 95% coverage?') answered from one count aggregation. The "
+    "per-rank cumulative sum runs over the tiny frequency table "
+    "(|vocab| rows), never over occurrences; the corpus total is a "
+    "1-row broadcast. Integer counts make the curve exact; only the "
+    "final share divides, rounded to 6dp.",
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from datafusion_dist_spark.functions.hashing import tokens as tok_fn
+    from datafusion_dist_spark.operators.common import spread
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    occ = spread(d).select(
+        F.explode(tok_fn(F.col("text"))).alias("tok")
+    )
+    freq = occ.groupBy("tok").agg(F.count("*").alias("n"))
+    tot = freq.select(F.sum("n").alias("total"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    ranked = freq.select(
+        "tok",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .filter(F.col("rank") <= 32)
+        .select(
+            "rank",
+            "tok",
+            "n",
+            F.round(F.col("cum").cast("double") / F.col("total"), 6).alias(
+                "coverage"
+            ),
+        )
+    )
+
+
+@register(
+    "pipeline_epoch_upsample",
+    oracle=f"""
+        WITH counts AS (
+            SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        ),
+        -- repeat factor in 1/1024 units: language share rebalanced to
+        -- equal thirds against the LARGEST language (kept at 1.0x),
+        -- i.e. r_s = max_n / n_s, capped at 4x.
+        mx AS (SELECT max(n) AS max_n FROM counts),
+        factors AS (
+            SELECT lang,
+                   least(CAST(4096 AS BIGINT),
+                         (1024 * max_n) // n) AS r_mil
+            FROM counts CROSS JOIN mx
+        ),
+        expanded AS (
+            SELECT d.doc_id, d.lang, f.r_mil,
+                   CAST(e.i AS BIGINT) AS copy_id
+            FROM documents d
+            JOIN factors f USING (lang),
+                 UNNEST(range(0, (f.r_mil // 1024)
+                        + CASE WHEN {sampling.bucket_oracle("d.doc_id", "ep")}
+                               < ((f.r_mil % 1024) * 64) THEN 1 ELSE 0 END
+                 )) AS e(i)
+        )
+        SELECT doc_id, lang, copy_id FROM expanded
+    """,
+    doc="Deterministic epoch upsampling: rare languages repeat "
+    "floor(r_s) times plus one more copy for a hash-selected "
+    "fraction of docs, so the EXPECTED repeat equals the exact "
+    "rational factor r_s = max_n/n_s (capped 4x) — the '3.3 epochs "
+    "of the small high-quality slice' knob of a training-data "
+    "recipe. Factors come from one tiny count agg (1/1024 fixed-"
+    "point, so both engines compute identical integers); the corpus "
+    "is scanned once and fanned out map-side by an explode — no "
+    "shuffle of the payload, no driver loop. The fractional-copy "
+    "membership is a pure function of doc_id: reproducible across "
+    "engines and cluster sizes. (16-bit hash space: r_mil%1024 "
+    "thousandths ≙ (r_mil%1024)*64 of 65536 hash buckets.)",
+)
+def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n"))
+    mx = counts.select(F.max("n").alias("max_n"))
+    factors = counts.crossJoin(mx).select(
+        "lang",
+        F.least(
+            F.lit(4096).cast("bigint"),
+            F.expr("(1024 * max_n) div n"),
+        ).alias("r_mil"),
+    )
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("ep:"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("int")
+    n_copies = F.expr("r_mil div 1024") + F.when(
+        bucket < (F.col("r_mil") % 1024) * 64, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        d.join(F.broadcast(factors), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_id"),
+        )
+        .filter(F.col("copy_id") >= 0)
+    )
