@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_dist_spark.catalog import load_table
-from datafusion_dist_spark.registry import register
+from datafusion_dist_spark.registry import register, register_sql
 
 
 @register(
@@ -550,3 +550,40 @@ def fn_array_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position("toks", "data").alias("pos_data"),
         F.array_join(F.sequence(F.lit(1), F.lit(5)), "|").alias("seq5"),
     )
+
+
+register_sql(
+    "fn_collation",
+    spark_sql="""
+        WITH t AS (
+            SELECT p_partkey,
+                   collate(p_type, 'UTF8_LCASE') AS type_ci,
+                   p_type
+            FROM part WHERE p_partkey <= 200
+        )
+        SELECT count(*) AS n_rows,
+               count(DISTINCT type_ci) AS n_types_ci,
+               count(DISTINCT p_type) AS n_types_cs,
+               CAST(sum(CASE WHEN type_ci = 'medium' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_medium_ci
+        FROM t
+    """,
+    oracle="""
+        WITH t AS (
+            SELECT p_partkey, lower(p_type) AS type_ci, p_type
+            FROM part WHERE p_partkey <= 200
+        )
+        SELECT count(*) AS n_rows,
+               count(DISTINCT type_ci) AS n_types_ci,
+               count(DISTINCT p_type) AS n_types_cs,
+               CAST(sum(CASE WHEN type_ci = 'medium' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_medium_ci
+        FROM t
+    """,
+    doc="Spark 4 string collations: a UTF8_LCASE-collated column makes "
+    "DISTINCT and equality case-insensitive engine-side — the "
+    "lowercase literal 'medium' matches the stored 'MEDIUM' rows "
+    "with no lower() rewrite in user code. DuckDB mirrors with an "
+    "explicit lower() projection; distinct counts under the "
+    "collation equal distinct counts of the lowercased values.",
+)
