@@ -383,3 +383,35 @@ def test_semantic_dedup_matches_bruteforce_oracle(spark, vecs):
         """
     ).fetchdf()
     assert_frames_match(got, exp, "semantic_dedup_property")
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=300, deadline=None)
+def test_flightsql_parsers_never_raise_on_garbage(buf):
+    """The wire-facing FlightSQL parsers must return None (fall through
+    to the next command form) on ANY byte string — a malformed or
+    malicious client must never crash get_flight_info/do_get with an
+    unhandled exception."""
+    from datafusion_dist_spark import flightsql
+
+    for fn in (
+        flightsql.parse_statement_query,
+        flightsql.parse_prepared_query,
+        flightsql.parse_ticket,
+        flightsql.parse_metadata_command,
+        flightsql.parse_create_prepared_request,
+        flightsql.parse_close_prepared_request,
+        flightsql.parse_create_prepared_result,
+    ):
+        fn(buf)  # any return is fine; raising is the failure
+
+
+@given(st.binary(max_size=64), st.binary(max_size=64))
+@settings(max_examples=100, deadline=None)
+def test_flightsql_any_envelope_roundtrip(handle, value):
+    """encode→parse is the identity for every envelope we mint."""
+    from datafusion_dist_spark import flightsql
+
+    assert flightsql.parse_ticket(flightsql.encode_ticket(handle)) == handle
+    t, v = flightsql.decode_any(flightsql.encode_any("x.y/Z", value))
+    assert (t, v) == ("x.y/Z", value)
