@@ -87,6 +87,8 @@ HEADLINE = [
     "pipeline_epoch_upsample",
     "text_rule_filters",
     "events_window_quantiles",
+    "join_scd2_pit",
+    "dedup_lsh_quality",
 ]
 
 

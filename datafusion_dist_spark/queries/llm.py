@@ -2694,3 +2694,91 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("copy_id") >= 0)
     )
+
+
+@register(
+    "dedup_lsh_quality",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        {_shingle_cte()},
+        {_sig_cte()},
+        {_band_cte()},
+        {_minhash_pairs_cte()},
+        sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
+        ),
+        inter AS (
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+            FROM shingles a JOIN shingles b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        ),
+        truth AS (
+            SELECT i.a_id, i.b_id
+            FROM inter i
+            JOIN sizes sa ON i.a_id = sa.doc_id
+            JOIN sizes sb ON i.b_id = sb.doc_id
+            WHERE CAST(i.n_inter AS DOUBLE)
+                  / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
+        ),
+        hits AS (
+            SELECT count(*) AS n_hit
+            FROM pairs p JOIN truth t ON p.a_id = t.a_id AND p.b_id = t.b_id
+        )
+        SELECT (SELECT count(*) FROM pairs) AS n_lsh,
+               (SELECT count(*) FROM truth) AS n_true,
+               n_hit,
+               round(CAST(n_hit AS DOUBLE)
+                     / greatest((SELECT count(*) FROM pairs), 1), 6)
+                 AS precision_,
+               round(CAST(n_hit AS DOUBLE)
+                     / greatest((SELECT count(*) FROM truth), 1), 6)
+                 AS recall_
+        FROM hits
+    """,
+    doc="Sketch-quality evaluation: MinHash-LSH flagged pairs scored "
+    "against exact n-gram Jaccard ground truth — the 'measure, don't "
+    "guess' gate a pipeline runs on a sample before trusting a sketch "
+    "config at full scale (bands/rows tuning = this number). One row: "
+    "flagged/true/hit counts + precision/recall. Both pair sets are "
+    "the production candidate generators (banded join, inverted "
+    "index); the comparison join touches only pair ids.",
+)
+def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    lsh = (
+        dedup.minhash_dedup_pairs(
+            corpus, bands=BANDS, rows_per_band=ROWS_PER_BAND, threshold=0.5
+        )
+        .select("a_id", "b_id")
+        .withColumn("f", F.lit(1))
+    )
+    truth = (
+        dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+        .select("a_id", "b_id")
+        .withColumn("g", F.lit(1))
+    )
+    # One plan, one pass: full-outer join of the two pair-id sets and a
+    # single aggregation — no driver-side counts re-executing the
+    # sketch pipelines per metric.
+    j = lsh.join(truth, ["a_id", "b_id"], "full_outer")
+    agg = j.agg(
+        F.sum("f").cast("bigint").alias("n_lsh"),
+        F.sum("g").cast("bigint").alias("n_true"),
+        F.sum(
+            F.when(F.col("f").isNotNull() & F.col("g").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_hit"),
+    )
+    return agg.select(
+        "n_lsh",
+        "n_true",
+        "n_hit",
+        F.round(
+            F.col("n_hit").cast("double") / F.greatest(F.col("n_lsh"), F.lit(1)), 6
+        ).alias("precision_"),
+        F.round(
+            F.col("n_hit").cast("double") / F.greatest(F.col("n_true"), F.lit(1)), 6
+        ).alias("recall_"),
+    )

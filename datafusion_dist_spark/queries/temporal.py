@@ -632,3 +632,102 @@ def events_window_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_m",
         )
     )
+
+
+@register(
+    "join_scd2_pit",
+    oracle="""
+        WITH ch AS (
+            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                   lag(o_orderstatus) OVER w AS prev_status
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey)
+        ),
+        states AS (
+            SELECT o_custkey AS ck, o_orderdate AS t, 0 AS kind,
+                   o_orderkey AS seq, o_orderstatus AS status,
+                   NULL::BIGINT AS l_orderkey, NULL::INTEGER AS l_linenumber
+            FROM ch WHERE prev_status IS NULL
+                       OR prev_status <> o_orderstatus
+        ),
+        facts AS (
+            SELECT o.o_custkey AS ck, l.l_shipdate AS t, 1 AS kind,
+                   l.l_orderkey * 10 + l.l_linenumber AS seq,
+                   NULL::VARCHAR AS status,
+                   l.l_orderkey, l.l_linenumber
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_orderkey < 2000
+        ),
+        u AS (
+            SELECT * FROM states UNION ALL SELECT * FROM facts
+        ),
+        pit AS (
+            SELECT ck, t, kind, l_orderkey, l_linenumber,
+                   last_value(status IGNORE NULLS) OVER (
+                       PARTITION BY ck ORDER BY t, kind, seq
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS status_at
+            FROM u
+        )
+        SELECT l_orderkey, l_linenumber, ck AS o_custkey,
+               CAST(epoch_us(t) AS BIGINT) AS ship_us,
+               coalesce(status_at, 'NONE') AS status_at_ship
+        FROM pit WHERE kind = 1
+    """,
+    doc="Point-in-time join against the SCD2 history: each shipment "
+    "picks up the customer's order-status dimension row valid AT its "
+    "ship time. Implemented as the union-as-of trick — dimension "
+    "change rows and fact rows union into ONE stream per key, and a "
+    "running last_value(IGNORE NULLS) carries the in-effect status "
+    "onto every fact: a single hash shuffle + sort, no join fan-out, "
+    "no per-fact interval probe (the plan that survives a 100x "
+    "dimension-churn scale-up; an interval join would re-scan "
+    "history per fact). Facts on the change date see the new status "
+    "(kind orders states before facts at equal timestamps).",
+)
+def join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 2000)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    states = (
+        o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .withColumn("prev_status", F.lag("o_orderstatus").over(w))
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+        .select(
+            F.col("o_custkey").alias("ck"),
+            F.col("o_orderdate").alias("t"),
+            F.lit(0).alias("kind"),
+            F.col("o_orderkey").alias("seq"),
+            F.col("o_orderstatus").alias("status"),
+            F.lit(None).cast("bigint").alias("l_orderkey"),
+            F.lit(None).cast("int").alias("l_linenumber"),
+        )
+    )
+    facts = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_custkey").alias("ck"),
+        F.col("l_shipdate").alias("t"),
+        F.lit(1).alias("kind"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("seq"),
+        F.lit(None).cast("string").alias("status"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w2 = (
+        Window.partitionBy("ck")
+        .orderBy("t", "kind", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    pit = states.unionByName(facts).withColumn(
+        "status_at", F.last("status", ignorenulls=True).over(w2)
+    )
+    return pit.filter(F.col("kind") == 1).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("ck").alias("o_custkey"),
+        F.unix_micros(F.col("t").cast("timestamp")).alias("ship_us"),
+        F.coalesce(F.col("status_at"), F.lit("NONE")).alias("status_at_ship"),
+    )
