@@ -553,3 +553,67 @@ def test_ivf_knn_join_candidates_respect_probes(spark):
         )
         lists_used = {cid_of[r.c_id] for r in nbrs}
         assert len(lists_used) <= 2
+
+
+def test_scd2_pit_fact_on_change_date_sees_new_status(spark):
+    """A fact timestamped exactly at a dimension change must pick up
+    the NEW status (state rows order before fact rows at equal ts),
+    and facts before any state resolve to the NONE sentinel."""
+    import __spark_entry__ as E
+
+    rows = E.queries()["join_scd2_pit"](spark, SF_DIR).collect()
+    assert rows and all(r.status_at_ship is not None for r in rows)
+    # Cross-check a sample against a brute-force interval scan.
+    from datafusion_dist_spark.catalog import load_table
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, SF_DIR, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    states = (
+        o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+        .withColumn("prev", F.lag("o_orderstatus").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus")))
+        .collect()
+    )
+    by_ck = {}
+    for s in states:
+        by_ck.setdefault(s.o_custkey, []).append(s)
+    li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_orderkey") < 2000)
+    facts = {
+        (r.l_orderkey, r.l_linenumber): (r.o_custkey, r.ship_us, r.status_at_ship)
+        for r in rows
+    }
+    import random
+
+    random.seed(7)
+    sample = random.sample(sorted(facts), min(50, len(facts)))
+    for key in sample:
+        ck, ship_us, got = facts[key]
+        hist = sorted(
+            by_ck.get(ck, []),
+            key=lambda s: (s.o_orderdate, s.o_orderkey),
+        )
+        import calendar
+
+        def naive_us(dt):
+            # timegm, not .timestamp(): the parquet timestamps are
+            # naive-UTC and .timestamp() would apply the host's TZ.
+            return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
+        expect = "NONE"
+        for s in hist:
+            if naive_us(s.o_orderdate) <= ship_us:
+                expect = s.o_orderstatus
+        assert got == expect, (key, got, expect)
+
+
+def test_lsh_quality_perfect_on_exact_duplicates(spark):
+    """On a corpus whose only near-dups are exact copies, LSH flags
+    every true pair (recall 1.0) — exact duplicates share every
+    minhash component, so banding cannot miss them."""
+    import __spark_entry__ as E
+
+    row = E.queries()["dedup_lsh_quality"](spark, SF_DIR).collect()[0]
+    assert row.n_true > 0
+    assert row.recall_ == 1.0, row
+    assert 0.0 < row.precision_ <= 1.0
