@@ -2675,24 +2675,28 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1024 * max_n) div n"),
         ).alias("r_mil"),
     )
+    # Shared 16-bit bucket (functions/hashing.hash_hex) — the oracle
+    # uses sampling.bucket_oracle over the same definition, so the two
+    # sides cannot drift on the seed/width convention.
+    from datafusion_dist_spark.functions.hashing import hash_hex
+
     bucket = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit("ep:"), F.col("doc_id").cast("string"))), 1, 4
-        ),
-        16,
-        10,
+        hash_hex(F.col("doc_id").cast("string"), "ep", width=4), 16, 10
     ).cast("int")
     n_copies = F.expr("r_mil div 1024") + F.when(
         bucket < (F.col("r_mil") % 1024) * 64, F.lit(1)
     ).otherwise(F.lit(0))
-    return (
-        d.join(F.broadcast(factors), "lang")
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(F.sequence(F.lit(0), n_copies - 1)).alias("copy_id"),
-        )
-        .filter(F.col("copy_id") >= 0)
+    # Guard the explode against n_copies == 0 (possible if a sub-1.0x
+    # factor is ever configured): sequence(0, -1) would auto-step DOWN
+    # and emit a spurious copy; an empty array emits nothing, matching
+    # the oracle's range(0, 0).
+    copies = F.when(
+        n_copies > 0, F.sequence(F.lit(0), n_copies - 1)
+    ).otherwise(F.array().cast("array<bigint>"))
+    return d.join(F.broadcast(factors), "lang").select(
+        "doc_id",
+        "lang",
+        F.explode(copies).alias("copy_id"),
     )
 
 
@@ -2762,11 +2766,18 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single aggregation — no driver-side counts re-executing the
     # sketch pipelines per metric.
     j = lsh.join(truth, ["a_id", "b_id"], "full_outer")
+    # coalesce: sum over zero rows is NULL, but the oracle's count(*)
+    # subqueries yield 0 on a corpus where either pair set is empty.
     agg = j.agg(
-        F.sum("f").cast("bigint").alias("n_lsh"),
-        F.sum("g").cast("bigint").alias("n_true"),
-        F.sum(
-            F.when(F.col("f").isNotNull() & F.col("g").isNotNull(), 1).otherwise(0)
+        F.coalesce(F.sum("f"), F.lit(0)).cast("bigint").alias("n_lsh"),
+        F.coalesce(F.sum("g"), F.lit(0)).cast("bigint").alias("n_true"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("f").isNotNull() & F.col("g").isNotNull(), 1
+                ).otherwise(0)
+            ),
+            F.lit(0),
         )
         .cast("bigint")
         .alias("n_hit"),

@@ -258,6 +258,51 @@ class ArrowFileCommit(WriterCommitMessage):
         self.rows = rows
 
 
+def _load_manifest(path: str) -> dict:
+    """Read an Arrow-dir _MANIFEST. Missing → empty dataset (a stream
+    may start before the producer's first commit); torn/garbled (the
+    commit protocol writes atomically, but a foreign writer may not) →
+    also treated as not-yet-visible rather than crashing a polling
+    stream mid-flight. Returns {"files": [...], "generation": str}."""
+    import json as _json
+    import os
+
+    try:
+        with open(os.path.join(path, "_MANIFEST")) as fh:
+            m = _json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return {"files": [], "generation": "0"}
+    m.setdefault("generation", "0")
+    return m
+
+
+def _write_manifest(path: str, manifest: dict) -> None:
+    """Atomic manifest replace: write-temp + os.replace, so a reader
+    polling concurrently sees either the old or the new manifest,
+    never a truncated one."""
+    import json as _json
+    import os
+    import uuid
+
+    tmp = os.path.join(path, f"._MANIFEST.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as fh:
+        _json.dump(manifest, fh)
+    os.replace(tmp, os.path.join(path, "_MANIFEST"))
+
+
+def _read_arrow_file(path: str, filename: str):
+    """One committed IPC file → its record batches (shared by the
+    batch scan and the streaming reader so the two can never diverge
+    on read options)."""
+    import os
+
+    import pyarrow as pa
+
+    with pa.ipc.open_file(os.path.join(path, filename)) as r:
+        for i in range(r.num_record_batches):
+            yield r.get_batch(i)
+
+
 class ArrowDirDataSource(DataSource):
     """``ddspark_arrow_dir`` — Arrow IPC directory SINK.
 
@@ -281,12 +326,7 @@ class ArrowDirDataSource(DataSource):
         return ArrowDirWriter(self.options["path"], overwrite)
 
     def _manifest_files(self) -> list[str]:
-        import json as _json
-        import os
-
-        path = self.options["path"]
-        with open(os.path.join(path, "_MANIFEST")) as fh:
-            return [f["file"] for f in _json.load(fh)["files"]]
+        return [f["file"] for f in _load_manifest(self.options["path"])["files"]]
 
     def schema(self):
         import os
@@ -329,15 +369,7 @@ class ArrowDirReader(DataSourceReader):
         return [ArrowDirPartition(self._path, f) for f in self._files]
 
     def read(self, partition: ArrowDirPartition):
-        import os
-
-        import pyarrow as pa
-
-        with pa.ipc.open_file(
-            os.path.join(partition.path, partition.filename)
-        ) as r:
-            for i in range(r.num_record_batches):
-                yield r.get_batch(i)
+        yield from _read_arrow_file(partition.path, partition.filename)
 
 
 class ArrowDirStreamReader(DataSourceStreamReader):
@@ -345,48 +377,49 @@ class ArrowDirStreamReader(DataSourceStreamReader):
     newly COMMITTED files (Spark 4 DataSourceStreamReader).
 
     Offsets are positions in the manifest's append-ordered file list —
-    ``{"n": k}`` means the first k committed files are consumed. Each
-    microbatch plans one input partition per new file, so the read
-    itself runs on executors (not a driver-side simple reader — at
-    scale a microbatch may ingest thousands of files). Readers only
-    ever see manifest entries, so a crashed writer's stragglers are
-    invisible here exactly as in the batch scan; a file enters the
-    stream atomically with its manifest commit.
+    ``{"n": k, "gen": g}`` means the first k committed files of
+    manifest generation g are consumed. Each microbatch plans one
+    input partition per new file, so the read itself runs on
+    executors (not a driver-side simple reader — at scale a
+    microbatch may ingest thousands of files). Readers only ever see
+    manifest entries, so a crashed writer's stragglers are invisible
+    here exactly as in the batch scan; a file enters the stream
+    atomically with its manifest commit (temp-file + rename).
+
+    The generation id detects overwrite commits: positions into a
+    REPLACED manifest are meaningless (old part-files are deleted),
+    so a generation change raises a clear error instead of silently
+    serving the wrong files.
     """
 
     def __init__(self, path: str) -> None:
         self._path = path
 
-    def _files(self) -> list[str]:
-        import json as _json
-        import os
-
-        try:
-            with open(os.path.join(self._path, "_MANIFEST")) as fh:
-                return [f["file"] for f in _json.load(fh)["files"]]
-        except FileNotFoundError:
-            return []
-
     def initialOffset(self) -> dict:
-        return {"n": 0}
+        m = _load_manifest(self._path)
+        return {"n": 0, "gen": m["generation"]}
 
     def latestOffset(self) -> dict:
-        return {"n": len(self._files())}
+        m = _load_manifest(self._path)
+        return {"n": len(m["files"]), "gen": m["generation"]}
 
     def partitions(self, start: dict, end: dict):
-        files = self._files()[int(start["n"]) : int(end["n"])]
+        m = _load_manifest(self._path)
+        for off in (start, end):
+            if "gen" in off and off["gen"] != m["generation"]:
+                raise RuntimeError(
+                    "ddspark_arrow_dir stream: the dataset was "
+                    "OVERWRITTEN since this checkpoint (manifest "
+                    f"generation {off['gen']!r} -> "
+                    f"{m['generation']!r}); offsets into the old "
+                    "manifest cannot be replayed. Restart the stream "
+                    "with a fresh checkpoint."
+                )
+        files = [f["file"] for f in m["files"]][int(start["n"]) : int(end["n"])]
         return [ArrowDirPartition(self._path, f) for f in files]
 
     def read(self, partition: ArrowDirPartition):
-        import os
-
-        import pyarrow as pa
-
-        with pa.ipc.open_file(
-            os.path.join(partition.path, partition.filename)
-        ) as r:
-            for i in range(r.num_record_batches):
-                yield r.get_batch(i)
+        yield from _read_arrow_file(partition.path, partition.filename)
 
     def commit(self, end: dict) -> None:
         # Progress tracking lives in the stream's checkpoint; nothing
@@ -429,35 +462,55 @@ class ArrowDirWriter(DataSourceArrowWriter):
         return ArrowFileCommit(fname, rows)
 
     def commit(self, messages):
-        import json as _json
         import os
+        import uuid
 
         files = [
             {"file": m.filename, "rows": m.rows}
             for m in messages
             if m is not None and m.filename
         ]
-        manifest = os.path.join(self._path, "_MANIFEST")
-        if self._overwrite:
-            # Drop files from prior jobs that this commit supersedes.
-            keep = {f["file"] for f in files}
-            for existing in os.listdir(self._path):
-                if existing.startswith("part-") and existing not in keep:
-                    os.remove(os.path.join(self._path, existing))
-        else:
-            # Append mode: this job's files EXTEND the dataset — a
-            # manifest naming only the new files would strand every
-            # previously committed file (and break the streaming
-            # reader's append-ordered offsets).
+        # Serialize manifest read-modify-write across concurrent
+        # driver processes (two append jobs sharing a directory):
+        # without the flock the last writer would strand the other
+        # job's committed files. On a shared POSIX FS this is the
+        # whole commit protocol; an object store needs a transactional
+        # catalog instead (documented trade).
+        lock_path = os.path.join(self._path, "._MANIFEST.lock")
+        lock_fh = open(lock_path, "a+")
+        try:
             try:
-                with open(manifest) as fh:
-                    prior = _json.load(fh)["files"]
-            except FileNotFoundError:
-                prior = []
-            known = {f["file"] for f in prior}
-            files = prior + [f for f in files if f["file"] not in known]
-        with open(manifest, "w") as fh:
-            _json.dump({"files": files}, fh)
+                import fcntl
+
+                fcntl.flock(lock_fh, fcntl.LOCK_EX)
+            except ImportError:  # non-POSIX: best-effort, no lock
+                pass
+            if self._overwrite:
+                # Drop files from prior jobs that this commit
+                # supersedes, and bump the manifest GENERATION so a
+                # live stream's checkpointed offsets (positions into
+                # the replaced manifest) fail loudly instead of
+                # silently serving the wrong files.
+                keep = {f["file"] for f in files}
+                for existing in os.listdir(self._path):
+                    if existing.startswith("part-") and existing not in keep:
+                        os.remove(os.path.join(self._path, existing))
+                manifest = {"files": files, "generation": uuid.uuid4().hex}
+            else:
+                # Append mode: this job's files EXTEND the dataset — a
+                # manifest naming only the new files would strand every
+                # previously committed file (and break the streaming
+                # reader's append-ordered offsets).
+                prior = _load_manifest(self._path)
+                known = {f["file"] for f in prior["files"]}
+                manifest = {
+                    "files": prior["files"]
+                    + [f for f in files if f["file"] not in known],
+                    "generation": prior["generation"],
+                }
+            _write_manifest(self._path, manifest)
+        finally:
+            lock_fh.close()
 
     def abort(self, messages):
         import os

@@ -573,6 +573,12 @@ def test_scd2_pit_fact_on_change_date_sees_new_status(spark):
         o.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
         .withColumn("prev", F.lag("o_orderstatus").over(w))
         .filter(F.col("prev").isNull() | (F.col("prev") != F.col("o_orderstatus")))
+        # Epoch micros computed BY SPARK (same expression the query
+        # uses) — any Python datetime arithmetic here would re-import
+        # host-timezone rendering subtleties into the oracle.
+        .withColumn(
+            "odate_us", F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+        )
         .collect()
     )
     by_ck = {}
@@ -593,16 +599,9 @@ def test_scd2_pit_fact_on_change_date_sees_new_status(spark):
             by_ck.get(ck, []),
             key=lambda s: (s.o_orderdate, s.o_orderkey),
         )
-        import calendar
-
-        def naive_us(dt):
-            # timegm, not .timestamp(): the parquet timestamps are
-            # naive-UTC and .timestamp() would apply the host's TZ.
-            return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
-
         expect = "NONE"
         for s in hist:
-            if naive_us(s.o_orderdate) <= ship_us:
+            if s.odate_us <= ship_us:
                 expect = s.o_orderstatus
         assert got == expect, (key, got, expect)
 

@@ -348,3 +348,41 @@ def test_arrow_dir_streaming_reader_incremental(spark, tmp_path):
     second = run_stream("arrow_stream_2")
     # Same checkpoint: only files committed after the first run.
     assert second == set(range(10, 25)), second
+
+
+def test_arrow_dir_stream_detects_overwrite(spark, tmp_path):
+    """An overwrite commit replaces the manifest (new generation) and
+    deletes old part-files; a stream resuming from a checkpoint into
+    the OLD manifest must fail loudly, not serve wrong files."""
+    import pytest
+
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.sources.python_ds import register_sources
+
+    register_sources(spark)
+    out = str(tmp_path / "arrowdir_gen")
+    ckpt = str(tmp_path / "ckpt_gen")
+    n = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    n.coalesce(1).write.format("ddspark_arrow_dir").option("path", out).mode(
+        "append"
+    ).save()
+
+    def run():
+        q = (
+            spark.readStream.format("ddspark_arrow_dir")
+            .option("path", out)
+            .load()
+            .writeStream.foreachBatch(lambda df, bid: df.count())
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    # Overwrite: new generation, old offsets meaningless.
+    n.limit(3).coalesce(1).write.format("ddspark_arrow_dir").option(
+        "path", out
+    ).mode("overwrite").save()
+    with pytest.raises(Exception, match="OVERWRITTEN|generation"):
+        run()
