@@ -89,6 +89,8 @@ HEADLINE = [
     "events_window_quantiles",
     "join_scd2_pit",
     "dedup_lsh_quality",
+    "tpch_q2_full",
+    "tpch_q11_full",
 ]
 
 

@@ -437,3 +437,30 @@ def test_ivf_knn_join_broadcast_probes_no_corpus_shuffle_join(spark):
     assert facts["n_sortmerge_joins"] + facts["n_shuffledhash_joins"] == 0, facts
     assert facts["n_broadcast_joins"] >= 1, facts
     assert facts["n_bnl_joins"] == 0, facts
+
+
+def test_partsupp_synthesis_no_shuffle(spark):
+    """The synthesized partsupp is a map-side derivation: one part
+    scan, a 1-row count broadcast, an explode — the only exchange
+    allowed is the distinct's (which AQE may keep); never a join
+    shuffle of part."""
+    from datafusion_dist_spark.queries.tpch import _partsupp
+
+    facts = plan_facts(_partsupp(spark, SF_DIR))
+    assert facts["n_sortmerge_joins"] + facts["n_shuffledhash_joins"] == 0, facts
+    # Exactly one BNLJ is expected and fine: the broadcast cross join
+    # of the 1-ROW supplier count (a scalar, not a data-sized side).
+    assert facts["n_bnl_joins"] <= 1, facts
+
+
+def test_q2_full_broadcasts_dimension_chain(spark):
+    """Q2's region->nation->supplier pruning chain broadcasts; the
+    per-part min is the window-rank pattern (one exchange family),
+    not a re-join of partsupp against itself at shuffle scale."""
+    from datafusion_dist_spark.queries.tpch import tpch_q2_full
+
+    facts = plan_facts(tpch_q2_full(spark, SF_DIR))
+    assert facts["n_broadcast_joins"] >= 3, facts
+    # The single BNLJ is the 1-row supplier-count scalar join inside
+    # the partsupp derivation; nothing data-sized nest-loops.
+    assert facts["n_bnl_joins"] <= 1, facts
