@@ -326,3 +326,74 @@ def test_transform_with_state_running_totals_match_batch(spark):
             )
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_streaming_incremental_dedup_over_arrow_dir(spark, tmp_path):
+    """End-to-end incremental-ingest dedup: documents land in the
+    Arrow-dir format in two commits; a stream ingests each commit as a
+    microbatch and foreachBatch runs the minhash cross-set dedup of
+    JUST that batch against the static index — the streaming twin of
+    dedup_incremental (nightly crawl → continuous crawl). Every
+    planted near-dup must be flagged in the batch it arrived in, and
+    nothing is ever compared index-to-index or batch-to-batch."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.operators import dedup
+    from datafusion_dist_spark.sources.python_ds import register_sources
+    from tests.conftest import SF_DIR
+
+    register_sources(spark)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") < 40)
+    out = str(tmp_path / "crawl")
+    ckpt = str(tmp_path / "ckpt")
+
+    # Two crawl drops: each plants copies of some index docs.
+    drop1 = index.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    drop2 = index.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 600000).alias("doc_id"), "text"
+    )
+
+    flagged_per_batch: dict = {}
+
+    def dedup_batch(batch_df, batch_id):
+        pairs = dedup.minhash_dedup_pairs(
+            index.unionByName(batch_df), threshold=0.5, split_id=40
+        ).collect()
+        flagged_per_batch[batch_id] = {r.b_id for r in pairs}
+
+    def run():
+        q = (
+            spark.readStream.format("ddspark_arrow_dir")
+            .option("path", out)
+            .load()
+            .writeStream.foreachBatch(dedup_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    drop1.coalesce(1).write.format("ddspark_arrow_dir").option(
+        "path", out
+    ).mode("append").save()
+    run()
+    drop2.coalesce(1).write.format("ddspark_arrow_dir").option(
+        "path", out
+    ).mode("append").save()
+    run()
+
+    all_flagged = set().union(*flagged_per_batch.values())
+    for r in drop1.collect():
+        assert r.doc_id in all_flagged, f"drop1 plant {r.doc_id} missed"
+    for r in drop2.collect():
+        assert r.doc_id in all_flagged, f"drop2 plant {r.doc_id} missed"
+    # The second run's batches contain only drop2 ids (checkpointed
+    # offsets: drop1's file is never re-ingested).
+    late_ids = set().union(
+        *(v for k, v in flagged_per_batch.items() if k > 0)
+    ) if len(flagged_per_batch) > 1 else set()
+    assert all(i >= 600000 for i in late_ids), late_ids
