@@ -2793,3 +2793,76 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_hit").cast("double") / F.greatest(F.col("n_true"), F.lit(1)), 6
         ).alias("recall_"),
     )
+
+
+@register(
+    "pipeline_dataset_diff",
+    oracle=f"""
+        WITH v1 AS (
+            SELECT doc_id, source, md5(text) AS digest FROM documents
+            WHERE doc_id % 11 <> 0
+        ),
+        v2 AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 13 = 0
+                        THEN md5(text || ' edited')
+                        ELSE md5(text) END AS digest
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 700000 AS doc_id, source, md5(text) AS digest
+            FROM documents WHERE doc_id % 17 = 0
+        ),
+        j AS (
+            SELECT coalesce(v1.source, v2.source) AS source,
+                   CASE
+                     WHEN v1.doc_id IS NULL THEN 'added'
+                     WHEN v2.doc_id IS NULL THEN 'removed'
+                     WHEN v1.digest <> v2.digest THEN 'changed'
+                     ELSE 'unchanged'
+                   END AS change
+            FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+        )
+        SELECT source, change, count(*) AS n
+        FROM j GROUP BY source, change
+    """,
+    doc="Dataset version diff: two corpus snapshots compared by "
+    "content digest in one full-outer id join → per-source "
+    "added/removed/changed/unchanged counts — the audit a versioned "
+    "data pipeline emits between releases. Demo: v2 edits every 13th "
+    "doc, adds a copy of every 17th, and v1 lacks every 11th (so "
+    "those read as added). Digests are computed in the scan "
+    "projection; the join and count shuffle only (id, digest, "
+    "source) — the payload never moves, so the diff costs two scans "
+    "and one join at any corpus size.",
+)
+def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    v1 = d.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", "source", F.md5("text").alias("digest")
+    )
+    v2_base = d.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" edited"))),
+        )
+        .otherwise(F.md5("text"))
+        .alias("digest"),
+    )
+    v2_new = d.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 700000).alias("doc_id"),
+        "source",
+        F.md5("text").alias("digest"),
+    )
+    v2 = v2_base.unionByName(v2_new)
+    a, b = v1.alias("a"), v2.alias("b")
+    j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
+        F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+        F.when(F.col("a.doc_id").isNull(), F.lit("added"))
+        .when(F.col("b.doc_id").isNull(), F.lit("removed"))
+        .when(F.col("a.digest") != F.col("b.digest"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change"),
+    )
+    return j.groupBy("source", "change").agg(F.count("*").alias("n"))
