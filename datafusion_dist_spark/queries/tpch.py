@@ -1109,7 +1109,11 @@ def tpch_q2_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rn") == 1
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_size") == 15)
-    return p.join(F.broadcast(best), p.p_partkey == best.ps_partkey).select(
+    # Broadcast the SIZE-FILTERED part side (~2% of parts), not best:
+    # best is one row per part with a EUROPE supplier — a part-sized
+    # relation carrying name strings, the strictly larger side at any
+    # real scale factor.
+    return best.join(F.broadcast(p), p.p_partkey == best.ps_partkey).select(
         "p_partkey",
         "p_brand",
         F.col("ps_suppkey").alias("s_suppkey"),
@@ -1231,9 +1235,9 @@ def tpch_q16_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM partsupp ps
             JOIN part p ON p.p_partkey = ps.ps_partkey
                        AND p.p_name LIKE 'small%'
-            LEFT JOIN qty ON qty.l_partkey = ps.ps_partkey
-                         AND qty.l_suppkey = ps.ps_suppkey
-            WHERE ps.ps_availqty * 2 > coalesce(qty.q, 0)
+            JOIN qty ON qty.l_partkey = ps.ps_partkey
+                    AND qty.l_suppkey = ps.ps_suppkey
+            WHERE ps.ps_availqty * 2 > qty.q
         )
         SELECT s.s_suppkey, s.s_name
         FROM supplier s
@@ -1243,9 +1247,10 @@ def tpch_q16_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="FULL TPC-H Q20 over the synthesized partsupp: suppliers in "
     "the nation group holding a 'small%' part whose availqty exceeds "
     "half the 1996 shipped quantity of that (part, supplier) — the "
-    "spec's correlated availqty subquery as a left join + integer "
-    "cross-multiply (missing shipments count as zero, as in spec "
-    "semantics where the scalar subquery is empty).",
+    "spec's correlated availqty subquery as an INNER join + integer "
+    "cross-multiply. Spec semantics exactly: an empty correlated "
+    "subquery yields NULL and the comparison excludes the row, which "
+    "is what the inner join does for never-shipped pairs.",
 )
 def tpch_q20_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     ps = _partsupp(spark, sf_dir)
@@ -1267,11 +1272,8 @@ def tpch_q20_full(spark: SparkSession, sf_dir: str) -> DataFrame:
             qty,
             (ps.ps_partkey == qty.l_partkey)
             & (ps.ps_suppkey == qty.l_suppkey),
-            "left_outer",
         )
-        .filter(
-            F.col("ps_availqty") * 2 > F.coalesce(F.col("q"), F.lit(0))
-        )
+        .filter(F.col("ps_availqty") * 2 > F.col("q"))
         .select("ps_suppkey")
         .distinct()
     )

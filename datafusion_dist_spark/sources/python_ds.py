@@ -258,20 +258,39 @@ class ArrowFileCommit(WriterCommitMessage):
         self.rows = rows
 
 
-def _load_manifest(path: str) -> dict:
-    """Read an Arrow-dir _MANIFEST. Missing → empty dataset (a stream
-    may start before the producer's first commit); torn/garbled (the
-    commit protocol writes atomically, but a foreign writer may not) →
-    also treated as not-yet-visible rather than crashing a polling
-    stream mid-flight. Returns {"files": [...], "generation": str}."""
+def _load_manifest(path: str, lenient: bool = False) -> dict:
+    """Read an Arrow-dir _MANIFEST → {"files": [...], "generation"}.
+
+    ``lenient=True`` is for POLLING readers only (the stream's
+    latestOffset): missing → empty dataset (a stream may start before
+    the producer's first commit) and torn/garbled (the commit
+    protocol writes atomically, but a foreign writer may not) → also
+    treated as not-yet-visible rather than crashing the stream
+    mid-flight.
+
+    The default is STRICT — batch reads of a missing/typo'd path and,
+    critically, the writer's append read-modify-write must fail
+    loudly: treating a corrupt manifest as empty there would commit a
+    manifest naming only the new files and silently truncate the
+    dataset."""
     import json as _json
     import os
 
+    manifest = os.path.join(path, "_MANIFEST")
     try:
-        with open(os.path.join(path, "_MANIFEST")) as fh:
+        with open(manifest) as fh:
             m = _json.load(fh)
-    except (FileNotFoundError, ValueError):
-        return {"files": [], "generation": "0"}
+    except FileNotFoundError:
+        if lenient:
+            return {"files": [], "generation": "0"}
+        raise FileNotFoundError(
+            f"no _MANIFEST at {path!r}: not an Arrow-dir dataset "
+            "(or no commit has happened yet)"
+        ) from None
+    except ValueError as exc:
+        if lenient:
+            return {"files": [], "generation": "0"}
+        raise ValueError(f"corrupt _MANIFEST at {path!r}: {exc}") from exc
     m.setdefault("generation", "0")
     return m
 
@@ -396,16 +415,22 @@ class ArrowDirStreamReader(DataSourceStreamReader):
         self._path = path
 
     def initialOffset(self) -> dict:
-        m = _load_manifest(self._path)
+        m = _load_manifest(self._path, lenient=True)
         return {"n": 0, "gen": m["generation"]}
 
     def latestOffset(self) -> dict:
-        m = _load_manifest(self._path)
+        m = _load_manifest(self._path, lenient=True)
         return {"n": len(m["files"]), "gen": m["generation"]}
 
     def partitions(self, start: dict, end: dict):
-        m = _load_manifest(self._path)
+        m = _load_manifest(self._path, lenient=True)
         for off in (start, end):
+            # n == 0 references no files of the old manifest, so it is
+            # trivially safe to replay against any generation — this is
+            # exactly the stream-started-before-first-commit case the
+            # lenient loader advertises (first commit may be overwrite).
+            if int(off["n"]) == 0:
+                continue
             if "gen" in off and off["gen"] != m["generation"]:
                 raise RuntimeError(
                     "ddspark_arrow_dir stream: the dataset was "
@@ -485,23 +510,36 @@ class ArrowDirWriter(DataSourceArrowWriter):
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
             except ImportError:  # non-POSIX: best-effort, no lock
                 pass
+            # Missing prior manifest = normal first commit; a CORRUPT
+            # one must abort the job (strict load) — treating it as
+            # empty would silently truncate the dataset on append and
+            # delete still-referenced files on overwrite.
+            try:
+                prior = _load_manifest(self._path)
+            except FileNotFoundError:
+                prior = {"files": [], "generation": "0"}
             if self._overwrite:
-                # Drop files from prior jobs that this commit
-                # supersedes, and bump the manifest GENERATION so a
+                # Drop only files the PRIOR manifest committed (minus
+                # any this commit keeps), and bump the GENERATION so a
                 # live stream's checkpointed offsets (positions into
                 # the replaced manifest) fail loudly instead of
-                # silently serving the wrong files.
+                # silently serving the wrong files. Never sweep
+                # part-* files at large — a concurrent append job's
+                # written-but-uncommitted task files are invisible to
+                # readers but must survive until ITS commit runs.
                 keep = {f["file"] for f in files}
-                for existing in os.listdir(self._path):
-                    if existing.startswith("part-") and existing not in keep:
-                        os.remove(os.path.join(self._path, existing))
+                for f in prior["files"]:
+                    if f["file"] not in keep:
+                        try:
+                            os.remove(os.path.join(self._path, f["file"]))
+                        except FileNotFoundError:
+                            pass
                 manifest = {"files": files, "generation": uuid.uuid4().hex}
             else:
                 # Append mode: this job's files EXTEND the dataset — a
                 # manifest naming only the new files would strand every
                 # previously committed file (and break the streaming
                 # reader's append-ordered offsets).
-                prior = _load_manifest(self._path)
                 known = {f["file"] for f in prior["files"]}
                 manifest = {
                     "files": prior["files"]

@@ -386,3 +386,73 @@ def test_arrow_dir_stream_detects_overwrite(spark, tmp_path):
     ).mode("overwrite").save()
     with pytest.raises(Exception, match="OVERWRITTEN|generation"):
         run()
+
+
+def test_arrow_dir_stream_starts_before_first_commit(spark, tmp_path):
+    """A consumer may start the stream on an empty directory; the
+    first producer commit — even an overwrite (fresh generation) —
+    must flow through, because n=0 offsets reference no old files."""
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.sources.python_ds import register_sources
+
+    register_sources(spark)
+    out = str(tmp_path / "cold_start")
+    ckpt = str(tmp_path / "ckpt_cold")
+    import os
+
+    os.makedirs(out, exist_ok=True)
+    got: set = set()
+
+    def run():
+        q = (
+            spark.readStream.format("ddspark_arrow_dir")
+            .option("path", out)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: got.update(r.n_nationkey for r in df.collect())
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Empty directory: needs an explicit schema (no manifest yet) —
+    # matching the Arrow file types exactly (int, not long).
+    n = load_table(spark, SF_DIR, "nation").select("n_nationkey", "n_name")
+    schema = n.schema
+    q0 = (
+        spark.readStream.format("ddspark_arrow_dir")
+        .schema(schema)
+        .option("path", out)
+        .load()
+        .writeStream.foreachBatch(
+            lambda df, bid: got.update(r.n_nationkey for r in df.collect())
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q0.awaitTermination(120)
+    assert got == set()
+    # First commit is an OVERWRITE → fresh generation; the stream's
+    # n=0 checkpointed offset must still replay cleanly.
+    n.coalesce(1).write.format("ddspark_arrow_dir").option("path", out).mode(
+        "overwrite"
+    ).save()
+    run()
+    assert got == set(range(25)), got
+
+
+def test_arrow_dir_batch_read_missing_manifest_fails_loudly(spark, tmp_path):
+    """A typo'd path must raise, not return an empty placeholder-schema
+    DataFrame that lets wrong results propagate."""
+    import pytest
+
+    from datafusion_dist_spark.sources.python_ds import register_sources
+
+    register_sources(spark)
+    with pytest.raises(Exception, match="_MANIFEST|Arrow-dir"):
+        spark.read.format("ddspark_arrow_dir").option(
+            "path", str(tmp_path / "nope")
+        ).load().collect()
