@@ -790,3 +790,48 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_group=20,
     )
     return triangle_count(edges)
+
+
+@register(
+    "subquery_any_all",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) > ALL (
+                   SELECT CAST(ROUND(o_totalprice*100) AS BIGINT)
+                   FROM orders WHERE o_custkey % 100 = 3
+               ) AS gt_all,
+               CAST(ROUND(o_totalprice*100) AS BIGINT) > ANY (
+                   SELECT CAST(ROUND(o_totalprice*100) AS BIGINT)
+                   FROM orders WHERE o_custkey % 100 = 7
+               ) AS gt_any
+        FROM orders WHERE o_orderkey < 3000
+    """,
+    doc="Quantified subquery comparisons (x > ALL / > ANY), which "
+    "Spark SQL does not parse: the engine rewrites them to scalar "
+    "aggregates — x > ALL(s) ≡ s empty OR x > max(s); x > ANY(s) ≡ "
+    "s non-empty AND x > min(s) (exact for non-null s; the demo "
+    "column is NOT NULL — a nullable s adds the NOT-IN-style 3VL "
+    "CASE, see subquery_not_in_3vl). The two 1-row aggregate scalars "
+    "broadcast onto a single scan: no join, no shuffle, regardless "
+    "of either subquery's size. DuckDB runs the REAL quantified "
+    "predicates, proving the rewrite.",
+)
+def subquery_any_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    price_c = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    s1 = o.filter(F.col("o_custkey") % 100 == 3).agg(
+        F.max(price_c).alias("mx1"), F.count("*").alias("cnt1")
+    )
+    s2 = o.filter(F.col("o_custkey") % 100 == 7).agg(
+        F.min(price_c).alias("mn2"), F.count("*").alias("cnt2")
+    )
+    return (
+        o.filter(F.col("o_orderkey") < 3000)
+        .crossJoin(F.broadcast(s1))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            "o_orderkey",
+            ((F.col("cnt1") == 0) | (price_c > F.col("mx1"))).alias("gt_all"),
+            ((F.col("cnt2") > 0) & (price_c > F.col("mn2"))).alias("gt_any"),
+        )
+    )
