@@ -191,10 +191,12 @@ if _HAVE_FLIGHT:
                 and params["catalog"] != cat
             )
             if kind == "catalogs":
-                return pa.table(
-                    {"catalog_name": [c.name for c in spark.catalog.listCatalogs()]},
-                    schema=schema,
-                )
+                # Advertise only the catalog the schema/table commands
+                # can actually browse (the Spark catalog API lists
+                # databases/tables of the CURRENT catalog only) —
+                # listing every configured catalog here would show
+                # phantom catalogs a client could never descend into.
+                return pa.table({"catalog_name": [cat]}, schema=schema)
             if kind == "db_schemas":
                 pat = params.get("db_schema_filter_pattern")
                 names = (

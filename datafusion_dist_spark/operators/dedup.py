@@ -77,17 +77,31 @@ def exact_dedup_normalized(docs: DataFrame, text_col: str = "text") -> DataFrame
 # -- shingles + MinHash ---------------------------------------------------
 
 
-def doc_shingles(docs: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded, distinct per doc.
+def doc_shingles(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    id_alias: str = "doc_id",
+    parallelize: bool = True,
+) -> DataFrame:
+    """(id, shingle) exploded, distinct per doc — THE one definition of
+    the tokenize → k-shingle → distinct pipeline (minhash, n-gram
+    Jaccard, and both decontaminators all route through it, so the
+    shingle model can never drift between the sketch path, the exact
+    path, and their oracles).
 
     Tokens are materialized as a column BEFORE shingling: interpreted
     higher-order functions re-evaluate lambda subtrees per element, so
     an inlined tokens() expression inside shingle_array's slice would
     re-tokenize the document once per shingle (~40x redundant regexp
-    work, measured)."""
-    t = spread(docs).select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    work, measured). ``parallelize=False`` skips the spread() for
+    deliberately tiny sides (e.g. a broadcast benchmark set)."""
+    src = spread(docs) if parallelize else docs
+    t = src.select(
+        F.col("doc_id").alias(id_alias), tokens(F.col(text_col)).alias("toks")
+    )
     sh = shingle_array(F.col("toks"), k)
-    return t.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return t.select(id_alias, F.explode(F.array_distinct(sh)).alias("shingle"))
 
 
 def minhash_signatures(

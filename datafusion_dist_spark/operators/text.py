@@ -207,21 +207,12 @@ def decontaminate_overlap(
     (corpus doc, benchmark doc), keep the worst overlap per corpus
     doc. No cross join; the corpus is touched once.
     """
-    from datafusion_dist_spark.functions.hashing import shingle_array, tokens
-    from datafusion_dist_spark.operators.common import spread
+    from datafusion_dist_spark.operators.dedup import doc_shingles
 
-    def shingles(df: DataFrame, id_alias: str) -> DataFrame:
-        t = df.select(
-            F.col("doc_id").alias(id_alias),
-            tokens(F.col(text_col)).alias("toks"),
-        )
-        sh = shingle_array(F.col("toks"), k)
-        return t.select(
-            id_alias, F.explode(F.array_distinct(sh)).alias("shingle")
-        )
-
-    corp = shingles(spread(corpus), "doc_id")
-    bench = shingles(benchmark, "bench_id")
+    corp = doc_shingles(corpus, text_col, k)
+    bench = doc_shingles(
+        benchmark, text_col, k, id_alias="bench_id", parallelize=False
+    )
     overlap = (
         corp.join(F.broadcast(bench), "shingle")
         .groupBy("doc_id", "bench_id")
@@ -271,23 +262,13 @@ def decontaminate_bloom_verify(
     """
     import numpy as np
 
-    from datafusion_dist_spark.functions.hashing import (
-        hash_int32,
-        shingle_array,
-    )
-    from datafusion_dist_spark.operators.common import spread
+    from datafusion_dist_spark.functions.hashing import hash_int32
+    from datafusion_dist_spark.operators.dedup import doc_shingles
 
-    def shingles(df: DataFrame, id_alias: str) -> DataFrame:
-        t = df.select(
-            F.col("doc_id").alias(id_alias),
-            tokens(F.col(text_col)).alias("toks"),
-        )
-        return t.select(
-            id_alias,
-            F.explode(F.array_distinct(shingle_array(F.col("toks"), k))).alias(
-                "shingle"
-            ),
-        )
+    # Word-aligned filter size: probe indices are mod m_bits but the
+    # bitset allocates m_bits // 64 words — a non-multiple (or < 64)
+    # would index past the array.
+    m_bits = max(64, ((m_bits + 63) // 64) * 64)
 
     def with_probes(df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -295,7 +276,9 @@ def decontaminate_bloom_verify(
         ).withColumn("h2", hash_int32(F.col("shingle"), seed="bl2"))
 
     bench = with_probes(
-        shingles(benchmark, "bench_id").select("shingle").distinct()
+        doc_shingles(benchmark, text_col, k, id_alias="bench_id", parallelize=False)
+        .select("shingle")
+        .distinct()
     )
     rows = bench.select("h1", "h2").collect()  # eval-set sized: tiny
     bits = np.zeros(m_bits // 64, dtype=np.uint64)
@@ -329,7 +312,7 @@ def decontaminate_bloom_verify(
             hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
         return pd.Series(hit)
 
-    corp = with_probes(shingles(spread(corpus), "doc_id"))
+    corp = with_probes(doc_shingles(corpus, text_col, k))
     survivors = corp.filter(might_contain(F.col("h1"), F.col("h2")))
     # Exact verify: broadcast the true benchmark shingle set; FPs die.
     return (

@@ -291,6 +291,13 @@ def _load_manifest(path: str, lenient: bool = False) -> dict:
         if lenient:
             return {"files": [], "generation": "0"}
         raise ValueError(f"corrupt _MANIFEST at {path!r}: {exc}") from exc
+    # Shape validation: a syntactically-valid but wrong-shape document
+    # (JSON array, dict without "files") is corrupt too — without this
+    # it would escape as AttributeError/KeyError past both modes.
+    if not isinstance(m, dict) or not isinstance(m.get("files"), list):
+        if lenient:
+            return {"files": [], "generation": "0"}
+        raise ValueError(f"corrupt _MANIFEST at {path!r}: wrong shape")
     m.setdefault("generation", "0")
     return m
 
@@ -413,17 +420,42 @@ class ArrowDirStreamReader(DataSourceStreamReader):
 
     def __init__(self, path: str) -> None:
         self._path = path
+        self._last_good: dict | None = None
 
     def initialOffset(self) -> dict:
-        m = _load_manifest(self._path, lenient=True)
+        # Missing manifest = stream started before the first commit
+        # (supported); a CORRUPT one at start should fail loudly.
+        try:
+            m = _load_manifest(self._path)
+        except FileNotFoundError:
+            return {"n": 0, "gen": "0"}
         return {"n": 0, "gen": m["generation"]}
 
     def latestOffset(self) -> dict:
-        m = _load_manifest(self._path, lenient=True)
-        return {"n": len(m["files"]), "gen": m["generation"]}
+        # A torn/garbled manifest during a poll must NOT regress the
+        # offset to {n: 0} — that would either re-ingest everything as
+        # duplicates or trip the generation check with a misleading
+        # OVERWRITTEN error. Report the last good offset ("no
+        # progress") and let the next poll see the recovered file.
+        try:
+            m = _load_manifest(self._path)
+        except FileNotFoundError:
+            return self._last_good or {"n": 0, "gen": "0"}
+        except ValueError:
+            if self._last_good is not None:
+                return self._last_good
+            raise
+        off = {"n": len(m["files"]), "gen": m["generation"]}
+        self._last_good = off
+        return off
 
     def partitions(self, start: dict, end: dict):
-        m = _load_manifest(self._path, lenient=True)
+        try:
+            m = _load_manifest(self._path)
+        except FileNotFoundError:
+            if int(start["n"]) == 0 and int(end["n"]) == 0:
+                return []
+            raise
         for off in (start, end):
             # n == 0 references no files of the old manifest, so it is
             # trivially safe to replay against any generation — this is
