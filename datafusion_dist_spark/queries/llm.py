@@ -363,7 +363,19 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment_pairs(_corpus(spark, sf_dir), threshold=0.6)
 
 
-_NGRAM_CAP = 8
+# Relative document-frequency cap: greatest(8, |corpus| / 50). An
+# ABSOLUTE cap does not survive corpus growth — measured on this very
+# corpus: cap=8 bit gently at sf0.01 but dropped nearly every shingle
+# at sf0.1 (median df grew past it with the corpus), silently turning
+# the capped pass into a no-op that flags nothing. A df cap
+# proportional to corpus size keeps "stop shingle" meaning "shared by
+# an outsized fraction of documents" at every scale factor.
+_NGRAM_CAP_FLOOR = 8
+_NGRAM_CAP_DIVISOR = 50
+_NGRAM_CAP_SQL = (
+    f"greatest({_NGRAM_CAP_FLOOR}, "
+    f"(SELECT count(*) FROM corpus) // {_NGRAM_CAP_DIVISOR})"
+)
 
 
 @register(
@@ -377,7 +389,7 @@ _NGRAM_CAP = 8
         kept AS (
             SELECT s.doc_id, s.shingle FROM shingles s
             JOIN (SELECT shingle, count(*) AS df FROM shingles
-                  GROUP BY shingle HAVING count(*) <= {_NGRAM_CAP}) l
+                  GROUP BY shingle HAVING count(*) <= {_NGRAM_CAP_SQL}) l
               ON s.shingle = l.shingle
         ),
         inter AS (
@@ -395,17 +407,24 @@ _NGRAM_CAP = 8
         WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
     """,
     doc="The skew-guarded n-gram Jaccard pass (VERDICT r1 #4): posting "
-    f"lists longer than {_NGRAM_CAP} docs — 'stop shingles' whose pair "
-    "enumeration is quadratic in ONE task at 100 TB — are dropped "
-    "before pair generation; scores are an exact lower bound (set "
-    "sizes stay uncapped). The oracle reproduces the cap in SQL, so "
-    "the approximation itself is hash-checked; skew-bounding is "
+    "lists longer than the RELATIVE df cap greatest(8, |corpus|/50) — "
+    "'stop shingles' whose pair enumeration is quadratic in ONE task "
+    "at 100 TB — are dropped before pair generation; scores are an "
+    "exact lower bound (set sizes stay uncapped). The cap scales with "
+    "the corpus (an absolute cap silently no-ops the pass as median "
+    "df grows). The oracle reproduces the cap in SQL, so the "
+    "approximation itself is hash-checked; skew-bounding is "
     "property-tested with planted stop-shingles "
     "(tests/test_properties.py). (operators/dedup.py:ngram_jaccard_pairs)",
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    # Plan-time scalar (one count of doc ids): the cap must be a
+    # literal so the oracle's scalar subquery and the Spark filter
+    # compute the identical integer.
+    cap = max(_NGRAM_CAP_FLOOR, corpus.count() // _NGRAM_CAP_DIVISOR)
     return dedup.ngram_jaccard_pairs(
-        _corpus(spark, sf_dir), threshold=0.5, max_list_len=_NGRAM_CAP
+        corpus, threshold=0.5, max_list_len=cap
     )
 
 
