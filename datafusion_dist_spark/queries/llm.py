@@ -2885,3 +2885,71 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("change"),
     )
     return j.groupBy("source", "change").agg(F.count("*").alias("n"))
+
+
+@register(
+    "embedding_health_report",
+    oracle="""
+        WITH m AS (
+            SELECT vec_id, label,
+                   len(embedding) AS dim,
+                   CAST(ROUND(sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x))) * 1000000)
+                       AS BIGINT) AS norm_u,
+                   len(list_filter(CAST(embedding AS DOUBLE[]),
+                                   x -> isnan(x))) AS n_nan
+            FROM embeddings
+        )
+        SELECT count(*) AS n_vectors,
+               CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bad_dim,
+               CAST(sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_with_nan,
+               CAST(sum(CASE WHEN norm_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_zero_norm,
+               CAST(min(norm_u) AS BIGINT) AS min_norm_u,
+               CAST(max(norm_u) AS BIGINT) AS max_norm_u,
+               CAST(round(median(norm_u)) AS BIGINT) AS med_norm_u
+        FROM m
+    """,
+    doc="Embedding-table health report: the validation gate run before "
+    "any index build — vector count, wrong-dimension rows, NaN "
+    "components, zero norms, and min/median/max norm in exact integer "
+    "micro-units (a degenerate norm distribution is how a broken "
+    "encoder export shows up). One scan, per-row codegen arithmetic, "
+    "one 1-row aggregation; nothing shuffles but seven numbers.",
+)
+def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vd = F.expr("CAST(embedding AS ARRAY<DOUBLE>)")
+    norm_u = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform(vd, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        * 1_000_000
+    ).cast("bigint")
+    n_nan = F.size(F.filter(vd, lambda x: F.isnan(x)))
+    m = emb.select(
+        F.size("embedding").alias("dim"),
+        norm_u.alias("norm_u"),
+        n_nan.alias("n_nan"),
+    )
+    return m.agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("dim") != 64, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bad_dim"),
+        F.sum(F.when(F.col("n_nan") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_with_nan"),
+        F.sum(F.when(F.col("norm_u") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_norm"),
+        F.min("norm_u").alias("min_norm_u"),
+        F.max("norm_u").alias("max_norm_u"),
+        F.round(F.median("norm_u")).cast("bigint").alias("med_norm_u"),
+    )
