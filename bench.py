@@ -91,6 +91,8 @@ HEADLINE = [
     "dedup_lsh_quality",
     "tpch_q2_full",
     "tpch_q11_full",
+    "pipeline_dataset_diff",
+    "embedding_health_report",
 ]
 
 
