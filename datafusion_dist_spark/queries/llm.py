@@ -2890,15 +2890,19 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "embedding_health_report",
     oracle="""
-        WITH m AS (
-            SELECT vec_id, label,
-                   len(embedding) AS dim,
-                   CAST(ROUND(sqrt(list_sum(list_transform(
-                       CAST(embedding AS DOUBLE[]), x -> x * x))) * 1000000)
-                       AS BIGINT) AS norm_u,
+        WITH raw AS (
+            SELECT len(embedding) AS dim,
+                   sqrt(list_sum(list_transform(
+                       CAST(embedding AS DOUBLE[]), x -> x * x))) AS norm_d,
                    len(list_filter(CAST(embedding AS DOUBLE[]),
                                    x -> isnan(x))) AS n_nan
             FROM embeddings
+        ), m AS (
+            SELECT dim, n_nan,
+                   CASE WHEN isfinite(norm_d)
+                        THEN CAST(ROUND(norm_d * 1000000) AS BIGINT)
+                        ELSE NULL END AS norm_u
+            FROM raw
         )
         SELECT count(*) AS n_vectors,
                CAST(sum(CASE WHEN dim <> 64 THEN 1 ELSE 0 END) AS BIGINT)
@@ -2917,21 +2921,24 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "components, zero norms, and min/median/max norm in exact integer "
     "micro-units (a degenerate norm distribution is how a broken "
     "encoder export shows up). One scan, per-row codegen arithmetic, "
-    "one 1-row aggregation; nothing shuffles but seven numbers.",
+    "one 1-row aggregation; nothing shuffles but seven numbers. "
+    "Non-finite norms (a NaN/inf component) are nulled out before the "
+    "integer cast on BOTH engines, so degenerate rows are reported only "
+    "via n_with_nan and never pollute the min/median/max norm stats "
+    "(non-ANSI Spark would cast NaN to 0 while DuckDB errors).",
 )
 def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     vd = F.expr("CAST(embedding AS ARRAY<DOUBLE>)")
-    norm_u = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.transform(vd, lambda x: x * x),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
+    norm_d = F.sqrt(
+        F.aggregate(
+            F.transform(vd, lambda x: x * x),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        * 1_000_000
-    ).cast("bigint")
+    )
+    finite = ~(F.isnan(norm_d) | (norm_d == F.lit(float("inf"))))
+    norm_u = F.when(finite, F.round(norm_d * 1_000_000).cast("bigint"))
     n_nan = F.size(F.filter(vd, lambda x: F.isnan(x)))
     m = emb.select(
         F.size("embedding").alias("dim"),

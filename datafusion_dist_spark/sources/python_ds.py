@@ -258,21 +258,19 @@ class ArrowFileCommit(WriterCommitMessage):
         self.rows = rows
 
 
-def _load_manifest(path: str, lenient: bool = False) -> dict:
+def _load_manifest(path: str) -> dict:
     """Read an Arrow-dir _MANIFEST → {"files": [...], "generation"}.
 
-    ``lenient=True`` is for POLLING readers only (the stream's
-    latestOffset): missing → empty dataset (a stream may start before
-    the producer's first commit) and torn/garbled (the commit
-    protocol writes atomically, but a foreign writer may not) → also
-    treated as not-yet-visible rather than crashing the stream
-    mid-flight.
-
-    The default is STRICT — batch reads of a missing/typo'd path and,
+    Always STRICT: missing → FileNotFoundError, torn/garbled/wrong
+    shape → ValueError. Batch reads of a missing/typo'd path and,
     critically, the writer's append read-modify-write must fail
     loudly: treating a corrupt manifest as empty there would commit a
     manifest naming only the new files and silently truncate the
-    dataset."""
+    dataset. Polling callers that can tolerate a missing/torn
+    manifest (the stream reader's initialOffset/latestOffset) catch
+    these two exception types themselves — they need finer policy
+    than a blanket "treat as empty" (e.g. latestOffset reports the
+    last GOOD offset on a torn read, never an empty regression)."""
     import json as _json
     import os
 
@@ -281,22 +279,16 @@ def _load_manifest(path: str, lenient: bool = False) -> dict:
         with open(manifest) as fh:
             m = _json.load(fh)
     except FileNotFoundError:
-        if lenient:
-            return {"files": [], "generation": "0"}
         raise FileNotFoundError(
             f"no _MANIFEST at {path!r}: not an Arrow-dir dataset "
             "(or no commit has happened yet)"
         ) from None
     except ValueError as exc:
-        if lenient:
-            return {"files": [], "generation": "0"}
         raise ValueError(f"corrupt _MANIFEST at {path!r}: {exc}") from exc
     # Shape validation: a syntactically-valid but wrong-shape document
     # (JSON array, dict without "files") is corrupt too — without this
-    # it would escape as AttributeError/KeyError past both modes.
+    # it would escape as AttributeError/KeyError to every caller.
     if not isinstance(m, dict) or not isinstance(m.get("files"), list):
-        if lenient:
-            return {"files": [], "generation": "0"}
         raise ValueError(f"corrupt _MANIFEST at {path!r}: wrong shape")
     m.setdefault("generation", "0")
     return m
@@ -540,7 +532,11 @@ class ArrowDirWriter(DataSourceArrowWriter):
                 import fcntl
 
                 fcntl.flock(lock_fh, fcntl.LOCK_EX)
-            except ImportError:  # non-POSIX: best-effort, no lock
+            except (ImportError, OSError):
+                # non-POSIX (no fcntl) or a filesystem where flock
+                # itself fails (some NFS mounts raise ENOLCK/EBADF):
+                # degrade to the documented best-effort/no-lock commit
+                # rather than aborting the whole write job.
                 pass
             # Missing prior manifest = normal first commit; a CORRUPT
             # one must abort the job (strict load) — treating it as

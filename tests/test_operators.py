@@ -616,3 +616,61 @@ def test_lsh_quality_perfect_on_exact_duplicates(spark):
     assert row.n_true > 0
     assert row.recall_ == 1.0, row
     assert 0.0 < row.precision_ <= 1.0
+
+
+def test_embedding_health_report_degenerate_rows_match_oracle(spark, tmp_path):
+    """The health report must stay engine-identical exactly on the
+    unhealthy inputs it exists to detect: a NaN component makes the
+    norm NaN (non-ANSI Spark would cast it to 0 → miscounted as
+    n_zero_norm; DuckDB would error on CAST(NaN AS BIGINT)), and an
+    inf component makes it inf. Both are nulled out pre-cast on both
+    engines and reported only via n_with_nan / left out of the norm
+    stats."""
+    import math
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from datafusion_dist_spark import registry
+    from tests.oracle_compare import assert_frames_match
+
+    rows = {
+        "vec_id": [1, 2, 3, 4, 5],
+        "embedding": [
+            [1.0] * 64,                                  # healthy
+            [math.nan] + [1.0] * 63,                     # NaN component
+            [math.inf] + [0.0] * 63,                     # inf component
+            [0.0] * 64,                                  # zero norm
+            [2.0] * 32,                                  # wrong dim
+        ],
+        "label": [0, 1, 2, 3, 4],
+    }
+    t = pa.table(
+        rows,
+        schema=pa.schema(
+            [
+                ("vec_id", pa.int64()),
+                ("embedding", pa.list_(pa.float32())),
+                ("label", pa.int32()),
+            ]
+        ),
+    )
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    spec = registry.all_specs()["embedding_health_report"]
+    sdf = spec.spark_fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    odf = con.execute(spec.oracle).fetchdf()
+    con.close()
+    assert_frames_match(sdf, odf, "embedding_health_report/degenerate")
+    row = sdf.iloc[0]
+    assert row["n_vectors"] == 5
+    assert row["n_with_nan"] == 1
+    assert row["n_bad_dim"] == 1
+    assert row["n_zero_norm"] == 1
+    # Only the 3 finite-norm rows feed the norm stats.
+    assert row["min_norm_u"] == 0

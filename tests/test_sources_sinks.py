@@ -456,3 +456,29 @@ def test_arrow_dir_batch_read_missing_manifest_fails_loudly(spark, tmp_path):
         spark.read.format("ddspark_arrow_dir").option(
             "path", str(tmp_path / "nope")
         ).load().collect()
+
+
+def test_arrow_dir_commit_survives_flock_oserror(tmp_path, monkeypatch):
+    """On filesystems where flock itself raises OSError (some NFS
+    mounts: ENOLCK), the commit must degrade to the documented
+    best-effort/no-lock path, not abort the write job."""
+    import errno
+    import fcntl
+    import json
+    import os
+
+    from datafusion_dist_spark.sources.python_ds import (
+        ArrowDirWriter,
+        ArrowFileCommit,
+    )
+
+    def broken_flock(fh, op):
+        raise OSError(errno.ENOLCK, "No locks available")
+
+    monkeypatch.setattr(fcntl, "flock", broken_flock)
+    out = str(tmp_path / "nolock")
+    os.makedirs(out)
+    w = ArrowDirWriter(out, overwrite=False)
+    w.commit([ArrowFileCommit("part-0-test.arrow", 3)])
+    m = json.load(open(os.path.join(out, "_MANIFEST")))
+    assert m["files"] == [{"file": "part-0-test.arrow", "rows": 3}]
