@@ -161,6 +161,15 @@ if _HAVE_FLIGHT:
                 return pa.schema(
                     [pa.field("table_type", pa.string(), nullable=False)]
                 )
+            if kind == "sql_info":
+                return pa.schema(
+                    [
+                        pa.field("info_name", pa.uint32(), nullable=False),
+                        pa.field(
+                            "value", self._sql_info_value_type(), nullable=False
+                        ),
+                    ]
+                )
             if kind == "tables":
                 fields = [
                     pa.field("catalog_name", pa.string()),
@@ -174,6 +183,80 @@ if _HAVE_FLIGHT:
                     )
                 return pa.schema(fields)
             raise flight.FlightServerError(f"unknown metadata command {kind!r}")
+
+        @staticmethod
+        def _sql_info_value_type() -> "pa.DataType":
+            """The dense-union value type CommandGetSqlInfo results
+            carry per the FlightSQL spec (FlightSql.proto comments on
+            CommandGetSqlInfo; type codes 0-5 in declaration order)."""
+            return pa.dense_union(
+                [
+                    pa.field("string_value", pa.string()),
+                    pa.field("bool_value", pa.bool_()),
+                    pa.field("bigint_value", pa.int64()),
+                    pa.field("int32_bitmask", pa.int32()),
+                    pa.field("string_list", pa.list_(pa.string())),
+                    pa.field(
+                        "int32_to_int32_list_map",
+                        pa.map_(pa.int32(), pa.list_(pa.int32())),
+                    ),
+                ],
+                type_codes=[0, 1, 2, 3, 4, 5],
+            )
+
+        def _sql_info_table(self, requested: list[int]) -> "pa.Table":
+            """Server-identity SqlInfo rows. The spec: an empty request
+            means "everything you know"; a specific list returns only
+            the known subset (unknown ids are simply absent, not an
+            error). The reference serves FlightSqlService's default
+            (empty) result here (main.rs:310) — answering the five
+            identity ids is a superset of that parity bar."""
+            import pyspark
+
+            known: list[tuple[int, int, object]] = [
+                # (info_id, union_type_code, value)
+                (flightsql.SQL_INFO_FLIGHT_SQL_SERVER_NAME, 0,
+                 "datafusion-dist-spark"),
+                (flightsql.SQL_INFO_FLIGHT_SQL_SERVER_VERSION, 0,
+                 pyspark.__version__),
+                (flightsql.SQL_INFO_FLIGHT_SQL_SERVER_ARROW_VERSION, 0,
+                 pa.__version__),
+                # Not read-only: the SQL surface accepts DDL/DML
+                # (CTAS/INSERT run through engine.submit like any query).
+                (flightsql.SQL_INFO_FLIGHT_SQL_SERVER_READ_ONLY, 1, False),
+                (flightsql.SQL_INFO_FLIGHT_SQL_SERVER_SQL, 1, True),
+            ]
+            want = set(requested)
+            rows = [r for r in known if not want or r[0] in want]
+            strings = [v for _, code, v in rows if code == 0]
+            bools = [v for _, code, v in rows if code == 1]
+            # Dense union: per-row type code + offset into that child.
+            type_ids, offsets = [], []
+            seen = {0: 0, 1: 0}
+            for _, code, _ in rows:
+                type_ids.append(code)
+                offsets.append(seen[code])
+                seen[code] += 1
+            value_type = self._sql_info_value_type()
+            children = [
+                pa.array(strings, pa.string()),
+                pa.array(bools, pa.bool_()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.int32()),
+                pa.array([], pa.list_(pa.string())),
+                pa.array([], pa.map_(pa.int32(), pa.list_(pa.int32()))),
+            ]
+            value = pa.UnionArray.from_dense(
+                pa.array(type_ids, pa.int8()),
+                pa.array(offsets, pa.int32()),
+                children,
+                field_names=[f.name for f in value_type],
+                type_codes=[0, 1, 2, 3, 4, 5],
+            )
+            return pa.Table.from_arrays(
+                [pa.array([r[0] for r in rows], pa.uint32()), value],
+                schema=self._metadata_schema("sql_info", {}),
+            )
 
         def _metadata_table(self, kind: str, params: dict) -> "pa.Table":
             """Catalog-metadata result tables with the column layouts
@@ -217,6 +300,8 @@ if _HAVE_FLIGHT:
                 )
             if kind == "table_types":
                 return pa.table({"table_type": ["TABLE", "VIEW"]}, schema=schema)
+            if kind == "sql_info":
+                return self._sql_info_table(list(params.get("info") or ()))
             if kind == "tables":
                 name_pat = params.get("table_name_filter_pattern")
                 schema_pat = params.get("db_schema_filter_pattern")

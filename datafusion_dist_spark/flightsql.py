@@ -237,6 +237,19 @@ CMD_GET_CATALOGS = _TYPE_PREFIX + "CommandGetCatalogs"
 CMD_GET_DB_SCHEMAS = _TYPE_PREFIX + "CommandGetDbSchemas"
 CMD_GET_TABLES = _TYPE_PREFIX + "CommandGetTables"
 CMD_GET_TABLE_TYPES = _TYPE_PREFIX + "CommandGetTableTypes"
+CMD_GET_SQL_INFO = _TYPE_PREFIX + "CommandGetSqlInfo"
+
+# The FlightSQL SqlInfo ids this server knows how to answer (public
+# FlightSql.proto enum SqlInfo). A stock ADBC/JDBC client probes
+# GetSqlInfo at connect time BEFORE GetTables; the reference app
+# inherits FlightSqlService's default and no-ops registration
+# (integration-tests/app/src/main.rs:310), so a valid — even empty —
+# response is the parity bar. We answer the basic server-identity ids.
+SQL_INFO_FLIGHT_SQL_SERVER_NAME = 0
+SQL_INFO_FLIGHT_SQL_SERVER_VERSION = 1
+SQL_INFO_FLIGHT_SQL_SERVER_ARROW_VERSION = 2
+SQL_INFO_FLIGHT_SQL_SERVER_READ_ONLY = 3
+SQL_INFO_FLIGHT_SQL_SERVER_SQL = 4
 
 
 def _varint_field(field_no: int, value: int) -> bytes:
@@ -306,10 +319,29 @@ def encode_get_table_types() -> bytes:
     return encode_any(CMD_GET_TABLE_TYPES, b"")
 
 
+def encode_get_sql_info(*infos: int) -> bytes:
+    """Any<CommandGetSqlInfo> = {1: repeated uint32 info}. proto3
+    packs repeated scalars by default (one length-delimited field of
+    concatenated varints), which is what stock clients emit."""
+    if not infos:
+        return encode_any(CMD_GET_SQL_INFO, b"")
+    packed = b"".join(_varint(i) for i in infos)
+    return encode_any(CMD_GET_SQL_INFO, _ld_field(1, packed))
+
+
+def _decode_packed_varints(buf: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
 def parse_metadata_command(command: bytes) -> tuple[str, dict] | None:
     """(kind, params) when ``command`` is a FlightSQL catalog-metadata
     Any; None otherwise. kind ∈ {catalogs, db_schemas, tables,
-    table_types}; params carry the decoded filters."""
+    table_types, sql_info}; params carry the decoded filters."""
     try:
         type_url, value = decode_any(command)
     except (ValueError, UnicodeDecodeError, IndexError):
@@ -318,6 +350,21 @@ def parse_metadata_command(command: bytes) -> tuple[str, dict] | None:
         return "catalogs", {}
     if type_url == CMD_GET_TABLE_TYPES:
         return "table_types", {}
+    if type_url == CMD_GET_SQL_INFO:
+        # Accept both encodings of `repeated uint32 info`: proto3
+        # packed (one bytes field of concatenated varints) and the
+        # unpacked form (repeated varint fields) older encoders emit.
+        try:
+            fields = _parse_fields_mixed(value)
+            infos: list[int] = []
+            for item in fields.get(1, []):
+                if isinstance(item, bytes):
+                    infos.extend(_decode_packed_varints(item))
+                else:
+                    infos.append(item)
+        except ValueError:
+            return None
+        return "sql_info", {"info": infos}
     try:
         fields = _parse_fields_mixed(value)
 

@@ -802,3 +802,75 @@ def test_flightsql_metadata_command_wire_parse_rejects_garbage():
         "table_types": ["TABLE", "VIEW"],
         "include_schema": True,
     }
+
+
+def test_flightsql_get_sql_info_and_stock_connect_sequence(server, engine):
+    """A strict client probes CommandGetSqlInfo BEFORE GetTables; the
+    reference inherits FlightSqlService's default (a valid empty
+    result, main.rs:310). This server answers the five identity ids
+    with the spec's uint32 + dense-union layout, and the full stock
+    connect sequence — GetSqlInfo → GetCatalogs → GetDbSchemas →
+    GetTables → prepared statement → execute — runs end to end."""
+    from datafusion_dist_spark import flightsql
+
+    client = flight.connect(server.location)
+    try:
+        def fetch(cmd):
+            info = client.get_flight_info(
+                flight.FlightDescriptor.for_command(cmd)
+            )
+            return client.do_get(info.endpoints[0].ticket).read_all()
+
+        # Empty request = everything the server knows.
+        t = fetch(flightsql.encode_get_sql_info())
+        assert t.schema.field("info_name").type == pa.uint32()
+        assert pa.types.is_union(t.schema.field("value").type)
+        got = dict(
+            zip(t.column("info_name").to_pylist(), t.column("value").to_pylist())
+        )
+        assert got[flightsql.SQL_INFO_FLIGHT_SQL_SERVER_NAME] == (
+            "datafusion-dist-spark"
+        )
+        assert got[flightsql.SQL_INFO_FLIGHT_SQL_SERVER_READ_ONLY] is False
+        assert got[flightsql.SQL_INFO_FLIGHT_SQL_SERVER_SQL] is True
+
+        # Specific (packed-encoded) subset: only the requested ids,
+        # unknown ids silently absent per spec.
+        t2 = fetch(
+            flightsql.encode_get_sql_info(
+                flightsql.SQL_INFO_FLIGHT_SQL_SERVER_NAME, 999
+            )
+        )
+        assert t2.column("info_name").to_pylist() == [
+            flightsql.SQL_INFO_FLIGHT_SQL_SERVER_NAME
+        ]
+
+        # The rest of the stock connect sequence.
+        cats = fetch(flightsql.encode_get_catalogs())
+        assert cats.num_rows >= 1
+        schemas = fetch(flightsql.encode_get_db_schemas())
+        assert "default" in schemas.column("db_schema_name").to_pylist()
+        tables = fetch(flightsql.encode_get_tables())
+        assert "nation" in tables.column("table_name").to_pylist()
+
+        res = client.do_action(
+            flight.Action(
+                "CreatePreparedStatement",
+                flightsql.encode_create_prepared_request(
+                    "SELECT count(*) AS n FROM nation"
+                ),
+            )
+        )
+        handle = flightsql.parse_create_prepared_result(
+            next(iter(res)).body.to_pybytes()
+        )[0]
+        out = fetch(flightsql.encode_prepared_query(handle))
+        assert out.column("n").to_pylist() == [25]
+        client.do_action(
+            flight.Action(
+                "ClosePreparedStatement",
+                flightsql.encode_close_prepared_request(handle),
+            )
+        )
+    finally:
+        client.close()
