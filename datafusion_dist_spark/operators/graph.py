@@ -79,7 +79,23 @@ def bipartite_edges(
     return fwd.unionByName(rev)
 
 
-def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Truncate plan lineage at an iteration boundary: reliable
+    checkpoint when the session has a checkpoint dir configured (the
+    cluster deployment — survives executor loss), localCheckpoint
+    otherwise (local mode; the duplicate_clusters pattern). Lazy where
+    possible: the plan is replaced by a LogicalRDD immediately, so
+    codegen/analysis cost stops growing with iteration count, and the
+    actual materialization rides the next job."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=False)
+    return df.localCheckpoint(eager=False)
+
+
+def pagerank(
+    edges: DataFrame, iterations: int = 3, checkpoint_every: int = 6
+) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
     Per iteration: each node splits its score evenly across its
@@ -104,6 +120,17 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
     calls still share one entry; an interleaved second graph merely
     recomputes, never miscomputes). 100 TB of lineitem distills to
     |C|+|S| nodes ≪ input.
+
+    Iteration count is NOT bounded by plan growth: lineage is cut
+    every ``checkpoint_every`` rounds (:func:`_cut_lineage` — reliable
+    checkpoint on a cluster, localCheckpoint locally), so a 20- or
+    50-round run keeps constant-size plans instead of accumulating one
+    join+agg subtree per round into a single ever-deeper lazy plan.
+    At the default 3 iterations no cut ever fires and the single-plan
+    chaining (ReuseExchange-friendly) is unchanged. Checkpointing is a
+    pure lineage operation on bit-exact integer scores, so results are
+    identical with or without cuts (pinned by test against the 8-round
+    SQL oracle).
     """
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     global _CACHED_SRC_DEG
@@ -121,7 +148,7 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
             F.lit(SCALE).cast("bigint").alias("score"),
         )
     )
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             src_deg.join(scores, F.col("src") == F.col("node"))
             .select(
@@ -135,6 +162,12 @@ def pagerank(edges: DataFrame, iterations: int = 3) -> DataFrame:
                 + F.expr(f"({DAMPING_NUM} * sum(contrib)) div {DAMPING_DEN}")
             ).alias("score")
         ).select(F.col("dst").alias("node"), "score")
+        if (
+            checkpoint_every
+            and (i + 1) % checkpoint_every == 0
+            and (i + 1) < iterations
+        ):
+            scores = _cut_lineage(scores)
     return scores
 
 

@@ -463,6 +463,15 @@ def kmeans_train(
     two-phase aggregate with K×dim final groups; only the K×dim
     codebook crosses the driver between rounds. This is the offline
     IVF codebook trainer that ``ivf_topk``'s docstring promises.
+
+    Unlike :func:`~datafusion_dist_spark.operators.graph.pagerank`
+    (which chains rounds into one lazy plan and therefore cuts lineage
+    every N rounds), plan depth here is CONSTANT in the round count by
+    construction: each round's collect_codebook() forces execution and
+    the next round rebuilds a fresh plan from the embeddings scan plus
+    literal centroids — a 50-round run compiles the same plan shape as
+    round 1 (codegen size grows with K, never with rounds). No
+    checkpointing needed.
     """
     out = kmeans_refine_step(
         embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col

@@ -674,3 +674,48 @@ def test_embedding_health_report_degenerate_rows_match_oracle(spark, tmp_path):
     assert row["n_zero_norm"] == 1
     # Only the 3 finite-norm rows feed the norm stats.
     assert row["min_norm_u"] == 0
+
+
+def test_pagerank_eight_rounds_checkpointed_matches_oracle(spark, duck):
+    """Iteration count must not be bounded by plan growth: 8 rounds
+    with lineage cut every 3 produce bit-identical scores to the
+    8-iteration SQL oracle, and the final plan really is truncated
+    (a LogicalRDD scan replaces the pre-cut subtree)."""
+    from datafusion_dist_spark.operators.graph import (
+        bipartite_edges,
+        pagerank,
+        pagerank_iter_oracle,
+    )
+    from tests.oracle_compare import assert_frames_match
+
+    edges = bipartite_edges(
+        load_table(spark, SF_DIR, "orders"),
+        load_table(spark, SF_DIR, "lineitem"),
+    )
+    scores = pagerank(edges, iterations=8, checkpoint_every=3)
+    plan = scores._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    iters = ",".join(
+        pagerank_iter_oracle(f"s{i}", f"s{i + 1}") for i in range(8)
+    )
+    oracle = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT 'c:' || CAST(ck AS VARCHAR) AS src,
+                   's:' || CAST(sk AS VARCHAR) AS dst FROM pairs
+            UNION ALL
+            SELECT 's:' || CAST(sk AS VARCHAR) AS src,
+                   'c:' || CAST(ck AS VARCHAR) AS dst FROM pairs
+        ),
+        deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        s0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS score
+               FROM deg),
+        {iters}
+        SELECT node, CAST(score AS BIGINT) AS score FROM s8
+    """
+    assert_frames_match(
+        scores.toPandas(), duck.execute(oracle).fetchdf(), "pagerank8"
+    )
