@@ -4,7 +4,17 @@
 Runs each headline query end-to-end (noop sink forces full evaluation,
 no driver materialization cost) and prints ONE JSON line:
   {"metric": ..., "value": total_sec, "unit": "sec",
-   "queries": {name: sec}, "sf": ...}
+   "queries": {name: sec}, "sf": ..., "data_hashes": {table: md5}}
+
+`data_hashes` fingerprints the input parquet files so a cross-round
+comparison can tell corpus regeneration apart from a genuine plan
+regression (the r2→r3 drift analysis was confounded by exactly this).
+
+Regression-gate mode (exit 1 on drift, stdout JSON line unchanged):
+  python bench.py --assert-budget BENCH_rNN.json [--budget-factor 2.0]
+Fails when any query common to both runs exceeds budget-factor x its
+reference time — but only when sf AND the data hashes match; a changed
+corpus is reported as incomparable instead of failing the gate.
 """
 
 from __future__ import annotations
@@ -128,8 +138,89 @@ def warmup(spark, sf_dir: str) -> None:
     ).format("noop").save()
 
 
+def data_hashes(sf_dir: str) -> dict[str, str]:
+    """md5 of every *.parquet in sf_dir — the corpus fingerprint that
+    makes cross-round timing comparisons honest (the testdata is
+    regenerated between rounds; same-name files are not same-bytes)."""
+    import hashlib
+
+    out: dict[str, str] = {}
+    try:
+        names = sorted(os.listdir(sf_dir))
+    except OSError:
+        return out
+    for fname in names:
+        if not fname.endswith(".parquet"):
+            continue
+        h = hashlib.md5()
+        with open(os.path.join(sf_dir, fname), "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        out[fname[: -len(".parquet")]] = h.hexdigest()
+    return out
+
+
+def assert_budget(
+    result: dict, baseline_path: str, factor: float
+) -> list[str]:
+    """Per-query regression gate vs a prior bench JSON. Returns
+    violation strings (empty = pass). Only comparable runs gate:
+    same sf and identical data hashes — a regenerated corpus changes
+    the work itself, so drift there is incomparable, not a failure."""
+    with open(baseline_path) as fh:
+        base = json.load(fh)
+    problems: list[str] = []
+    if float(base.get("sf", -1)) != float(result["sf"]):
+        print(
+            f"budget: incomparable (sf {base.get('sf')} vs {result['sf']}); "
+            "not gating",
+            file=sys.stderr,
+        )
+        return problems
+    bh = base.get("data_hashes")
+    if bh is not None and bh != result["data_hashes"]:
+        changed = sorted(
+            k
+            for k in set(bh) | set(result["data_hashes"])
+            if bh.get(k) != result["data_hashes"].get(k)
+        )
+        print(
+            f"budget: corpus regenerated (tables changed: {changed}); "
+            "timings incomparable, not gating",
+            file=sys.stderr,
+        )
+        return problems
+    if bh is None:
+        print(
+            "budget: baseline has no data_hashes (pre-r4 artifact); "
+            "gating on sf match only",
+            file=sys.stderr,
+        )
+    for name, t in result["queries"].items():
+        ref = base.get("queries", {}).get(name)
+        if ref is None or ref <= 0:
+            continue
+        if t > factor * ref:
+            problems.append(
+                f"{name}: {t:.3f}s > {factor:.1f}x baseline {ref:.3f}s"
+            )
+    return problems
+
+
 def main() -> None:
     from datafusion_dist_spark.catalog import DEFAULT_SF_DIR
+
+    argv = sys.argv[1:]
+    budget_path: str | None = None
+    budget_factor = 2.0
+    while argv:
+        a = argv.pop(0)
+        if a == "--assert-budget":
+            budget_path = argv.pop(0)
+        elif a == "--budget-factor":
+            budget_factor = float(argv.pop(0))
+        else:
+            raise SystemExit(f"unknown argument {a!r}")
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", DEFAULT_SF_DIR)
     import re
@@ -154,19 +245,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-                "runs_per_query": 3,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "runs_per_query": 3,
+        "data_hashes": data_hashes(sf_dir),
+    }
+    print(json.dumps(result))
     spark.stop()
+    if budget_path is not None:
+        problems = assert_budget(result, budget_path, budget_factor)
+        if problems:
+            print(
+                "budget FAILED:\n  " + "\n  ".join(problems), file=sys.stderr
+            )
+            raise SystemExit(1)
+        print("budget OK", file=sys.stderr)
 
 
 if __name__ == "__main__":

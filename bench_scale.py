@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""Scale rehearsal: run the heavy dedup/ANN/graph tier at sf0.1 AND at
+a deterministically manufactured factor-x corpus (default 10x ~ sf1),
+and assert per-query wall-time growth stays within budget.
+
+This is the empirical check behind the "scales" claims: every
+candidate generator in this tier is bucketed (LSH bands, capped
+posting lists, IVF probe lists, degree-ordered wedges, cross-set
+banded joins), so wall time should grow ~linearly in data — NOT with
+the quadratic pair space. A scale-dependent constant that silently
+no-ops at larger SF (the r3 n-gram cap bug) or an accidental
+all-pairs join shows up here as a blown ratio, in-round instead of
+one round late.
+
+Usage:
+  python bench_scale.py                       # generate + run + assert
+  python bench_scale.py --factor 10 --runs 2 --out BENCH_SCALE_r04.json
+  python bench_scale.py --no-assert           # measure only
+
+Env: $SPARK_GRAFT_SF_DIR     base corpus   (default /root/testdata/sf0.1)
+     $SPARK_GRAFT_SCALE_DIR  scaled corpus (default /tmp/ddspark-scale/f<factor>)
+
+Prints ONE JSON line:
+  {"metric": "scale_rehearsal", "factor": F, "queries":
+     {name: {"base_sec": s, "scaled_sec": s, "ratio": r,
+             "budget": b, "ok": true}}, ...}
+Exit 1 when any ratio exceeds its budget (unless --no-assert).
+
+Budgets are ratios over the measured base time: default 12x for a 10x
+corpus (linear + scheduling/codegen overhead on a fixed-size local
+executor), with per-query overrides where the algorithm's honest cost
+model is super-linear for a documented reason. Entries EXCLUDED from
+the rehearsal (and why) are listed in EXCLUDED — printed, not hidden,
+so a reader can see what was not measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_dist_spark import registry
+from datafusion_dist_spark.scale import scale_corpus
+from datafusion_dist_spark.session import build_session
+
+# name -> (growth_power, coeff): budget ratio = coeff * factor**power.
+# None = the default (power 1 = linear in data, coeff 1.2 headroom).
+# Budgets are generous vs the linear ideal because the host shows
+# 2-6x co-tenant load spikes; the failure mode being hunted is
+# quadratic blowup (factor^2-ish where linear was claimed), which no
+# spike masks.
+SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
+    # exact / fuzzy-exact dedup: hash-groupBy, one exchange
+    "dedup_exact": None,
+    "dedup_exact_normalized": None,
+    "dedup_paragraph_blocks": None,
+    # sketch dedup: banded LSH / simhash blocks / capped posting lists
+    "dedup_minhash_lsh": None,
+    "dedup_simhash": None,
+    "dedup_ngram_jaccard_capped": None,
+    "dedup_containment": None,
+    "dedup_incremental": None,
+    "dedup_substring_spans": None,
+    # embedding-space dedup
+    "dedup_embedding_cosine": None,
+    # SemDeDup: pair work = sum over clusters of cluster^2; cluster count
+    # is fixed (K=8 coarse centroids) while cluster SIZE grows ~linearly,
+    # so the honest cost model is ~quadratic-in-factor inside clusters.
+    # The documented mitigation at real scale is growing K with the
+    # corpus; the rehearsal pins the CURRENT knob's behavior instead of
+    # silently skipping the entry.
+    "dedup_semantic": (2.0, 1.5),
+    "dedup_clusters": None,
+    "dedup_keep_best": None,
+    # ANN family: probe discipline keeps scored candidates ~linear
+    "ann_topk_bruteforce": None,
+    "ann_ivf_topk": None,
+    "ann_ivf_pq_topk": None,
+    "embedding_pq_encode": None,
+    "ann_ivf_knn_join": None,
+    "ann_kmeans_refine": None,
+    # graph
+    "graph_pagerank": None,
+    "graph_triangle_count": None,
+    # pipelines / text
+    "pipeline_clean_corpus": None,
+    "pipeline_multisignal_dedup": None,
+    "decontaminate_bloom_verify": None,
+    "text_tfidf_topk": None,
+    "sample_temperature": None,
+}
+
+EXCLUDED: dict[str, str] = {
+    "dedup_ngram_jaccard": "exact inverted-index variant, uncapped by "
+    "definition (the oracle-grade twin); dedup_ngram_jaccard_capped is "
+    "the at-scale path and IS measured",
+    "dedup_lsh_quality": "quality gate that runs the exact "
+    "inverted-index truth side on purpose; not a production per-batch "
+    "op",
+    "ann_kmeans_converged": "wall time = Lloyd round count, which may "
+    "legitimately differ between corpora; ann_kmeans_refine (one "
+    "round) is the per-round scaling proxy and IS measured",
+}
+
+DEFAULT_BUDGET_PER_FACTOR = 1.2  # 12x at factor 10
+
+
+def run_query(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+    factor = 10
+    runs = 2
+    out_path: str | None = None
+    do_assert = True
+    only: list[str] | None = None
+    while argv:
+        a = argv.pop(0)
+        if a == "--factor":
+            factor = int(argv.pop(0))
+        elif a == "--runs":
+            runs = int(argv.pop(0))
+        elif a == "--out":
+            out_path = argv.pop(0)
+        elif a == "--no-assert":
+            do_assert = False
+        elif a == "--queries":
+            only = argv.pop(0).split(",")
+        else:
+            raise SystemExit(f"unknown argument {a!r}")
+
+    base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/ddspark-scale/f{factor}"
+    )
+    print(f"scaling corpus {base_dir} -> {scale_dir} (x{factor})", file=sys.stderr)
+    t0 = time.perf_counter()
+    manifest = scale_corpus(base_dir, scale_dir, factor)
+    print(f"corpus ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    import bench  # warmup + data_hashes
+
+    spark = build_session("ddspark-bench-scale")
+    bench.warmup(spark, base_dir)
+    specs = registry.all_specs()
+    names = [n for n in SCALE_QUERIES if only is None or n in only]
+    for name, why in EXCLUDED.items():
+        print(f"excluded {name}: {why}", file=sys.stderr)
+
+    results: dict[str, dict] = {}
+    violations: list[str] = []
+    for name in names:
+        fn = specs[name].spark_fn
+        power, coeff = SCALE_QUERIES[name] or (1.0, DEFAULT_BUDGET_PER_FACTOR)
+        budget = coeff * factor**power
+        tb = ts = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            run_query(fn(spark, base_dir))
+            tb = min(tb, time.perf_counter() - t0)
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            run_query(fn(spark, scale_dir))
+            ts = min(ts, time.perf_counter() - t0)
+        ratio = round(ts / tb, 2) if tb > 0 else float("inf")
+        ok = ratio <= budget
+        results[name] = {
+            "base_sec": round(tb, 3),
+            "scaled_sec": round(ts, 3),
+            "ratio": ratio,
+            "budget": round(budget, 1),
+            "ok": ok,
+        }
+        flag = "" if ok else "  <-- OVER BUDGET"
+        print(
+            f"{name}: {tb:.2f}s -> {ts:.2f}s  x{ratio}{flag}",
+            file=sys.stderr,
+        )
+        if not ok:
+            violations.append(
+                f"{name}: x{ratio} > budget x{budget:.1f} "
+                f"({tb:.2f}s -> {ts:.2f}s)"
+            )
+    spark.stop()
+    out = {
+        "metric": "scale_rehearsal",
+        "factor": factor,
+        "runs_per_query": runs,
+        "base_dir": base_dir,
+        "queries": results,
+        "excluded": EXCLUDED,
+        "violations": violations,
+        "base_data_hashes": manifest["source"],
+    }
+    line = json.dumps(out)
+    print(line)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(line + "\n")
+    if violations and do_assert:
+        print("scale budget FAILED:\n  " + "\n  ".join(violations), file=sys.stderr)
+        raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()

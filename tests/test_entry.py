@@ -23,3 +23,49 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert rows is not None
     assert len(df.schema.fields) > 0
+
+
+def test_bench_budget_gate_logic(tmp_path, capsys):
+    """bench.py --assert-budget: gates only comparable runs (same sf,
+    same data hashes), flags >factor-x per-query drift, and treats a
+    regenerated corpus as incomparable rather than a failure."""
+    import json
+
+    import bench
+
+    base = {
+        "sf": 0.1,
+        "queries": {"q_fast": 1.0, "q_slow": 2.0, "q_gone": 1.0},
+        "data_hashes": {"lineitem": "aaa", "orders": "bbb"},
+    }
+    bp = tmp_path / "base.json"
+    bp.write_text(json.dumps(base))
+    cur = {
+        "sf": 0.1,
+        "queries": {"q_fast": 1.1, "q_slow": 5.0, "q_new": 9.9},
+        "data_hashes": {"lineitem": "aaa", "orders": "bbb"},
+    }
+    problems = bench.assert_budget(cur, str(bp), 2.0)
+    assert len(problems) == 1 and problems[0].startswith("q_slow:")
+    # Regenerated corpus → incomparable, no violations.
+    cur2 = dict(cur, data_hashes={"lineitem": "zzz", "orders": "bbb"})
+    assert bench.assert_budget(cur2, str(bp), 2.0) == []
+    assert "lineitem" in capsys.readouterr().err
+    # Different sf → incomparable.
+    cur3 = dict(cur, sf=0.01)
+    assert bench.assert_budget(cur3, str(bp), 2.0) == []
+    # Pre-r4 baseline without hashes still gates on sf.
+    bp2 = tmp_path / "base2.json"
+    bp2.write_text(json.dumps({"sf": 0.1, "queries": {"q_slow": 2.0}}))
+    assert len(bench.assert_budget(cur, str(bp2), 2.0)) == 1
+
+
+def test_bench_data_hashes_fingerprint(tmp_path):
+    import bench
+
+    (tmp_path / "a.parquet").write_bytes(b"xyz")
+    (tmp_path / "b.txt").write_bytes(b"ignored")
+    h = bench.data_hashes(str(tmp_path))
+    assert set(h) == {"a"}
+    (tmp_path / "a.parquet").write_bytes(b"xyz2")
+    assert bench.data_hashes(str(tmp_path))["a"] != h["a"]
