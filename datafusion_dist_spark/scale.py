@@ -15,14 +15,15 @@ Scaling model — replica blocks, not row duplication:
   ``factor`` disconnected copies of the original. Joins, aggregations
   and graph algorithms see exactly factor-x rows with the original
   key-distribution shape (skew included) per block.
-* ``documents.text`` gets every whitespace token suffixed with ``~k``
-  in replica ``k`` — within-replica duplicate/near-dup structure is
-  preserved exactly (the same transformation applies to both members
-  of a pair) while cross-replica shingle/char-n-gram similarity drops
-  to zero. Duplicate RATE therefore stays constant as the corpus
-  grows, which is the honest target shape: naive replication would
-  instead make every doc a 10-way near-dup of itself and quadratically
-  inflate the true pair count, drowning the measurement.
+* ``documents.text`` is transformed per replica with a BIJECTIVE
+  character rotation (see :func:`_rotate_text`) — within-replica
+  duplicate/near-dup structure, token-shingle dfs, char-n-gram dfs,
+  and all length statistics are preserved EXACTLY (the same bijection
+  applies to every doc), while cross-replica n-grams share nothing.
+  Duplicate RATE therefore stays constant as the corpus grows, which
+  is the honest target shape: naive replication would instead make
+  every doc a 10-way near-dup of itself and quadratically inflate the
+  true pair count, drowning the measurement.
 * ``embeddings.embedding`` is rotated by ``k`` positions (numpy roll):
   norm-preserving and within-replica cosine structure identical, so
   ANN/semantic-dedup behavior replicates per block while cross-replica
@@ -98,16 +99,47 @@ def _file_hashes(src_dir: str) -> dict[str, str]:
     return out
 
 
-def _suffix_tokens(texts, k: int):
-    """Replica-k token transform: 'a b' -> 'a~k b~k'. Applied
-    identically to every doc in the replica, so within-replica
-    similarity is untouched while cross-replica shingles share
-    nothing."""
-    tag = f"~{k}"
-    return [
-        None if t is None else " ".join(tok + tag for tok in t.split(" "))
-        for t in texts
-    ]
+def _char_rotation(k: int) -> dict[int, int]:
+    """str.translate table for replica k: rotate a-z / A-Z by k mod 26
+    and 0-9 by k mod 10; everything else (spaces, punctuation)
+    unchanged. Case-compatible with the dedup tokenizer's lower():
+    lower(rot(c)) == rot(lower(c))."""
+    table: dict[int, int] = {}
+    for base, span in ((ord("a"), 26), (ord("A"), 26), (ord("0"), 10)):
+        for i in range(span):
+            table[base + i] = base + (i + k) % span
+    return table
+
+
+def _rotate_text(texts, k: int):
+    """Replica-k text transform: a per-replica BIJECTIVE character
+    substitution (Caesar-style rotation of letters and digits).
+
+    Why a bijection and not a token suffix: the transform must
+    preserve every distributional property the dedup tier's cost
+    depends on — token-shingle document frequencies, CHAR-n-gram
+    document frequencies, text lengths — while decorrelating
+    replicas. Two earlier drafts failed measurably (caught by the
+    rehearsal itself): a ``tok~k`` suffix was split by the
+    tokenizer's ``[^a-z0-9]`` normalization into standalone digit
+    tokens (collapsing k-shingles into unigram anchors, x104 wall),
+    and an alnum ``tokxkx`` suffix preserved token shingles but
+    injected 4 shared boilerplate chars into every 24-char window,
+    inflating char-span dfs 17x per replica (x87 wall on
+    substring-span dedup). A character bijection is distortion-free
+    by construction: within a replica every pairwise relation between
+    docs is EXACTLY the source relation (the same bijection applies
+    to both sides), and cross-replica n-grams collide only on
+    letterless/digitless spans. Lengths are untouched, so n_chars
+    and every length-based quality score replicate exactly.
+
+    Period: letters cycle at 26, digits at 10 -> replicas collide
+    only at k ≡ 0 (mod lcm(26,10)=130); factors above 130 would need
+    a second rotation key."""
+    if k == 0:
+        return texts
+    table = _char_rotation(k)
+    return [None if t is None else t.translate(table) for t in texts]
 
 
 def _scaled_replica(table: str, tbl, k: int, strides: dict[str, int]):
@@ -115,27 +147,21 @@ def _scaled_replica(table: str, tbl, k: int, strides: dict[str, int]):
     import numpy as np
     import pyarrow as pa
 
-    if k == 0 and table not in ("documents",):
+    if k == 0:
         return tbl
     cols = {name: tbl.column(name) for name in tbl.schema.names}
     for col, stride_of in _KEYS.get(table, {}).items():
-        if k:
-            arr = cols[col].to_numpy(zero_copy_only=False)
-            cols[col] = pa.array(
-                arr + k * strides[stride_of], type=tbl.schema.field(col).type
-            )
-    if table == "documents":
-        texts = cols["text"].to_pylist()
-        if k:
-            texts = _suffix_tokens(texts, k)
-            cols["text"] = pa.array(texts, pa.string())
-        # n_chars tracks the transformed text (queries treat it as a
-        # derived length column; a stale value would skew any
-        # length-based quality heuristic at scale).
-        cols["n_chars"] = pa.array(
-            [None if t is None else len(t) for t in texts], pa.int64()
+        arr = cols[col].to_numpy(zero_copy_only=False)
+        cols[col] = pa.array(
+            arr + k * strides[stride_of], type=tbl.schema.field(col).type
         )
-    if table == "embeddings" and k:
+    if table == "documents":
+        # Character-rotated text; n_chars needs no touch — the
+        # bijection is length-preserving by construction.
+        cols["text"] = pa.array(
+            _rotate_text(cols["text"].to_pylist(), k), pa.string()
+        )
+    if table == "embeddings":
         mat = np.array(cols["embedding"].to_pylist(), dtype=np.float32)
         rolled = np.roll(mat, k, axis=1)
         cols["embedding"] = pa.array(
@@ -155,6 +181,11 @@ def scale_corpus(
     manifest."""
     import pyarrow.parquet as pq
 
+    if factor > 130:
+        raise ValueError(
+            "factor > 130 exceeds the character-rotation period "
+            "(lcm(26, 10)); replicas would repeat text verbatim"
+        )
     tables = list(tables or TABLES)
     manifest = {
         "factor": factor,

@@ -1,0 +1,142 @@
+"""The scale-rehearsal corpus generator must preserve the statistical
+structure whose growth it exists to measure — a distorted corpus makes
+honest linear operators measure quadratic. TWO drafts failed exactly
+this way (both caught by the rehearsal's own blown budgets): a `~k`
+token suffix was split by the dedup tokenizer's [^a-z0-9]
+normalization into standalone digit tokens (collapsing k-shingles
+into degenerate unigram anchors), and an alnum `tokxkx` suffix
+injected shared boilerplate characters into every char-24-gram window
+(inflating span dfs 17x). The shipped transform is a bijective
+character rotation, distortion-free by construction; these tests pin
+the df distributions at BOTH granularities so a future "improvement"
+cannot silently re-break either."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from datafusion_dist_spark.scale import scale_corpus
+
+SRC = "/root/testdata/sf0.001"
+
+_SHINGLE_DF = """
+WITH corpus AS (
+    SELECT doc_id,
+           trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS t
+    FROM read_parquet('{path}')
+),
+toks AS (SELECT doc_id, string_split(t, ' ') AS w FROM corpus),
+sh AS (
+    SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS s
+    FROM toks, UNNEST(range(1, greatest(len(w) - 1, 1))) AS r(i)
+    WHERE i + 2 <= len(w)
+)
+SELECT max(df) AS max_df, median(df) AS med_df, count(*) AS vocab
+FROM (SELECT s, count(*) AS df FROM sh GROUP BY s)
+"""
+
+
+@pytest.fixture(scope="module")
+def scaled(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("scale") / "f3")
+    scale_corpus(SRC, dst, 3)
+    return dst
+
+
+def test_row_counts_and_replica0_identity(scaled):
+    con = duckdb.connect()
+    for t in ["documents", "lineitem", "orders", "embeddings", "events"]:
+        n0 = con.execute(
+            f"SELECT count(*) FROM read_parquet('{SRC}/{t}.parquet')"
+        ).fetchone()[0]
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{scaled}/{t}.parquet')"
+        ).fetchone()[0]
+        assert n == 3 * n0, (t, n, n0)
+    # Replica 0 is byte-identical source content (same ids, same text).
+    diff = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{SRC}/documents.parquet') a
+        JOIN read_parquet('{scaled}/documents.parquet') b USING (doc_id)
+        WHERE a.text <> b.text
+        """
+    ).fetchone()[0]
+    assert diff == 0
+
+
+def test_shingle_df_distribution_preserved(scaled):
+    """The load-bearing property: per-shingle document frequency after
+    the dedup tokenizer's normalization must be IDENTICAL to the
+    source distribution (max and median), with vocabulary scaled by
+    the factor — i.e. replicas decorrelate without inflating any
+    posting list."""
+    con = duckdb.connect()
+    base = con.execute(
+        _SHINGLE_DF.format(path=f"{SRC}/documents.parquet")
+    ).fetchone()
+    scl = con.execute(
+        _SHINGLE_DF.format(path=f"{scaled}/documents.parquet")
+    ).fetchone()
+    assert scl[0] == base[0], f"max df changed: {base} -> {scl}"
+    assert scl[1] == base[1], f"median df changed: {base} -> {scl}"
+    assert scl[2] == 3 * base[2], f"vocab not 3x: {base} -> {scl}"
+
+
+_CHAR_SPAN_DF = """
+WITH c AS (SELECT doc_id, text FROM read_parquet('{path}') {where}),
+g AS (SELECT DISTINCT doc_id, substring(text, i, 24) AS s
+      FROM c, UNNEST(range(1, greatest(length(text) - 22, 1))) AS r(i)),
+d AS (SELECT s, count(*) AS df FROM g GROUP BY s)
+SELECT max(df) AS max_df, sum(df * df) AS sum_df2 FROM d
+"""
+
+
+def test_char_span_df_distribution_preserved(scaled):
+    """Char-24-gram posting-list structure per replica must equal the
+    source exactly (max df and the sum of df^2 — the quantity pair
+    enumeration work is proportional to). The token-suffix drafts
+    passed the TOKEN-shingle check but inflated this one 17x."""
+    con = duckdb.connect()
+    base = con.execute(
+        _CHAR_SPAN_DF.format(path=f"{SRC}/documents.parquet", where="")
+    ).fetchone()
+    n0 = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    rep1 = con.execute(
+        _CHAR_SPAN_DF.format(
+            path=f"{scaled}/documents.parquet",
+            where=f"WHERE doc_id >= {n0} AND doc_id < {2 * n0}",
+        )
+    ).fetchone()
+    assert rep1 == base, f"char-span dfs distorted: {base} -> {rep1}"
+    # n_chars must be untouched (the bijection is length-preserving).
+    bad = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{scaled}/documents.parquet')
+            WHERE n_chars <> length(text)"""
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_join_graph_and_embedding_norms(scaled):
+    con = duckdb.connect()
+    j0 = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{SRC}/lineitem.parquet') l
+            JOIN read_parquet('{SRC}/orders.parquet') o
+              ON l.l_orderkey = o.o_orderkey"""
+    ).fetchone()[0]
+    j = con.execute(
+        f"""SELECT count(*) FROM read_parquet('{scaled}/lineitem.parquet') l
+            JOIN read_parquet('{scaled}/orders.parquet') o
+              ON l.l_orderkey = o.o_orderkey"""
+    ).fetchone()[0]
+    assert j == 3 * j0
+    norms = """
+        SELECT round(sum(list_sum(list_transform(
+            CAST(embedding AS DOUBLE[]), x -> x * x))), 3)
+        FROM read_parquet('{p}')
+    """
+    n0 = con.execute(norms.format(p=f"{SRC}/embeddings.parquet")).fetchone()[0]
+    n = con.execute(norms.format(p=f"{scaled}/embeddings.parquet")).fetchone()[0]
+    assert abs(n - 3 * n0) < 1e-6, (n, n0)
