@@ -65,8 +65,13 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     "dedup_containment": None,
     "dedup_incremental": None,
     "dedup_substring_spans": None,
-    # embedding-space dedup
-    "dedup_embedding_cosine": None,
+    # embedding-space dedup: sign-bucket blocking with a FIXED 4-bit
+    # bucket count — pair work is sum over 16 buckets of m^2, so the
+    # honest cost model is quadratic-in-factor until nbits grows with
+    # the corpus (log2(n / target_bucket_size) at real scale, the same
+    # documented knob family as dedup_semantic's K). Measured x33 at
+    # x10 in this rehearsal, exactly n^2/buckets.
+    "dedup_embedding_cosine": (2.0, 1.5),
     # SemDeDup: pair work = sum over clusters of cluster^2; cluster count
     # is fixed (K=8 coarse centroids) while cluster SIZE grows ~linearly,
     # so the honest cost model is ~quadratic-in-factor inside clusters.
@@ -81,7 +86,13 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     "ann_ivf_topk": None,
     "ann_ivf_pq_topk": None,
     "embedding_pq_encode": None,
-    "ann_ivf_knn_join": None,
+    # Batch kNN self-join: the registry entry's query set is a fixed
+    # FRACTION of the corpus (vec_id % 40), so |Q| grows with n and
+    # candidate work is |Q| x n x nprobe / K — quadratic at the
+    # oracle-pinned K=8 (measured x33 at x10). At real scale K tracks
+    # the corpus (constant inverted-list size), making the join linear
+    # in |Q|; see ivf_knn_join's docstring.
+    "ann_ivf_knn_join": (2.0, 1.5),
     "ann_kmeans_refine": None,
     # graph
     "graph_pagerank": None,

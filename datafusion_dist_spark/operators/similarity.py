@@ -500,6 +500,22 @@ def _probe_rank_key(row):
     return (-row.qsim, row.cid)
 
 
+# Bounded memo for codebook probes: the centroid fetch + query scoring
+# is a tiny Spark job, but it reruns for EVERY query plan built against
+# the same static table (bench passes, repeated user queries) — a
+# production IVF index caches its codebook. Keyed on the session + the
+# embeddings plan's semantic hash (no job to compute) + the query, so
+# a changed table or session misses (same-path file mutation does
+# not — the same trade every persisted cache in this repo makes for
+# static warehouse tables). FIFO-bounded; guarded like
+# llm._PAIR_CACHE.
+import threading as _threading
+
+_PROBE_CACHE: dict = {}
+_PROBE_CACHE_MAX = 8
+_PROBE_LOCK = _threading.Lock()
+
+
 def _probe_cids(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -512,6 +528,23 @@ def _probe_cids(
     query-to-centroid scores are Spark-computed (rounded cosine) so
     the ranking's rounding/tiebreak matches the SQL ORDER BY exactly;
     the sort key is the shared :func:`_probe_rank_key`."""
+    try:
+        key = (
+            embeddings.sparkSession.sparkContext.applicationId,
+            embeddings.semanticHash(),
+            tuple(float(v) for v in query_vec),
+            n_centroids,
+            nprobe,
+            id_col,
+            vec_col,
+        )
+    except Exception:  # semanticHash unavailable (exotic plan): no memo
+        key = None
+    if key is not None:
+        with _PROBE_LOCK:
+            hit = _PROBE_CACHE.get(key)
+        if hit is not None:
+            return hit
     q = F.lit([float(v) for v in query_vec])
     cent_rows = (
         embeddings.filter(F.col(id_col) < n_centroids)
@@ -526,6 +559,11 @@ def _probe_cids(
         int(r.cid)
         for r in sorted(cent_rows, key=_probe_rank_key)[:nprobe]
     ]
+    if key is not None:
+        with _PROBE_LOCK:
+            if len(_PROBE_CACHE) >= _PROBE_CACHE_MAX:
+                _PROBE_CACHE.pop(next(iter(_PROBE_CACHE)))
+            _PROBE_CACHE[key] = (cent_rows, probe_cids)
     return cent_rows, probe_cids
 
 
@@ -622,6 +660,15 @@ def embedding_near_dup_pairs(
     At scale the bucket equi-join replaces the quadratic cross join.
     Each row's norm is computed once before the join, so a pair costs
     one dot product, not three.
+
+    ``nbits`` is the corpus-tracking knob, NOT a constant: pair work
+    is sum over 2^nbits buckets of m², so at a FIXED nbits the pass
+    is quadratic in corpus size (the r4 scale rehearsal measured x33
+    at x10 data with nbits=4 — exactly n²/buckets). Size it as
+    ~log2(n / target_bucket_size) so bucket population stays constant
+    as data grows — the same knob family as SemDeDup's cluster count
+    K. The registry entry pins nbits=4 because its oracle encodes the
+    4-bit bucket arithmetic; production callers pass their own.
     """
     dim = _probe_dim(embeddings, vec_col) or 1  # 1: empty-input guard
     b = spread(embeddings).select(
@@ -1120,6 +1167,17 @@ def ivf_knn_join(
     |corpus| × |Q| — then exact cosine + per-query top-k exactly as
     the brute-force join. Recall < 1 by design (vectors whose list
     was not probed are unseen), the standard IVF trade.
+
+    Cost model, measured not assumed (r4 scale rehearsal): candidate
+    work is |Q| × |corpus| × nprobe / n_centroids. With BOTH sides
+    growing and n_centroids fixed that is quadratic (x33 at x10 data
+    with the registry entry's K=8, which its oracle pins). At real
+    scale n_centroids tracks the corpus — constant inverted-list
+    size, K ≈ n / list_size — making the join linear in |Q| and
+    independent of total corpus size per query; batches also bound
+    |Q| by contract. The knob family is the same as SemDeDup's K and
+    sign-bucket nbits: fixed blocking constants turn linear claims
+    quadratic, so they must scale with data.
     """
     spark = corpus.sparkSession
     # ONE driver-side job feeds everything: centroids × queries (both

@@ -363,19 +363,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_containment_pairs(_corpus(spark, sf_dir), threshold=0.6)
 
 
-# Relative document-frequency cap: greatest(8, |corpus| / 50). An
-# ABSOLUTE cap does not survive corpus growth — measured on this very
-# corpus: cap=8 bit gently at sf0.01 but dropped nearly every shingle
-# at sf0.1 (median df grew past it with the corpus), silently turning
-# the capped pass into a no-op that flags nothing. A df cap
-# proportional to corpus size keeps "stop shingle" meaning "shared by
-# an outsized fraction of documents" at every scale factor.
-_NGRAM_CAP_FLOOR = 8
-_NGRAM_CAP_DIVISOR = 50
-_NGRAM_CAP_SQL = (
-    f"greatest({_NGRAM_CAP_FLOOR}, "
-    f"(SELECT count(*) FROM corpus) // {_NGRAM_CAP_DIVISOR})"
-)
+# ABSOLUTE document-frequency cap. This constant's history is the
+# whole scale lesson: an absolute cap of 8 silently no-oped the pass
+# at sf0.1 (median df outgrew it; zero pairs flagged), so r3 made the
+# cap RELATIVE (greatest(8, |corpus|/50)). The r4 scale rehearsal
+# then measured x104 wall growth at x10 data on this entry — the
+# trigger for the analysis that ended here. Root causes were two:
+# the rehearsal corpus generator had a tokenization artifact that
+# inflated shingle dfs (fixed in scale.py), AND the relative cap is
+# analytically unbounded work on real corpora: a given shingle's df
+# grows ~linearly with an open-web corpus, a relative cap re-grows
+# with it, and pair work per kept list is df^2 — so the pass trends
+# quadratic exactly where the cap exists to prevent that. An
+# absolute cap is a true work bound: total pair work <= (cap/2) *
+# total shingle occurrences, linear in data at any scale. 100 equals
+# the r3 relative value at sf0.1, so reference behavior at the bench
+# SF is bit-identical (1375 pairs, hash-checked). The recall trade
+# is documented, not hidden: as a real corpus grows, more hot
+# shingles exceed a fixed cap and drop out — boilerplate-heavy
+# near-dup recall is the MinHash-LSH pass's job (constant work per
+# doc by construction); this capped exact pass is the high-precision
+# complement for rare-shingle overlap.
+_NGRAM_CAP = 100
+_NGRAM_CAP_SQL = str(_NGRAM_CAP)
 
 
 @register(
@@ -407,24 +417,21 @@ _NGRAM_CAP_SQL = (
         WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.5
     """,
     doc="The skew-guarded n-gram Jaccard pass (VERDICT r1 #4): posting "
-    "lists longer than the RELATIVE df cap greatest(8, |corpus|/50) — "
-    "'stop shingles' whose pair enumeration is quadratic in ONE task "
-    "at 100 TB — are dropped before pair generation; scores are an "
-    "exact lower bound (set sizes stay uncapped). The cap scales with "
-    "the corpus (an absolute cap silently no-ops the pass as median "
-    "df grows). The oracle reproduces the cap in SQL, so the "
+    "lists longer than the ABSOLUTE df cap (100) — 'stop shingles' "
+    "whose pair enumeration is quadratic per list — are dropped "
+    "before pair generation; scores are an exact lower bound (set "
+    "sizes stay uncapped). The cap is deliberately absolute: it "
+    "bounds total pair work at (cap/2) x total shingle occurrences, "
+    "LINEAR in corpus size, where the r3 relative cap re-grows with "
+    "the corpus and trends quadratic on real df distributions (see "
+    "the _NGRAM_CAP comment). The oracle reproduces the cap in SQL, so the "
     "approximation itself is hash-checked; skew-bounding is "
     "property-tested with planted stop-shingles "
     "(tests/test_properties.py). (operators/dedup.py:ngram_jaccard_pairs)",
 )
 def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir)
-    # Plan-time scalar (one count of doc ids): the cap must be a
-    # literal so the oracle's scalar subquery and the Spark filter
-    # compute the identical integer.
-    cap = max(_NGRAM_CAP_FLOOR, corpus.count() // _NGRAM_CAP_DIVISOR)
     return dedup.ngram_jaccard_pairs(
-        corpus, threshold=0.5, max_list_len=cap
+        _corpus(spark, sf_dir), threshold=0.5, max_list_len=_NGRAM_CAP
     )
 
 
@@ -1631,9 +1638,15 @@ def ann_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         sizes AS (
             SELECT doc_id, count(*) AS n_sh FROM spans GROUP BY doc_id
         ),
+        kept AS (
+            SELECT s.doc_id, s.span FROM spans s
+            JOIN (SELECT span FROM spans
+                  GROUP BY span HAVING count(*) <= {_NGRAM_CAP_SQL}) l
+              ON s.span = l.span
+        ),
         inter AS (
             SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-            FROM spans a JOIN spans b
+            FROM kept a JOIN kept b
               ON a.span = b.span AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
         )
@@ -1651,12 +1664,19 @@ def ann_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     "suffix-array substring dedup (catches a copied span that is a "
     "small fraction of both docs, invisible to token-set Jaccard). "
     "Char spans are cut as a codegen'd projection; pair counting "
-    "reuses the posting-list core with the same skew cap as the "
-    "n-gram family. (operators/dedup.py:substring_span_pairs)",
+    "reuses the posting-list core with the SAME absolute df cap as "
+    "the n-gram family (100 — boilerplate spans like headers and "
+    "license blocks are the char-level stop shingles; the cap is the "
+    "work bound that keeps pair enumeration linear in corpus size, "
+    "and it is mirrored in the oracle so the approximation is "
+    "hash-checked). (operators/dedup.py:substring_span_pairs)",
 )
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.substring_span_pairs(
-        _corpus(spark, sf_dir), span_chars=24, min_shared=2
+        _corpus(spark, sf_dir),
+        span_chars=24,
+        min_shared=2,
+        max_list_len=_NGRAM_CAP,
     )
 
 

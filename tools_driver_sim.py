@@ -41,6 +41,7 @@ from tests.oracle_compare import assert_frames_match
 
 qs, oracles = E.queries(), E.oracle_sql()
 fail = 0
+results = {}
 t0 = time.time()
 for name, fn in qs.items():
     try:
@@ -49,10 +50,32 @@ for name, fn in qs.items():
             odf = con.execute(oracles[name]).fetchdf()
             assert_frames_match(sdf, odf, name)
             print(f"  OK   {name} ({len(sdf)} rows)")
+            results[name] = {"status": "ok", "rows": len(sdf)}
         else:
             print(f"  ROWS {name} ({len(sdf)} rows)")
+            results[name] = {"status": "rows_only", "rows": len(sdf)}
     except Exception as e:
         fail += 1
         print(f"  FAIL {name}: {str(e)[:300]}")
+        results[name] = {"status": "fail", "err": str(e)[:300]}
 print(f"total {len(qs)} queries, {fail} failures, {time.time()-t0:.1f}s")
+# Optional committable artifact: full-sweep evidence in one JSON
+# (ADVICE r3: the oracle-green claim needs a tracked full-coverage
+# artifact, not just the driver's 50-entry sample).
+if "--json" in sys.argv:
+    import json
+    path = sys.argv[sys.argv.index("--json") + 1]
+    with open(path, "w") as fh:
+        json.dump(
+            {
+                "sf_dir": sf_dir,
+                "total": len(qs),
+                "failures": fail,
+                "wall_s": round(time.time() - t0, 1),
+                "results": results,
+            },
+            fh,
+            indent=1,
+        )
+    print(f"wrote {path}")
 sys.exit(1 if fail else 0)
