@@ -93,6 +93,8 @@ HEADLINE = [
     "graph_triangle_count",
     "dedup_incremental",
     "ann_ivf_knn_join",
+    "ann_ivf_knn_join_adaptive",
+    "dedup_embedding_cosine_adaptive",
     "text_vocab_coverage",
     "pipeline_epoch_upsample",
     "text_rule_filters",

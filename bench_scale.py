@@ -72,6 +72,11 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     # documented knob family as dedup_semantic's K). Measured x33 at
     # x10 in this rehearsal, exactly n^2/buckets.
     "dedup_embedding_cosine": (2.0, 1.5),
+    # ...and the adaptive variant holds the LINEAR budget: nbits grows
+    # with the corpus so bucket population (and per-bucket m^2 work
+    # per unit data) stays constant. The measured fixed/adaptive pair
+    # demonstrates the knob, same as the ivf_knn_join pair.
+    "dedup_embedding_cosine_adaptive": None,
     # SemDeDup: pair work = sum over clusters of cluster^2; cluster count
     # is fixed (K=8 coarse centroids) while cluster SIZE grows ~linearly,
     # so the honest cost model is ~quadratic-in-factor inside clusters.
@@ -93,6 +98,11 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     # the corpus (constant inverted-list size), making the join linear
     # in |Q|; see ivf_knn_join's docstring.
     "ann_ivf_knn_join": (2.0, 1.5),
+    # ...and the adaptive variant holds the LINEAR budget: K = n/250
+    # keeps inverted-list size constant, so per-query candidate work
+    # does not grow with the corpus. This pair is the measured
+    # demonstration that the knob closes the quadratic.
+    "ann_ivf_knn_join_adaptive": None,
     "ann_kmeans_refine": None,
     # graph
     "graph_pagerank": None,

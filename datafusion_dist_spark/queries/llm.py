@@ -474,6 +474,71 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(emb, threshold=0.5, nbits=4)
 
 
+# Corpus-tracking sign-bucket width: nbits grows with the corpus so
+# bucket POPULATION stays ~constant (pair work = sum over 2^nbits
+# buckets of m^2 — fixed nbits measured x33 at x10 data in the r4
+# rehearsal). An integer threshold ladder, not floor(log2(n/125)):
+# bit-identical across Python and SQL with plain comparisons, where
+# libm log2 could disagree in the last ulp exactly at bucket-doubling
+# boundaries.
+_NBITS_LADDER = [(125 << b, b) for b in range(8, 3, -1)]  # >=32000->8 ...
+
+
+def _adaptive_nbits(n: int) -> int:
+    for threshold, b in _NBITS_LADDER:
+        if n >= threshold:
+            return b
+    return 4
+
+
+_NBITS_SQL = (
+    "(SELECT CASE "
+    + " ".join(
+        f"WHEN count(*) >= {t} THEN {b}" for t, b in _NBITS_LADDER
+    )
+    + " ELSE 4 END FROM embeddings)"
+)
+
+
+def _bucket_expr_adaptive(tbl: str) -> str:
+    """8 candidate sign bits, each gated on the scalar-subquery nbits —
+    static SQL whose effective bucket width tracks the corpus."""
+    return " + ".join(
+        f"CASE WHEN {i} < {_NBITS_SQL} AND {tbl}.embedding[{i + 1}] >= 0 "
+        f"THEN {2**i} ELSE 0 END"
+        for i in range(8)
+    )
+
+
+@register(
+    "dedup_embedding_cosine_adaptive",
+    oracle=f"""
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COS} AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ({_bucket_expr_adaptive("a")}) = ({_bucket_expr_adaptive("b")})
+          AND {_COS} >= 0.5
+    """,
+    doc="The at-scale variant of dedup_embedding_cosine: the sign-"
+    "bucket width TRACKS the corpus (nbits from an integer threshold "
+    "ladder ~ log2(n/125), so bucket population stays constant) "
+    "instead of being a fixed 4 bits — the knob the r4 scale "
+    "rehearsal demonstrated (fixed nbits=4 measured x33 wall at x10 "
+    "data; more bits = fewer candidate pairs = lower recall per "
+    "bucket, the standard LSH trade). At the oracle scale factors the "
+    "ladder yields nbits=4, so results hash-match the fixed entry's "
+    "policy replayed in SQL with the identical scalar-subquery nbits. "
+    "(operators/similarity.py:embedding_near_dup_pairs)",
+)
+def dedup_embedding_cosine_adaptive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nbits = _adaptive_nbits(emb.count())
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.5, nbits=nbits
+    )
+
+
 @register(
     "ann_topk_bruteforce",
     oracle="""
@@ -2528,6 +2593,93 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") % 40 == 0)
     return similarity.ivf_knn_join(qs, emb, k=5, n_centroids=8, nprobe=2)
+
+
+# Corpus-tracking centroid count for the adaptive kNN join: constant
+# inverted-list size (~250 vectors/list), the knob the r4 scale
+# rehearsal showed is what keeps batch kNN linear — at the fixed K=8
+# above, |Q| x n / K candidate work measured x45 at x10 data; with
+# K = n/250 the per-query candidate count is constant as the corpus
+# grows. 8-floor keeps tiny corpora sane. The SQL twin computes the
+# identical integer via a scalar subquery.
+_IVF_LIST_SIZE = 250
+_ADAPTIVE_K_SQL = (
+    f"(SELECT greatest(8, count(*) // {_IVF_LIST_SIZE}) FROM embeddings)"
+)
+
+
+@register(
+    "ann_ivf_knn_join_adaptive",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+            WHERE vec_id < {_ADAPTIVE_K_SQL}
+        ),
+        assigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT a.vec_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        q AS (
+            SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+            WHERE vec_id % 40 = 0
+        ),
+        probes AS (
+            SELECT q_id, cid FROM (
+                SELECT q.q_id, c.cid,
+                       row_number() OVER (
+                           PARTITION BY q.q_id
+                           ORDER BY {_cos_sql("c.cvec", "q.qvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM cents c CROSS JOIN q
+            ) WHERE rn <= 2
+        ),
+        s AS (
+            SELECT p.q_id, a.vec_id AS c_id,
+                   {_cos_sql("e.embedding", "q.qvec")} AS score
+            FROM assigned a
+            JOIN probes p ON a.cid = p.cid
+            JOIN q ON q.q_id = p.q_id
+            JOIN embeddings e ON e.vec_id = a.vec_id
+            WHERE a.vec_id <> p.q_id
+        )
+        SELECT q_id, c_id, score, rn FROM (
+            SELECT q_id, c_id, score,
+                   row_number() OVER (
+                       PARTITION BY q_id ORDER BY score DESC, c_id ASC
+                   ) AS rn
+            FROM s
+        ) WHERE rn <= 5
+    """,
+    doc="The at-scale variant of ann_ivf_knn_join: the coarse-centroid "
+    "count TRACKS the corpus (K = max(8, n/250), constant ~250-vector "
+    "inverted lists) instead of being a fixed constant, so per-query "
+    "candidate work stays constant as data grows — the knob the r4 "
+    "scale rehearsal demonstrated (fixed K=8 measured x31-45 wall at "
+    "x10 data; this entry measured x5.25, inside the plain LINEAR "
+    "budget — the residual above x1 is the query-time n x K coarse "
+    "assignment, which a real deployment amortizes at ingest with cid "
+    "as the partition key). At the "
+    "oracle scale factors n/250 <= 8, so K floors at 8 and results "
+    "hash-match the same probe policy replayed in SQL via a scalar "
+    "subquery computing the identical K. "
+    "(operators/similarity.py:ivf_knn_join)",
+)
+def ann_ivf_knn_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    k_centroids = max(8, n // _IVF_LIST_SIZE)
+    qs = emb.filter(F.col("vec_id") % 40 == 0)
+    return similarity.ivf_knn_join(
+        qs, emb, k=5, n_centroids=k_centroids, nprobe=2
+    )
 
 
 @register(
