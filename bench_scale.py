@@ -134,6 +134,68 @@ def run_query(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def measure_ivf_prebuilt(
+    spark, base_dir: str, scale_dir: str, factor: int, runs: int
+) -> dict[str, dict]:
+    """Phase-split measurement of the ingest-amortized IVF kNN join —
+    the claim the ivf_knn_join docstring makes ('at scale assignment
+    is precomputed at ingest with cid as the partition key') measured
+    as two separate pseudo-entries:
+
+      ann_ivf_knn_join_prebuilt_build  — ivf_index_build: assign +
+        write the cid-partitioned index. One scan per unit data ->
+        linear budget.
+      ann_ivf_knn_join_prebuilt_query  — ivf_knn_join_prebuilt: probe
+        ranking + partition-pruned read + broadcast-probes scoring.
+        With adaptive K (constant inverted-list size) per-query work
+        is constant and |Q| grows with n -> linear budget.
+
+    Together with the inline adaptive entry this completes the
+    demonstration: fixed-K inline (quadratic, measured), adaptive-K
+    inline (linear minus query-time assignment), adaptive-K prebuilt
+    (both phases linear, assignment amortized at ingest)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.operators import similarity
+
+    phases: dict[str, tuple[float, float]] = {}
+    for tag, d in (("base", base_dir), ("scaled", scale_dir)):
+        emb = load_table(spark, d, "embeddings")
+        n = emb.count()
+        k_centroids = max(8, n // 250)  # the adaptive-K discipline
+        path = os.path.join(
+            os.path.dirname(scale_dir) or "/tmp/ddspark-scale",
+            f"ivf-index-{tag}",
+        )
+        tb = tq = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            similarity.ivf_index_build(emb, n_centroids=k_centroids, path=path)
+            tb = min(tb, time.perf_counter() - t0)
+        qs = emb.filter(F.col("vec_id") % 40 == 0)
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            run_query(
+                similarity.ivf_knn_join_prebuilt(spark, path, qs, k=5, nprobe=2)
+            )
+            tq = min(tq, time.perf_counter() - t0)
+        phases[tag] = (tb, tq)
+    out: dict[str, dict] = {}
+    for phase, idx in (("build", 0), ("query", 1)):
+        tb, ts = phases["base"][idx], phases["scaled"][idx]
+        budget = DEFAULT_BUDGET_PER_FACTOR * factor
+        ratio = round(ts / tb, 2) if tb > 0 else float("inf")
+        out[f"ann_ivf_knn_join_prebuilt_{phase}"] = {
+            "base_sec": round(tb, 3),
+            "scaled_sec": round(ts, 3),
+            "ratio": ratio,
+            "budget": round(budget, 1),
+            "ok": ratio <= budget,
+        }
+    return out
+
+
 def main() -> None:
     argv = sys.argv[1:]
     factor = 10
@@ -208,6 +270,21 @@ def main() -> None:
                 f"{name}: x{ratio} > budget x{budget:.1f} "
                 f"({tb:.2f}s -> {ts:.2f}s)"
             )
+    if only is None or any(n.startswith("ann_ivf_knn_join_prebuilt") for n in only):
+        for name, r in measure_ivf_prebuilt(
+            spark, base_dir, scale_dir, factor, runs
+        ).items():
+            results[name] = r
+            flag = "" if r["ok"] else "  <-- OVER BUDGET"
+            print(
+                f"{name}: {r['base_sec']:.2f}s -> {r['scaled_sec']:.2f}s"
+                f"  x{r['ratio']}{flag}",
+                file=sys.stderr,
+            )
+            if not r["ok"]:
+                violations.append(
+                    f"{name}: x{r['ratio']} > budget x{r['budget']:.1f}"
+                )
     spark.stop()
     out = {
         "metric": "scale_rehearsal",

@@ -2663,7 +2663,7 @@ _ADAPTIVE_K_SQL = (
     "inverted lists) instead of being a fixed constant, so per-query "
     "candidate work stays constant as data grows — the knob the r4 "
     "scale rehearsal demonstrated (fixed K=8 measured x31-45 wall at "
-    "x10 data; this entry measured x5.25, inside the plain LINEAR "
+    "x10 data; this entry measured x6.6, inside the plain LINEAR "
     "budget — the residual above x1 is the query-time n x K coarse "
     "assignment, which a real deployment amortizes at ingest with cid "
     "as the partition key). At the "

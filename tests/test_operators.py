@@ -719,3 +719,37 @@ def test_pagerank_eight_rounds_checkpointed_matches_oracle(spark, duck):
     assert_frames_match(
         scores.toPandas(), duck.execute(oracle).fetchdf(), "pagerank8"
     )
+
+
+def test_ivf_prebuilt_matches_inline_exactly(spark, tmp_path):
+    """ivf_index_build + ivf_knn_join_prebuilt must return the inline
+    ivf_knn_join result bit for bit: same assignment scorer, same
+    probe-ranking discipline, same stored-norm expression, same
+    rounding and tiebreaks — the index just moves the assignment to
+    ingest time."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 40 == 0)
+    inline = similarity.ivf_knn_join(
+        qs, emb, k=5, n_centroids=8, nprobe=2
+    ).collect()
+    path = str(tmp_path / "ivf-index")
+    similarity.ivf_index_build(emb, n_centroids=8, path=path)
+    prebuilt = similarity.ivf_knn_join_prebuilt(
+        spark, path, qs, k=5, nprobe=2
+    ).collect()
+    assert sorted(map(tuple, prebuilt)) == sorted(map(tuple, inline))
+    assert prebuilt, "empty kNN result"
+
+
+def test_ivf_prebuilt_empty_corpus_and_empty_queries(spark, tmp_path):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf-empty")
+    similarity.ivf_index_build(emb.filter(F.lit(False)), n_centroids=8, path=path)
+    out = similarity.ivf_knn_join_prebuilt(spark, path, emb.limit(3), k=5)
+    assert out.collect() == []
+    path2 = str(tmp_path / "ivf-full")
+    similarity.ivf_index_build(emb, n_centroids=8, path=path2)
+    out2 = similarity.ivf_knn_join_prebuilt(
+        spark, path2, emb.filter(F.lit(False)), k=5
+    )
+    assert out2.collect() == []

@@ -464,3 +464,31 @@ def test_q2_full_broadcasts_dimension_chain(spark):
     # The single BNLJ is the 1-row supplier-count scalar join inside
     # the partsupp derivation; nothing data-sized nest-loops.
     assert facts["n_bnl_joins"] <= 1, facts
+
+
+def test_ivf_prebuilt_query_scan_is_partition_pruned(spark, tmp_path):
+    """The prebuilt-index query phase must read ONLY the probed
+    inverted lists: the parquet scan over the cid-partitioned index
+    carries a PartitionFilters entry on cid (directory-level pruning,
+    no row-level filtering of unprobed lists), and the corpus side is
+    still never a shuffled join build side."""
+    from datafusion_dist_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    path = str(tmp_path / "ivf-index")
+    sim.ivf_index_build(emb, n_centroids=8, path=path)
+    qs = emb.filter(F.col("vec_id") == 0)  # one query -> <=2 probed lists
+    df = sim.ivf_knn_join_prebuilt(spark, path, qs, k=3, nprobe=2)
+    plan = formatted_plan(df)
+    pf_lines = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln
+    ]
+    assert pf_lines, plan[:2000]
+    import re
+
+    m = re.search(r"cid#\d+ IN \(([^)]*)\)", pf_lines[0])
+    assert m, pf_lines[0]
+    assert len(m.group(1).split(",")) <= 2, pf_lines[0]
+    facts = plan_facts(df)
+    assert facts["n_sortmerge_joins"] + facts["n_shuffledhash_joins"] == 0, facts
+    assert facts["n_broadcast_joins"] >= 1, facts

@@ -415,3 +415,40 @@ def test_flightsql_any_envelope_roundtrip(handle, value):
     assert flightsql.parse_ticket(flightsql.encode_ticket(handle)) == handle
     t, v = flightsql.decode_any(flightsql.encode_any("x.y/Z", value))
     assert (t, v) == ("x.y/Z", value)
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=500, deadline=None)
+def test_adaptive_nbits_ladder_matches_log_formula(n):
+    """The integer threshold ladder IS floor(log2(n/125)) clamped to
+    [4, 8] — the ladder exists only so Python and SQL agree bit-for-bit
+    at bucket-doubling boundaries where libm log2 could differ in the
+    last ulp. Bucket population n / 2^nbits therefore stays inside
+    [125, 250) across the whole supported range (above the 4-bit floor
+    and below the 8-bit ceiling)."""
+    import math
+
+    from datafusion_dist_spark.queries.llm import _adaptive_nbits
+
+    nbits = _adaptive_nbits(n)
+    if n >= 125 << 4:
+        expect = min(8, int(math.floor(math.log2(n / 125))))
+    else:
+        expect = 4
+    assert nbits == expect
+    if 125 << 4 <= n < 125 << 9:  # between the floor and the ceiling
+        assert 125 <= n / (1 << nbits) < 250
+
+
+@given(st.integers(min_value=0, max_value=10_000_000))
+@settings(max_examples=200, deadline=None)
+def test_adaptive_ivf_k_keeps_list_size_bounded(n):
+    """K = max(8, n // 250) keeps the mean inverted-list size <= 250
+    above the floor (constant per-query candidate work), and K never
+    exceeds n/125 + 8 (lists never get pathologically small either)."""
+    from datafusion_dist_spark.queries.llm import _IVF_LIST_SIZE
+
+    k = max(8, n // _IVF_LIST_SIZE)
+    if n >= 8 * _IVF_LIST_SIZE:
+        assert n / k <= _IVF_LIST_SIZE + _IVF_LIST_SIZE / k  # ceil slack
+        assert n / k > _IVF_LIST_SIZE / 2
