@@ -95,6 +95,7 @@ HEADLINE = [
     "ann_ivf_knn_join",
     "ann_ivf_knn_join_adaptive",
     "dedup_embedding_cosine_adaptive",
+    "dedup_semantic_adaptive",
     "text_vocab_coverage",
     "pipeline_epoch_upsample",
     "text_rule_filters",

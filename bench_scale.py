@@ -84,6 +84,10 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     # corpus; the rehearsal pins the CURRENT knob's behavior instead of
     # silently skipping the entry.
     "dedup_semantic": (2.0, 1.5),
+    # ...and the adaptive variant holds the LINEAR budget: K = n/250
+    # keeps cluster size (and per-cluster m^2 work per unit data)
+    # constant — the third measured fixed/adaptive knob pair.
+    "dedup_semantic_adaptive": None,
     "dedup_clusters": None,
     "dedup_keep_best": None,
     # ANN family: probe discipline keeps scored candidates ~linear

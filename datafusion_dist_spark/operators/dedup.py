@@ -239,6 +239,23 @@ def minhash_dedup_pairs(
     sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
     banded = _banded(sigs, bands, rows_per_band)
     a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
+    return _band_pair_estimates(a, b, num_hashes, threshold, split_id)
+
+
+def _band_pair_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    num_hashes: int,
+    threshold: float,
+    split_id: int | None,
+) -> DataFrame:
+    """Shared banded-join tail of the MinHash dedup family: equi-join
+    on (band_id, band_key), Jaccard estimated as the
+    matching-signature-component fraction from the sig arrays both
+    sides already carry, per-pair dedup over primitive columns only.
+    ``a``/``b`` must be aliased "a"/"b" by the caller (same banded
+    frame for self/union dedup, storage-vs-computed frames for the
+    prebuilt-index path)."""
     if split_id is None:
         side_pred = F.col("a.doc_id") < F.col("b.doc_id")
     else:
@@ -268,6 +285,68 @@ def minhash_dedup_pairs(
         .dropDuplicates(["a_id", "b_id"])
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+def minhash_index_build(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> str:
+    """Ingest-time half of incremental/streaming MinHash dedup: sketch
+    the corpus ONCE (shingle → signature → banding) and persist the
+    banded signature table — what ``minhash_dedup_pairs``'s docstring
+    promises ('at 100 TB the index side's signatures come from storage
+    instead of recompute') made concrete. Each subsequent crawl batch
+    is deduped against this table via
+    ``minhash_dedup_pairs_prebuilt`` without ever re-sketching the
+    index; per-batch index cost drops from re-running the whole
+    shingle→md5→min pipeline to a columnar signature scan. New
+    batches are appended to the index the same way (mode is the
+    caller's choice at the write site: this build is the initial/full
+    refresh)."""
+    banded = _banded(
+        minhash_signatures(
+            doc_shingles(docs, text_col, k), bands * rows_per_band
+        ),
+        bands,
+        rows_per_band,
+    )
+    banded.write.mode("overwrite").parquet(path)
+    return path
+
+
+def minhash_dedup_pairs_prebuilt(
+    spark,
+    index_path: str,
+    batch: DataFrame,
+    split_id: int,
+    text_col: str = "text",
+    k: int = 3,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Query-serving half over a ``minhash_index_build`` index: sketch
+    ONLY the incoming batch, read the index's banded signatures from
+    storage, and run the identical cross-set banded join as
+    ``minhash_dedup_pairs(index ∪ batch, split_id=...)`` — results are
+    bit-identical (asserted in tests); index ids must be < split_id
+    and batch ids >= split_id, exactly the incremental contract. The
+    continuous-crawl serving shape: per batch, index cost is a
+    columnar scan of stored signatures (no re-shingling), batch cost
+    is the batch's own sketch, and the join shape — one banded
+    equi-join, never index×index or batch×batch — is unchanged."""
+    num_hashes = bands * rows_per_band
+    a = spark.read.parquet(index_path).alias("a").hint("shuffle_hash")
+    b = _banded(
+        minhash_signatures(doc_shingles(batch, text_col, k), num_hashes),
+        bands,
+        rows_per_band,
+    ).alias("b")
+    return _band_pair_estimates(a, b, num_hashes, threshold, split_id)
 
 
 # -- SimHash --------------------------------------------------------------

@@ -2683,6 +2683,56 @@ def ann_ivf_knn_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic_adaptive",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_K_SQL}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT a.vec_id, a.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        dups AS (
+            SELECT y.vec_id, min(x.vec_id) AS dup_of,
+                   count(*) AS n_dups
+            FROM assigned x
+            JOIN assigned y ON x.cid = y.cid AND x.vec_id < y.vec_id
+            WHERE {_cos_sql("x.embedding", "y.embedding")} >= 0.5
+            GROUP BY y.vec_id
+        )
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, d.dup_of,
+               CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
+        FROM assigned a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+    doc="The at-scale variant of dedup_semantic: the SemDeDup cluster "
+    "count TRACKS the corpus (K = max(8, n/250), constant ~250-vector "
+    "clusters) instead of being a fixed 8 — the third fixed blocking "
+    "constant the r4 scale rehearsal exposed (fixed K=8 means cluster "
+    "SIZE grows linearly and in-cluster pair work sum(m^2) grows "
+    "quadratically; this is the docstring's 'K ~ sqrt(N)/constant-"
+    "cluster-size at scale' made concrete and measured). At the "
+    "oracle scale factors n/250 <= 8, so K floors at 8 and results "
+    "hash-match the fixed entry's policy replayed in SQL via the "
+    "identical scalar-subquery K. "
+    "(operators/similarity.py:semantic_dedup_decisions)",
+)
+def dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    return similarity.semantic_dedup_decisions(
+        emb, n_centroids=max(8, n // _IVF_LIST_SIZE), threshold=0.5
+    )
+
+
+@register(
     "text_rule_filters",
     oracle=f"""
         WITH t AS (

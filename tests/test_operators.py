@@ -753,3 +753,29 @@ def test_ivf_prebuilt_empty_corpus_and_empty_queries(spark, tmp_path):
         spark, path2, emb.filter(F.lit(False)), k=5
     )
     assert out2.collect() == []
+
+
+def test_minhash_prebuilt_matches_union_exactly(spark, tmp_path):
+    """minhash_index_build + minhash_dedup_pairs_prebuilt must return
+    the incremental union form's pairs bit for bit — the index just
+    moves the corpus sketch to ingest time (same shingles, signatures,
+    banding, estimate, and cross-set predicate)."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") < 40)
+    planted = index.filter(F.col("doc_id") % 6 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    batch = docs.filter(F.col("doc_id") >= 40).unionByName(planted)
+    union_pairs = dedup.minhash_dedup_pairs(
+        index.unionByName(batch), threshold=0.5, split_id=40
+    ).collect()
+    path = str(tmp_path / "mh-index")
+    dedup.minhash_index_build(index, path)
+    pre_pairs = dedup.minhash_dedup_pairs_prebuilt(
+        spark, path, batch, split_id=40, threshold=0.5
+    ).collect()
+    assert sorted(map(tuple, pre_pairs)) == sorted(map(tuple, union_pairs))
+    assert pre_pairs, "no pairs found"
+    flagged = {r.b_id for r in pre_pairs}
+    for r in planted.collect():
+        assert r.doc_id in flagged, f"planted copy {r.doc_id} not flagged"
