@@ -69,7 +69,7 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     # bucket count — pair work is sum over 16 buckets of m^2, so the
     # honest cost model is quadratic-in-factor until nbits grows with
     # the corpus (log2(n / target_bucket_size) at real scale, the same
-    # documented knob family as dedup_semantic's K). Measured x33 at
+    # documented knob family as dedup_semantic's K). Measured x41-46 at
     # x10 in this rehearsal, exactly n^2/buckets.
     "dedup_embedding_cosine": (2.0, 1.5),
     # ...and the adaptive variant holds the LINEAR budget: nbits grows
@@ -98,7 +98,8 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     # Batch kNN self-join: the registry entry's query set is a fixed
     # FRACTION of the corpus (vec_id % 40), so |Q| grows with n and
     # candidate work is |Q| x n x nprobe / K — quadratic at the
-    # oracle-pinned K=8 (measured x33 at x10). At real scale K tracks
+    # oracle-pinned K=8 (x45 measured while 2-core-pinned, x5.7 after the
+    # spread() fix made the n x K term parallel). At real scale K tracks
     # the corpus (constant inverted-list size), making the join linear
     # in |Q|; see ivf_knn_join's docstring.
     "ann_ivf_knn_join": (2.0, 1.5),

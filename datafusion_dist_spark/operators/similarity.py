@@ -1180,32 +1180,37 @@ def ivf_knn_join(
     quadratic, so they must scale with data.
     """
     spark = corpus.sparkSession
-    # ONE driver-side job feeds everything: centroids × queries (both
-    # driver-sized) yields the probe ranking for every query — same
-    # rounded-cosine/tiebreak discipline as _probe_cids — AND the
-    # centroid vectors for the numpy scorer (a per-query ranking job
-    # or a separate codebook collect would serialize extra
-    # round-trips; measured ~5 s/call in a busy session).
+    # Three DRIVER-SIZED jobs feed the probe ranking: the K centroid
+    # rows, the |Q| query rows, and a |Q|×K SCALAR sims job (in-plan
+    # rounded cosine, so ranking parity with the oracle is by
+    # construction). The previous shape was one job whose collected
+    # rows carried BOTH vectors — |Q|×K×2×dim doubles through py4j,
+    # measured 4 s at the x10 rehearsal corpus where the scalar form
+    # is milliseconds; never collect array payloads per PAIR.
     qdf = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    sims = _collect_probe_sims(cents, qdf)
-    if not sims:  # no centroids or no queries: empty result, k columns
+    cent_rows_raw = cents.collect()
+    q_rows = qdf.collect()
+    if not cent_rows_raw or not q_rows:
+        # no centroids or no queries: empty result, k columns
         return corpus.limit(0).select(
             F.lit(None).cast("bigint").alias("q_id"),
             F.lit(None).cast("bigint").alias("c_id"),
             F.lit(None).cast("double").alias("score"),
             F.lit(None).cast("int").alias("rn"),
         )
-    cmap = {int(r.cid): [float(v) for v in r.cvec] for r in sims}
+    cmap = {int(r.cid): [float(v) for v in r.cvec] for r in cent_rows_raw}
     cids = sorted(cmap)
     cvecs = [cmap[c] for c in cids]
     cnorms = [_lit_norm(v) for v in cvecs]
     dim = len(cvecs[0])
-    probe_rows = _probe_rows_from_sims(sims, nprobe)
+    sims = _collect_probe_sims(cents, qdf, dim)
+    qvec_map = {int(r.q_id): [float(v) for v in r.q_vec] for r in q_rows}
+    probe_rows = _probe_rows_from_sims(sims, nprobe, qvec_map)
     probes = spark.createDataFrame(
         probe_rows, "q_id long, q_vec array<double>, q_norm double, pcid long"
     )
@@ -1213,12 +1218,15 @@ def ivf_knn_join(
     # rounded argmax — ivf_topk's route: no K×dim unrolled expression,
     # so no cold Janino spike and milliseconds of planning instead of
     # a monster expression tree per call. The query-score half of the
-    # scorer is unused here (dummy query = centroid 0).
+    # scorer is unused here (dummy query = centroid 0). spread():
+    # a compact parquet corpus arrives as 1-2 input splits, which
+    # would pin the scorer + candidate join to 2 cores (measured flat
+    # 8->32-core speedup in BENCH_CORES before the fix).
     from types import SimpleNamespace
 
     cent_rows = [SimpleNamespace(cid=c) for c in cids]
     scorer = _numpy_ivf_scorer(cvecs, cnorms, cvecs[0], cnorms[0])
-    scored0 = corpus.select(
+    scored0 = spread(corpus).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         scorer(F.col(vec_col)).alias("s"),
@@ -1232,36 +1240,41 @@ def ivf_knn_join(
     return _score_probed(assigned, probes, k, dim)
 
 
-def _collect_probe_sims(cents: DataFrame, qdf: DataFrame) -> list:
-    """ONE centroids × queries driver job (both sides driver-sized):
-    every (query, centroid) rounded cosine, the input to probe
-    ranking. Shared by the inline and prebuilt IVF kNN paths."""
+def _collect_probe_sims(cents: DataFrame, qdf: DataFrame, dim: int) -> list:
+    """One centroids × queries job (both sides driver-sized) returning
+    SCALAR rows only — (q_id, cid, qsim) with the in-plan rounded
+    cosine, so probe ranking matches the SQL oracle's by construction.
+    The vectors themselves are deliberately NOT in the result: a
+    |Q|×K collect carrying dim-width arrays per pair is the py4j
+    bottleneck the strong-scaling rehearsal caught (4 s at x10 data
+    for rows whose scalar form is milliseconds). Shared by the inline
+    and prebuilt IVF kNN paths."""
     return (
         cents.crossJoin(F.broadcast(qdf))
         .select(
             "q_id",
-            "q_vec",
             "cid",
-            "cvec",
-            F.round(cosine(F.col("cvec"), F.col("q_vec"), None), 6).alias(
-                "qsim"
-            ),
+            F.round(cosine("cvec", "q_vec", dim), 6).alias("qsim"),
         )
         .collect()
     )
 
 
-def _probe_rows_from_sims(sims, nprobe: int) -> list[tuple]:
+def _probe_rows_from_sims(
+    sims, nprobe: int, qvec_map: dict[int, list[float]]
+) -> list[tuple]:
     """Driver-side probe ranking shared by the inline and prebuilt IVF
     kNN paths: per query, the top-``nprobe`` centroid lists under the
     rounded-cosine/centroid-id discipline of ``_probe_rank_key`` —
-    rows of (q_id, q_vec, q_norm, pcid)."""
+    rows of (q_id, q_vec, q_norm, pcid). Query vectors come from the
+    separately collected ``qvec_map`` (|Q| arrays once, not per
+    pair)."""
     by_q: dict[int, list] = {}
     for r in sims:
         by_q.setdefault(int(r.q_id), []).append(r)
     probe_rows = []
     for q_id, rows in by_q.items():
-        qvec = [float(v) for v in rows[0].q_vec]
+        qvec = qvec_map[q_id]
         qn = _lit_norm(qvec)
         for r in sorted(rows, key=_probe_rank_key)[:nprobe]:
             probe_rows.append((q_id, qvec, qn, int(r.cid)))
@@ -1347,7 +1360,7 @@ def ivf_index_build(
     dim = len(cvecs[0])
     cent_rows = [SimpleNamespace(cid=c) for c in cids]
     scorer = _numpy_ivf_scorer(cvecs, cnorms, cvecs[0], cnorms[0])
-    scored0 = corpus.select(
+    scored0 = spread(corpus).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         scorer(F.col(vec_col)).alias("s"),
@@ -1409,10 +1422,12 @@ def ivf_knn_join_prebuilt(
     qdf = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    sims = _collect_probe_sims(cents, qdf)
-    if not sims:
+    q_rows = qdf.collect()
+    if not q_rows:
         return empty
-    probe_rows = _probe_rows_from_sims(sims, nprobe)
+    sims = _collect_probe_sims(cents, qdf, dim)
+    qvec_map = {int(r.q_id): [float(v) for v in r.q_vec] for r in q_rows}
+    probe_rows = _probe_rows_from_sims(sims, nprobe, qvec_map)
     probes = spark.createDataFrame(
         probe_rows, "q_id long, q_vec array<double>, q_norm double, pcid long"
     )

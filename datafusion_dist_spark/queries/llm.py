@@ -449,6 +449,20 @@ def _cos_sql(a: str, b: str) -> str:
 
 _COS = _cos_sql("a.embedding", "b.embedding")
 
+# Corpus-tracking IVF/SemDeDup centroid count: constant inverted-list /
+# cluster size (~250 vectors), the knob the r4 scale rehearsal showed
+# is what keeps blocked candidate generation linear (fixed K makes
+# cluster size grow with the corpus and in-cluster pair work sum(m^2)
+# quadratic; fixed K also caps applyInPandas parallelism at K groups —
+# both measured, BENCH_SCALE_r04 / BENCH_CORES_r04). 8-floor keeps
+# tiny corpora sane. The SQL twin computes the identical integer via a
+# scalar subquery; at the oracle scale factors n/250 <= 8 so K floors
+# at 8 and adaptive entries hash-match the fixed-K policy.
+_IVF_LIST_SIZE = 250
+_ADAPTIVE_K_SQL = (
+    f"(SELECT greatest(8, count(*) // {_IVF_LIST_SIZE}) FROM embeddings)"
+)
+
 
 def _bucket_expr(tbl: str) -> str:
     return " + ".join(
@@ -476,7 +490,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Corpus-tracking sign-bucket width: nbits grows with the corpus so
 # bucket POPULATION stays ~constant (pair work = sum over 2^nbits
-# buckets of m^2 — fixed nbits measured x33 at x10 data in the r4
+# buckets of m^2 — fixed nbits measured x41-46 at x10 data in the r4
 # rehearsal). An integer threshold ladder, not floor(log2(n/125)):
 # bit-identical across Python and SQL with plain comparisons, where
 # libm log2 could disagree in the last ulp exactly at bucket-doubling
@@ -522,7 +536,7 @@ def _bucket_expr_adaptive(tbl: str) -> str:
     "bucket width TRACKS the corpus (nbits from an integer threshold "
     "ladder ~ log2(n/125), so bucket population stays constant) "
     "instead of being a fixed 4 bits — the knob the r4 scale "
-    "rehearsal demonstrated (fixed nbits=4 measured x33 wall at x10 "
+    "rehearsal demonstrated (fixed nbits=4 measured x41-51 wall at x10 "
     "data; more bits = fewer candidate pairs = lower recall per "
     "bucket, the standard LSH trade). At the oracle scale factors the "
     "ladder yields nbits=4, so results hash-match the fixed entry's "
@@ -2247,7 +2261,7 @@ def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cents AS (
             SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
-            FROM embeddings WHERE vec_id < 8
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_K_SQL}
         ),
         assigned AS (
             SELECT vec_id, embedding, cid FROM (
@@ -2281,8 +2295,9 @@ def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="The capstone composition: one keep/drop decision per corpus "
     "document from three independent dedup/quality signals — exact "
     "text duplication (digest-keyed first-occurrence window), "
-    "semantic duplication (SemDeDup decisions bridged over the "
-    "doc_id==vec_id embedding), and a token-count quality floor. "
+    "semantic duplication (SemDeDup decisions at the adaptive "
+    "corpus-tracking K, bridged over the doc_id==vec_id embedding), "
+    "and a token-count quality floor. "
     "Each signal is the production operator, not a re-derivation; "
     "the decision join keys on doc_id only (signals are boolean "
     "columns, never text). This is the shape a real cleaning run "
@@ -2297,9 +2312,18 @@ def pipeline_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = corpus.select(
         "doc_id", (F.row_number().over(w) > 1).alias("is_exact_dup")
     )
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Adaptive K (constant ~250-vector clusters): fixed K=8 made this
+    # capstone's semantic signal both quadratic-in-data AND capped at
+    # 8 applyInPandas groups of parallelism — the strong-scaling
+    # rehearsal measured x1.2 speedup at 4x cores before the switch.
+    # Floors to 8 at the oracle SFs, so the oracle's scalar-subquery K
+    # is hash-identical there.
     sem = (
         similarity.semantic_dedup_decisions(
-            load_table(spark, sf_dir, "embeddings"), n_centroids=8, threshold=0.5
+            emb,
+            n_centroids=max(8, emb.count() // _IVF_LIST_SIZE),
+            threshold=0.5,
         )
         .filter(F.col("dup_of").isNotNull())
         .select(F.col("vec_id").alias("sem_id"))
@@ -2595,19 +2619,6 @@ def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_knn_join(qs, emb, k=5, n_centroids=8, nprobe=2)
 
 
-# Corpus-tracking centroid count for the adaptive kNN join: constant
-# inverted-list size (~250 vectors/list), the knob the r4 scale
-# rehearsal showed is what keeps batch kNN linear — at the fixed K=8
-# above, |Q| x n / K candidate work measured x45 at x10 data; with
-# K = n/250 the per-query candidate count is constant as the corpus
-# grows. 8-floor keeps tiny corpora sane. The SQL twin computes the
-# identical integer via a scalar subquery.
-_IVF_LIST_SIZE = 250
-_ADAPTIVE_K_SQL = (
-    f"(SELECT greatest(8, count(*) // {_IVF_LIST_SIZE}) FROM embeddings)"
-)
-
-
 @register(
     "ann_ivf_knn_join_adaptive",
     oracle=f"""
@@ -2662,8 +2673,11 @@ _ADAPTIVE_K_SQL = (
     "count TRACKS the corpus (K = max(8, n/250), constant ~250-vector "
     "inverted lists) instead of being a fixed constant, so per-query "
     "candidate work stays constant as data grows — the knob the r4 "
-    "scale rehearsal demonstrated (fixed K=8 measured x31-45 wall at "
-    "x10 data; this entry measured x6.6, inside the plain LINEAR "
+    "scale rehearsal demonstrated (fixed K=8 measured x45 wall at "
+    "x10 data while its assignment stage was pinned to 2 cores, x5.7 "
+    "after the spread() fix parallelized both twins — the n x K term "
+    "still grows quadratically, it is just no longer wall-dominant "
+    "at x10; this entry measured x2.3, inside the plain LINEAR "
     "budget — the residual above x1 is the query-time n x K coarse "
     "assignment, which a real deployment amortizes at ingest with cid "
     "as the partition key). At the "
