@@ -663,39 +663,81 @@ def embedding_near_dup_pairs(
 
     ``nbits`` is the corpus-tracking knob, NOT a constant: pair work
     is sum over 2^nbits buckets of m², so at a FIXED nbits the pass
-    is quadratic in corpus size (the r4 scale rehearsal measured x33
-    at x10 data with nbits=4 — exactly n²/buckets). Size it as
-    ~log2(n / target_bucket_size) so bucket population stays constant
-    as data grows — the same knob family as SemDeDup's cluster count
-    K. The registry entry pins nbits=4 because its oracle encodes the
-    4-bit bucket arithmetic; production callers pass their own.
+    is quadratic in corpus size — n²/buckets pairs (the r4 rehearsal
+    measured the quadratic directly, x41-46 wall at x10 data, until
+    the scoring-shape fix below dropped the per-pair constant to
+    numpy speed; the pair COUNT still grows n², which the factor²
+    budget tracks). Size it as ~log2(n / target_bucket_size) so
+    bucket population stays constant as data grows — the same knob
+    family as SemDeDup's cluster count K. The registry entry pins
+    nbits=4 because its oracle encodes the 4-bit bucket arithmetic;
+    production callers pass their own.
+
+    Scoring shape: ONE applyInPandas per bucket (SemDeDup's
+    row-blocked numpy pair scorer), not a bucket self-JOIN. The join
+    form read beautifully but Catalyst pushed the threshold filter —
+    dragging the whole 2×dim-term rounded dot with it — into the
+    SortMergeJoin's non-equi condition, where it is evaluated
+    per buffered pair OUTSIDE whole-stage codegen: the f30 scale
+    rehearsal measured 61 s of the 64 s wall in that predicate
+    (~8.7 µs/pair for work numpy does in nanoseconds). Here the
+    corpus crosses Arrow once (linear, never per pair), the numpy
+    prefilter keeps a strict superset (raw >= threshold - 1e-6), and
+    the EXACT rounded-threshold decision stays in the plan —
+    bit-identical to the SQL-fold oracle by the scorer's sequential
+    accumulation discipline (same as ``semantic_dedup_decisions``).
     """
+    import numpy as np
+
     dim = _probe_dim(embeddings, vec_col) or 1  # 1: empty-input guard
     b = spread(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
-        F.expr(f"sqrt({_dot_sql(vec_col, vec_col, dim)})").alias("_norm"),
     )
-    l, r = b.alias("l"), b.alias("r")
-    pairs = l.join(
-        r,
-        (F.col("l.bucket") == F.col("r.bucket"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    )
-    score = F.round(
-        _dot(f"l.{vec_col}", f"r.{vec_col}", dim)
-        / (F.col("l._norm") * F.col("r._norm")),
-        6,
-    )
-    return (
-        pairs.select(
-            F.col(f"l.{id_col}").alias("a_id"),
-            F.col(f"r.{id_col}").alias("b_id"),
-            score.alias("cosine"),
+    raw_cut = threshold - 1e-6
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "score": []})
+        ids = pdf[id_col].to_numpy()
+        V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        sq = V[:, 0] * V[:, 0]
+        for i in range(1, dim):
+            sq = sq + V[:, i] * V[:, i]
+        norm = np.sqrt(sq)
+        out_a, out_b, out_s = [], [], []
+        block = 2048  # bounds the pair matrix to block×n doubles
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            D = np.multiply.outer(V[lo:hi, 0], V[:, 0])
+            for i in range(1, dim):
+                D = D + np.multiply.outer(V[lo:hi, i], V[:, i])
+            S = D / np.multiply.outer(norm[lo:hi], norm)
+            # a (column) is the LOWER id: rows are the b side
+            r_idx, c_idx = np.nonzero(
+                (S >= raw_cut)
+                & (np.arange(n)[None, :] < (lo + np.arange(hi - lo))[:, None])
+            )
+            out_a.append(ids[c_idx])
+            out_b.append(ids[r_idx + lo])
+            out_s.append(S[r_idx, c_idx])
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a) if out_a else [],
+                "b_id": np.concatenate(out_b) if out_b else [],
+                "score": np.concatenate(out_s) if out_s else [],
+            }
         )
-        .filter(F.col("cosine") >= threshold)
+
+    cand = b.groupBy("bucket").applyInPandas(
+        _bucket_pairs, schema="a_id long, b_id long, score double"
     )
+    return cand.select(
+        "a_id", "b_id", F.round(F.col("score"), 6).alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
 
 
 def quantize_int8(

@@ -492,3 +492,31 @@ def test_ivf_prebuilt_query_scan_is_partition_pruned(spark, tmp_path):
     facts = plan_facts(df)
     assert facts["n_sortmerge_joins"] + facts["n_shuffledhash_joins"] == 0, facts
     assert facts["n_broadcast_joins"] >= 1, facts
+
+
+def test_embedding_near_dup_no_pair_join(spark):
+    """embedding_near_dup_pairs: pair scoring must be ONE
+    applyInPandas per sign bucket, never a bucket self-join. The join
+    form let Catalyst push the threshold filter — with the whole
+    2×dim-term rounded dot it references — into the SortMergeJoin's
+    non-equi condition, evaluated per buffered pair OUTSIDE
+    whole-stage codegen (~8.7 µs/pair; the f30 scale rehearsal
+    measured 61 s of a 64 s wall in that predicate). The Pandas shape
+    crosses Arrow once (linear in the corpus) and leaves no per-pair
+    expression for the optimizer to misplace."""
+    import re
+
+    from datafusion_dist_spark.queries.llm import dedup_embedding_cosine
+
+    df = dedup_embedding_cosine(spark, SF_DIR)
+    plan = formatted_plan(df)
+    tree = re.split(r"\n\(\d+\) ", plan.split("Initial Plan")[0])[0]
+    facts = plan_facts(df)
+    assert (
+        facts["n_sortmerge_joins"]
+        + facts["n_shuffledhash_joins"]
+        + facts["n_broadcast_joins"]
+        == 0
+    ), facts
+    assert "CartesianProduct" not in tree and "NestedLoop" not in tree, tree
+    assert tree.count("FlatMapGroupsInPandas") == 1, tree
