@@ -306,7 +306,15 @@ def minhash_index_build(
     shingle→md5→min pipeline to a columnar signature scan. New
     batches are appended to the index the same way (mode is the
     caller's choice at the write site: this build is the initial/full
-    refresh)."""
+    refresh).
+
+    A ``_params.json`` sidecar (k, bands, rows_per_band) is written
+    beside the parquet — underscore-prefixed files are invisible to
+    parquet discovery (same trick as the IVF ``_codebook.json``) — so
+    the query path can validate/derive its sketch parameters instead
+    of trusting the caller to repeat them; a silent mismatch would
+    corrupt every Jaccard estimate (sig lengths vs num_hashes
+    divisor)."""
     banded = _banded(
         minhash_signatures(
             doc_shingles(docs, text_col, k), bands * rows_per_band
@@ -315,6 +323,13 @@ def minhash_index_build(
         rows_per_band,
     )
     banded.write.mode("overwrite").parquet(path)
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(path, "_params.json"), "w") as fh:
+        _json.dump(
+            {"k": k, "bands": bands, "rows_per_band": rows_per_band}, fh
+        )
     return path
 
 
@@ -324,9 +339,9 @@ def minhash_dedup_pairs_prebuilt(
     batch: DataFrame,
     split_id: int,
     text_col: str = "text",
-    k: int = 3,
-    bands: int = 4,
-    rows_per_band: int = 4,
+    k: int | None = None,
+    bands: int | None = None,
+    rows_per_band: int | None = None,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Query-serving half over a ``minhash_index_build`` index: sketch
@@ -338,7 +353,32 @@ def minhash_dedup_pairs_prebuilt(
     continuous-crawl serving shape: per batch, index cost is a
     columnar scan of stored signatures (no re-shingling), batch cost
     is the batch's own sketch, and the join shape — one banded
-    equi-join, never index×index or batch×batch — is unchanged."""
+    equi-join, never index×index or batch×batch — is unchanged.
+
+    Sketch parameters default to the index's ``_params.json`` sidecar
+    (written by ``minhash_index_build``); explicitly passed values are
+    validated against it — a k/bands/rows mismatch raises instead of
+    silently producing wrong Jaccard estimates."""
+    import json as _json
+    import os as _os
+
+    try:
+        with open(_os.path.join(index_path, "_params.json")) as fh:
+            stored = _json.load(fh)
+    except (OSError, ValueError):
+        stored = {}
+    for name, passed in (("k", k), ("bands", bands), ("rows_per_band", rows_per_band)):
+        if passed is not None and name in stored and stored[name] != passed:
+            raise ValueError(
+                f"minhash index at {index_path} was built with "
+                f"{name}={stored[name]}, got {name}={passed}; a mismatch "
+                "silently corrupts Jaccard estimates"
+            )
+    k = k if k is not None else stored.get("k", 3)
+    bands = bands if bands is not None else stored.get("bands", 4)
+    rows_per_band = (
+        rows_per_band if rows_per_band is not None else stored.get("rows_per_band", 4)
+    )
     num_hashes = bands * rows_per_band
     a = spark.read.parquet(index_path).alias("a").hint("shuffle_hash")
     b = _banded(

@@ -122,6 +122,40 @@ def cosine_topk_bruteforce(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+# Corpus-tracking knob ladders — THE DEFAULTS for the blocked
+# operators below (knob=None ⇒ derive from a corpus count). The r4
+# scale rehearsal measured what fixed blocking constants do at x10
+# data (n²/buckets pair work, x41-51 wall): a constant knob is only
+# correct for a pinned corpus, so pinning is now the caller's explicit
+# act (the registry's oracle entries pass nbits=4 / n_centroids=8)
+# and growth is the default. Integer threshold ladders, never libm
+# log2: the SQL oracle twins replay the identical integer via scalar
+# subqueries, and a last-ulp libm disagreement exactly at a
+# bucket-doubling boundary would silently fork the two engines.
+#
+# nbits ladder: ~log2(n / 125) clamped to [4, 8] — bucket population
+# stays ~constant as the corpus grows. IVF/SemDeDup K: n / 250 with
+# an 8-floor — constant ~250-vector inverted lists / clusters.
+NBITS_LADDER: list[tuple[int, int]] = [
+    (125 << b, b) for b in range(8, 3, -1)
+]  # >= 32000 -> 8 ... >= 2000 -> 4 (floor)
+IVF_LIST_SIZE = 250
+
+
+def adaptive_nbits(n: int) -> int:
+    """Sign-bucket width for an n-vector corpus (see NBITS_LADDER)."""
+    for threshold, b in NBITS_LADDER:
+        if n >= threshold:
+            return b
+    return 4
+
+
+def adaptive_n_centroids(n: int) -> int:
+    """Coarse-centroid count for an n-vector corpus: constant
+    ~IVF_LIST_SIZE-vector inverted lists, floored at 8."""
+    return max(8, n // IVF_LIST_SIZE)
+
+
 def sign_bucket(vec: Column, nbits: int = 4) -> Column:
     """LSH bucket id: bit i = sign(vec[i]), packed to an int.
 
@@ -504,16 +538,57 @@ def _probe_rank_key(row):
 # is a tiny Spark job, but it reruns for EVERY query plan built against
 # the same static table (bench passes, repeated user queries) — a
 # production IVF index caches its codebook. Keyed on the session + the
-# embeddings plan's semantic hash (no job to compute) + the query, so
-# a changed table or session misses (same-path file mutation does
-# not — the same trade every persisted cache in this repo makes for
-# static warehouse tables). FIFO-bounded; guarded like
+# embeddings plan's semantic hash (no job to compute) + a file-scan
+# freshness token (#files, max mtime, bytes) + the query, so a changed
+# table, a same-path parquet rewrite, or a new session all miss; see
+# also probe_cache_clear(). FIFO-bounded; guarded like
 # llm._PAIR_CACHE.
 import threading as _threading
 
 _PROBE_CACHE: dict = {}
 _PROBE_CACHE_MAX = 8
 _PROBE_LOCK = _threading.Lock()
+
+
+def probe_cache_clear() -> None:
+    """Drop all memoized probe rankings — the hook for
+    corpus-regeneration flows that rewrite parquet in place."""
+    with _PROBE_LOCK:
+        _PROBE_CACHE.clear()
+
+
+def _freshness_token(df: DataFrame):
+    """Cheap freshness token for file-scan plans: (#files, max
+    mtime_ns, total bytes) over the scan's input files (no Spark job —
+    ``inputFiles`` reads the FileIndex). Same-path parquet rewrites
+    change mtime/size, so the probe memo MISSES instead of serving
+    stale centroid rows — unlike the repo's other persisted caches,
+    a stale hit here returns wrong data rather than just recomputing.
+    Non-file or unlistable plans → None (memo falls back to the
+    semanticHash-only key, the original static-warehouse trade)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    import os as _os
+    from urllib.parse import unquote as _unquote, urlparse as _urlparse
+
+    max_mtime, total = 0, 0
+    for uri in files:
+        parsed = _urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            # Remote store: fall back to the file list itself (paths
+            # usually change on rewrite; stat is not free there).
+            return ("paths", len(files), hash(tuple(sorted(files))))
+        try:
+            st = _os.stat(_unquote(parsed.path))
+        except OSError:
+            return None
+        max_mtime = max(max_mtime, st.st_mtime_ns)
+        total += st.st_size
+    return (len(files), max_mtime, total)
 
 
 def _probe_cids(
@@ -532,6 +607,7 @@ def _probe_cids(
         key = (
             embeddings.sparkSession.sparkContext.applicationId,
             embeddings.semanticHash(),
+            _freshness_token(embeddings),
             tuple(float(v) for v in query_vec),
             n_centroids,
             nprobe,
@@ -649,7 +725,7 @@ def ivf_topk(
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
-    nbits: int = 4,
+    nbits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -669,9 +745,11 @@ def embedding_near_dup_pairs(
     numpy speed; the pair COUNT still grows n², which the factor²
     budget tracks). Size it as ~log2(n / target_bucket_size) so
     bucket population stays constant as data grows — the same knob
-    family as SemDeDup's cluster count K. The registry entry pins
-    nbits=4 because its oracle encodes the 4-bit bucket arithmetic;
-    production callers pass their own.
+    family as SemDeDup's cluster count K. Since r5 the corpus-tracking
+    ladder IS the default (``nbits=None`` ⇒ ``adaptive_nbits(count)``,
+    one count job); passing a constant is the explicit pinning act —
+    the registry's ``dedup_embedding_cosine`` entry pins nbits=4
+    because its oracle encodes the 4-bit bucket arithmetic.
 
     Scoring shape: ONE applyInPandas per bucket (SemDeDup's
     row-blocked numpy pair scorer), not a bucket self-JOIN. The join
@@ -689,6 +767,8 @@ def embedding_near_dup_pairs(
     """
     import numpy as np
 
+    if nbits is None:
+        nbits = adaptive_nbits(embeddings.count())
     dim = _probe_dim(embeddings, vec_col) or 1  # 1: empty-input guard
     b = spread(embeddings).select(
         F.col(id_col),
@@ -837,7 +917,7 @@ def knn_join(
 
 def semantic_dedup_decisions(
     embeddings: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     threshold: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -855,6 +935,11 @@ def semantic_dedup_decisions(
     to O(sum of cluster sizes²); at 100 TB the operating point is
     K ≈ sqrt(N) so each cluster's block is small — K is the knob, and
     the grouped map shuffles each vector exactly once, keyed on cid.
+    Since r5 the corpus-tracking ladder IS the default
+    (``n_centroids=None`` ⇒ ``adaptive_n_centroids(count)``, constant
+    ~250-vector clusters); passing a constant is the explicit pinning
+    act — the registry's ``dedup_semantic`` entry pins K=8 because
+    its oracle replays that policy.
 
     Operating constraint (stated, not hidden): applyInPandas buffers
     one whole cluster per task, so the LARGEST cluster must fit an
@@ -880,6 +965,8 @@ def semantic_dedup_decisions(
     """
     import numpy as np
 
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(embeddings.count())
     dim = _probe_dim(embeddings, vec_col) or 1
     cent_rows = (
         embeddings.filter(F.col(id_col) < n_centroids)
@@ -1189,7 +1276,7 @@ def ivf_knn_join(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1219,9 +1306,15 @@ def ivf_knn_join(
     independent of total corpus size per query; batches also bound
     |Q| by contract. The knob family is the same as SemDeDup's K and
     sign-bucket nbits: fixed blocking constants turn linear claims
-    quadratic, so they must scale with data.
+    quadratic, so they must scale with data. Since r5 the
+    corpus-tracking ladder IS the default (``n_centroids=None`` ⇒
+    ``adaptive_n_centroids(count)``); passing a constant is the
+    explicit pinning act — the registry's ``ann_ivf_knn_join`` entry
+    pins K=8 because its oracle replays that policy.
     """
     spark = corpus.sparkSession
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(corpus.count())
     # Three DRIVER-SIZED jobs feed the probe ranking: the K centroid
     # rows, the |Q| query rows, and a |Q|×K SCALAR sims job (in-plan
     # rounded cosine, so ranking parity with the oracle is by
@@ -1351,7 +1444,7 @@ def _score_probed(assigned: DataFrame, probes: DataFrame, k: int, dim: int) -> D
 
 def ivf_index_build(
     corpus: DataFrame,
-    n_centroids: int = 8,
+    n_centroids: int | None = None,
     path: str | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -1376,6 +1469,10 @@ def ivf_index_build(
     ``ivf_knn_join`` (same numpy scorer, same rounded-argmax
     tiebreak, same stored-norm expression), so the prebuilt query
     half returns exactly the inline result for the same probe policy.
+    ``n_centroids=None`` (the default) derives the corpus-tracking K
+    from one count job — the ingest path is where the adaptive
+    discipline matters most, since the partition layout it writes is
+    what every later query prunes against.
     """
     import json as _json
     import os as _os
@@ -1383,6 +1480,8 @@ def ivf_index_build(
 
     if path is None:
         raise ValueError("ivf_index_build requires an output path")
+    if n_centroids is None:
+        n_centroids = adaptive_n_centroids(corpus.count())
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )

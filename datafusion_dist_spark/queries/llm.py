@@ -458,7 +458,10 @@ _COS = _cos_sql("a.embedding", "b.embedding")
 # tiny corpora sane. The SQL twin computes the identical integer via a
 # scalar subquery; at the oracle scale factors n/250 <= 8 so K floors
 # at 8 and adaptive entries hash-match the fixed-K policy.
-_IVF_LIST_SIZE = 250
+# The ladder itself lives in operators/similarity.py since r5 (it is
+# the operators' DEFAULT when no knob is passed); aliased here so the
+# SQL twins below are generated from the same integers.
+_IVF_LIST_SIZE = similarity.IVF_LIST_SIZE
 _ADAPTIVE_K_SQL = (
     f"(SELECT greatest(8, count(*) // {_IVF_LIST_SIZE}) FROM embeddings)"
 )
@@ -495,14 +498,11 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bit-identical across Python and SQL with plain comparisons, where
 # libm log2 could disagree in the last ulp exactly at bucket-doubling
 # boundaries.
-_NBITS_LADDER = [(125 << b, b) for b in range(8, 3, -1)]  # >=32000->8 ...
-
-
-def _adaptive_nbits(n: int) -> int:
-    for threshold, b in _NBITS_LADDER:
-        if n >= threshold:
-            return b
-    return 4
+# >=32000->8 ... — aliased from the operator module (the ladder is
+# the operator default since r5; the SQL twin must replay the same
+# integers).
+_NBITS_LADDER = similarity.NBITS_LADDER
+_adaptive_nbits = similarity.adaptive_nbits
 
 
 _NBITS_SQL = (
@@ -3147,6 +3147,8 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                  AS n_with_nan,
                CAST(sum(CASE WHEN norm_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_zero_norm,
+               CAST(sum(CASE WHEN norm_u IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_nonfinite_norm,
                CAST(min(norm_u) AS BIGINT) AS min_norm_u,
                CAST(max(norm_u) AS BIGINT) AS max_norm_u,
                CAST(round(median(norm_u)) AS BIGINT) AS med_norm_u
@@ -3159,8 +3161,11 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     "encoder export shows up). One scan, per-row codegen arithmetic, "
     "one 1-row aggregation; nothing shuffles but seven numbers. "
     "Non-finite norms (a NaN/inf component) are nulled out before the "
-    "integer cast on BOTH engines, so degenerate rows are reported only "
-    "via n_with_nan and never pollute the min/median/max norm stats "
+    "integer cast on BOTH engines and counted explicitly as "
+    "n_nonfinite_norm — an inf component carries no NaN, so without "
+    "that counter an inf-corrupted encoder export would be nearly "
+    "invisible (row silently dropped from the norm stats); they never "
+    "pollute the min/median/max norm stats "
     "(non-ANSI Spark would cast NaN to 0 while DuckDB errors).",
 )
 def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3192,6 +3197,9 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("norm_u") == 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_zero_norm"),
+        F.sum(F.when(F.col("norm_u").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_nonfinite_norm"),
         F.min("norm_u").alias("min_norm_u"),
         F.max("norm_u").alias("max_norm_u"),
         F.round(F.median("norm_u")).cast("bigint").alias("med_norm_u"),

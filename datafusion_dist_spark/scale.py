@@ -24,10 +24,15 @@ Scaling model — replica blocks, not row duplication:
   is the honest target shape: naive replication would instead make
   every doc a 10-way near-dup of itself and quadratically inflate the
   true pair count, drowning the measurement.
-* ``embeddings.embedding`` is rotated by ``k`` positions (numpy roll):
-  norm-preserving and within-replica cosine structure identical, so
-  ANN/semantic-dedup behavior replicates per block while cross-replica
-  vectors decorrelate. Seed centroids (``vec_id < K``) keep pointing
+* ``embeddings.embedding`` is rotated by ``k`` positions (numpy roll)
+  COMPOSED with a per-replica sign flip keyed on the bits of ``k``
+  (component j flips iff bit j%8 of k is set): the combined transform
+  is orthogonal, so norms and within-replica cosine structure are
+  identical, while cross-replica vectors decorrelate — and its period
+  is lcm(64, 256) = 256, so no factor ≤ 130 produces byte-identical
+  replica embeddings (roll alone repeats at k+64, which would
+  manufacture cross-replica cosine-1.0 pairs and quadratically inflate
+  the true pair count). Seed centroids (``vec_id < K``) keep pointing
   at replica-0 originals because offsets only grow ids.
 * Dimension tables (region, nation) are copied unchanged — dims don't
   scale with fact data, and nationkey references stay valid.
@@ -163,7 +168,18 @@ def _scaled_replica(table: str, tbl, k: int, strides: dict[str, int]):
         )
     if table == "embeddings":
         mat = np.array(cols["embedding"].to_pylist(), dtype=np.float32)
+        # Roll alone has period dim (=64): replicas k and k+64 would be
+        # byte-identical, manufacturing cross-replica cosine-1.0 pairs
+        # that quadratically inflate the true pair count. Compose it
+        # with a per-replica deterministic sign flip (component j flips
+        # iff bit j%8 of k is set): the combined transform is
+        # orthogonal (permutation × diag ±1), so within-replica
+        # cosines AND norms are exactly the source's, and its period
+        # is lcm(dim, 256) ≥ 256 > the 130 factor cap.
         rolled = np.roll(mat, k, axis=1)
+        j = np.arange(mat.shape[1] if mat.ndim == 2 else 0)
+        signs = np.where((k >> (j % 8)) & 1, -1.0, 1.0).astype(np.float32)
+        rolled = rolled * signs
         cols["embedding"] = pa.array(
             [row.tolist() for row in rolled],
             pa.list_(pa.float32()),
@@ -184,7 +200,10 @@ def scale_corpus(
     if factor > 130:
         raise ValueError(
             "factor > 130 exceeds the character-rotation period "
-            "(lcm(26, 10)); replicas would repeat text verbatim"
+            "(lcm(26, 10)); replicas would repeat text verbatim. "
+            "(The embedding transform — roll composed with a sign "
+            "flip keyed on bits of k — has period lcm(64, 256) = 256 "
+            "and is not the binding constraint.)"
         )
     tables = list(tables or TABLES)
     manifest = {

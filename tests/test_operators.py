@@ -319,6 +319,38 @@ def test_approx_distinct_within_hll_error_bound(spark):
         )
 
 
+def test_approx_distinct_error_across_scales_and_seeds(spark):
+    """The HLL++ error bound holds ACROSS group sizes and id
+    distributions, not just the one lineitem layout: 3 deterministic
+    id patterns (sequential, odd-stride, splitmix-style scrambled) ×
+    group sizes spanning 10..100k — covering the sparse/dense sketch
+    representations and the regime where the estimator switches —
+    must each land within 3×rsd of the exact count (plus a small
+    absolute floor for tiny groups). A registration-order or
+    column-wiring bug produces ~100% error and fails instantly."""
+    sizes = [10, 100, 1_000, 10_000, 100_000]
+    # (seed name, id transform as a Spark column over F.col("id"))
+    patterns = [
+        ("seq", F.col("id")),
+        ("stride", F.col("id") * 1_000_003 + 17),
+        # splitmix-ish scramble: spreads bits across the hash domain
+        ("scramble", F.xxhash64(F.col("id"))),
+    ]
+    rows = []
+    for size in sizes:
+        base = spark.range(size)
+        for name, expr in patterns:
+            got = (
+                base.select(expr.alias("v"))
+                .agg(F.approx_count_distinct("v").alias("a"))
+                .first()
+                .a
+            )
+            rows.append((name, size, got))
+    for name, size, got in rows:
+        assert abs(got - size) <= max(2, 0.15 * size), (name, size, got)
+
+
 def test_kmeans_train_stops_at_fixed_point(spark):
     """kmeans_train must detect the exact fixed point and stop early:
     when every vector sits exactly on its seed centroid, round 2
@@ -779,3 +811,85 @@ def test_minhash_prebuilt_matches_union_exactly(spark, tmp_path):
     flagged = {r.b_id for r in pre_pairs}
     for r in planted.collect():
         assert r.doc_id in flagged, f"planted copy {r.doc_id} not flagged"
+
+
+def test_minhash_index_params_sidecar(spark, tmp_path):
+    """The index's _params.json sidecar is the source of truth for
+    sketch parameters: the prebuilt query path derives k/bands/rows
+    from it when the caller passes none (so non-default indexes keep
+    working without the caller repeating the numbers), and REJECTS a
+    mismatching explicit value — a silent k/bands mismatch corrupts
+    every Jaccard estimate (sig length vs num_hashes divisor)."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") < 30)
+    batch = docs.filter(F.col("doc_id") < 30).select(
+        (F.col("doc_id") + 400000).alias("doc_id"), "text"
+    )
+    path = str(tmp_path / "mh-params")
+    dedup.minhash_index_build(index, path, k=4, bands=2, rows_per_band=8)
+    # Defaults derive from the sidecar → identical to the union form
+    # run with the build-time parameters.
+    derived = dedup.minhash_dedup_pairs_prebuilt(
+        spark, path, batch, split_id=400000, threshold=0.5
+    ).collect()
+    union = dedup.minhash_dedup_pairs(
+        index.unionByName(batch),
+        k=4,
+        bands=2,
+        rows_per_band=8,
+        threshold=0.5,
+        split_id=400000,
+    ).collect()
+    assert sorted(map(tuple, derived)) == sorted(map(tuple, union))
+    assert derived, "planted exact copies must pair"
+    # An explicit mismatch raises instead of silently mis-estimating.
+    with _pytest.raises(ValueError, match="built with"):
+        dedup.minhash_dedup_pairs_prebuilt(
+            spark, path, batch, split_id=400000, k=3
+        )
+    with _pytest.raises(ValueError, match="bands"):
+        dedup.minhash_dedup_pairs_prebuilt(
+            spark, path, batch, split_id=400000, bands=4
+        )
+
+
+def test_probe_cache_misses_on_same_path_rewrite(spark, tmp_path):
+    """_PROBE_CACHE must not serve stale centroid rankings after the
+    parquet under the SAME path is rewritten: the freshness token
+    (#files, max mtime, bytes) folds file state into the cache key.
+    Unlike the repo's other persisted caches, a stale hit here returns
+    WRONG data, not just a recompute."""
+    from datafusion_dist_spark.operators.similarity import (
+        _freshness_token,
+        _probe_cids,
+        probe_cache_clear,
+    )
+
+    path = str(tmp_path / "emb-rewrite")
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb.filter(F.col("vec_id") < 50).write.mode("overwrite").parquet(path)
+    df1 = spark.read.parquet(path)
+    tok1 = _freshness_token(df1)
+    assert tok1 is not None, "file-scan plan must yield a token"
+    q = [float(v) for v in emb.filter(F.col("vec_id") == 60).first().embedding]
+    cents1, probes1 = _probe_cids(df1, q, 8, 2, "vec_id", "embedding")
+    # Rewrite the same path with a disjoint centroid set (ids shifted
+    # into [0, 8) from rows 100+ so the nearest-centroid ranking must
+    # change), then re-read: a stale cache hit would return probes1.
+    emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)).select(
+        (F.col("vec_id") - 100).alias("vec_id"), "embedding"
+    ).write.mode("overwrite").parquet(path)
+    df2 = spark.read.parquet(path)
+    tok2 = _freshness_token(df2)
+    assert tok1 != tok2, "rewrite must change the freshness token"
+    cents2, probes2 = _probe_cids(df2, q, 8, 2, "vec_id", "embedding")
+    # A stale hit would hand back cents1 verbatim; the rewritten table's
+    # centroid vectors are a disjoint row set, so the query-to-centroid
+    # similarities must differ.
+    sims1 = {(int(r.cid), float(r.qsim)) for r in cents1}
+    sims2 = {(int(r.cid), float(r.qsim)) for r in cents2}
+    assert sims1 != sims2, "stale centroid rows served after rewrite"
+    assert len(cents2) == 8 and len(probes2) == 2
+    probe_cache_clear()

@@ -443,3 +443,140 @@ def test_parameterized_sql_binds_named_args(engine):
     )
     out = [b.to_pydict() for b in h2.stream_arrow()]
     assert out[0]["n"] == [0]
+
+
+_RETRY_SCRIPT = r"""
+import glob
+import os
+import sys
+
+REPO = os.environ["DDSPARK_REPO"]
+SF = os.environ["DDSPARK_SF_DIR"]
+MARK = os.environ["DDSPARK_FAIL_MARK"]
+sys.path.insert(0, REPO)
+from pyspark import TaskContext
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+# local[4, 2]: 4 threads, task maxFailures=2 -> one retry per task,
+# the minimum config under which a first-attempt failure is survivable
+# (plain local[*] pins maxFailures=1 and any task failure kills the
+# job, which is why the shared test session can't host this).
+spark = (
+    SparkSession.builder.master("local[4,2]")
+    .appName("ddspark-retry-determinism")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.operators import similarity
+from datafusion_dist_spark.sources.python_ds import register_sources
+
+
+def make_flaky(tag):
+    # Fails the FIRST attempt of partition 0 of every stage it appears
+    # in, exactly once per (stage, partition) — keyed by a sentinel
+    # file because accumulator updates from failed attempts are
+    # discarded. The retry (attemptNumber >= 1) passes the value
+    # through untouched, so a deterministic engine must produce
+    # hash-identical output to a clean run.
+    @F.udf("long")
+    def flaky(v):
+        ctx = TaskContext.get()
+        if ctx is not None and ctx.attemptNumber() == 0 and ctx.partitionId() == 0:
+            mark = os.path.join(MARK, f"{tag}-s{ctx.stageId()}-p{ctx.partitionId()}")
+            if not os.path.exists(mark):
+                open(mark, "w").close()
+                raise RuntimeError("injected first-attempt task failure")
+        return v
+
+    return flaky
+
+
+# --- numpy-scorer path: SemDeDup's applyInPandas cluster scorer ----
+emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+clean = sorted(
+    map(tuple, similarity.semantic_dedup_decisions(
+        emb, n_centroids=8, threshold=0.5
+    ).collect())
+)
+emb_flaky = emb.withColumn("vec_id", make_flaky("scorer")(F.col("vec_id")))
+retried = sorted(
+    map(tuple, similarity.semantic_dedup_decisions(
+        emb_flaky, n_centroids=8, threshold=0.5
+    ).collect())
+)
+assert clean, "empty baseline would vacuously pass"
+assert retried == clean, "retried run diverged from clean run"
+n_scorer = len(glob.glob(os.path.join(MARK, "scorer-*")))
+assert n_scorer >= 1, "no failure was actually injected in the scorer path"
+print(f"RETRY-OK scorer injected={n_scorer}", flush=True)
+
+# --- Python DataSource path: ddspark_synth scan under task retry ---
+register_sources(spark)
+src = (
+    spark.read.format("ddspark_synth")
+    .option("partitions", "4")
+    .option("rows_per_partition", "200")
+    .load()
+)
+agg = lambda df: sorted(
+    map(tuple, df.groupBy("part_id").agg(
+        F.count("*").alias("n"),
+        F.sum(F.crc32(F.col("text"))).alias("h"),
+        F.sum("doc_id").alias("s"),
+    ).collect())
+)
+clean_ds = agg(src)
+flaky_ds = src.withColumn("doc_id", make_flaky("ds")(F.col("doc_id")))
+retried_ds = agg(flaky_ds)
+# The flaky projection is pipelined into the scan's task, so the retry
+# re-runs the DataSource reader partition itself: the reader must be
+# deterministic under replay for the totals to hash-match.
+assert clean_ds and retried_ds == clean_ds, "datasource retry diverged"
+n_ds = len(glob.glob(os.path.join(MARK, "ds-*")))
+assert n_ds >= 1, "no failure was actually injected in the datasource path"
+print(f"RETRY-OK datasource injected={n_ds}", flush=True)
+spark.stop()
+print("ALL-OK")
+"""
+
+
+def test_task_retry_is_deterministic(tmp_path):
+    """The Spark analog of the reference's task-resilience tier
+    (exception.rs:13-28 + retry in the scheduler): a stage whose task
+    fails once and is retried must produce output hash-identical to a
+    clean run. Covers the numpy-scorer applyInPandas path (SemDeDup)
+    and a Python DataSource scan — both re-execute Python workers on
+    retry. Subprocess: needs master local[4,2] (maxFailures=2), and
+    one process holds one SparkContext."""
+    import os
+    import subprocess
+    import sys
+
+    repo = str(__import__("pathlib").Path(__file__).resolve().parents[1])
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    mark = str(tmp_path / "marks")
+    os.makedirs(mark, exist_ok=True)
+    env = dict(
+        os.environ,
+        PYTHONPATH=repo,
+        DDSPARK_REPO=repo,
+        DDSPARK_SF_DIR=sf,
+        DDSPARK_FAIL_MARK=mark,
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", _RETRY_SCRIPT],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        env=env,
+        cwd=repo,
+    )
+    assert "ALL-OK" in proc.stdout, (
+        f"stdout:\n{proc.stdout[-3000:]}\n\nstderr:\n{proc.stderr[-3000:]}"
+    )
+    assert proc.stdout.count("RETRY-OK") == 2

@@ -16,7 +16,7 @@ from __future__ import annotations
 import duckdb
 import pytest
 
-from datafusion_dist_spark.scale import scale_corpus
+from datafusion_dist_spark.scale import _scaled_replica, scale_corpus
 
 SRC = "/root/testdata/sf0.001"
 
@@ -140,3 +140,42 @@ def test_join_graph_and_embedding_norms(scaled):
     n0 = con.execute(norms.format(p=f"{SRC}/embeddings.parquet")).fetchone()[0]
     n = con.execute(norms.format(p=f"{scaled}/embeddings.parquet")).fetchone()[0]
     assert abs(n - 3 * n0) < 1e-6, (n, n0)
+
+
+def test_embedding_transform_period_exceeds_factor_cap():
+    """np.roll alone has period dim=64: replicas k and k+64 would carry
+    byte-identical embeddings, manufacturing cross-replica cosine-1.0
+    pairs that quadratically inflate the true pair count (the exact
+    distortion class this module documents avoiding). The shipped
+    transform composes the roll with a per-replica sign flip, so (a)
+    k vs k+64 replicas differ, (b) the transform stays orthogonal —
+    within-replica norms and pairwise cosines are EXACTLY the
+    source's."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SRC}/embeddings.parquet").slice(0, 16)
+    strides = {"embeddings": 10_000}
+
+    def mat(k):
+        rep = _scaled_replica("embeddings", tbl, k, strides)
+        return np.array(rep.column("embedding").to_pylist(), dtype=np.float64)
+
+    base, r2, r66 = mat(0), mat(2), mat(66)
+    # (a) the k+dim collision is gone for every factor ≤ the 130 cap.
+    assert not np.allclose(r2, r66), "replicas 2 and 66 byte-identical"
+    for k, rep in ((2, r2), (66, r66)):
+        # (b) orthogonality: norms exact...
+        assert np.allclose(
+            (rep * rep).sum(axis=1), (base * base).sum(axis=1)
+        ), f"replica {k} norms distorted"
+        # ...and the full within-replica Gram matrix (all pairwise
+        # dot products) exact — cosine structure replicates per block.
+        assert np.allclose(rep @ rep.T, base @ base.T), (
+            f"replica {k} pairwise cosine structure distorted"
+        )
+    # Cross-replica decorrelation sanity: no manufactured exact dups.
+    sims = (r2 / np.linalg.norm(r2, axis=1, keepdims=True)) @ (
+        r66 / np.linalg.norm(r66, axis=1, keepdims=True)
+    ).T
+    assert float(np.abs(sims).max()) < 0.999, "cross-replica near-dup manufactured"

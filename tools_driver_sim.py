@@ -40,6 +40,11 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
 from tests.oracle_compare import assert_frames_match
 
 qs, oracles = E.queries(), E.oracle_sql()
+if "--only" in sys.argv:
+    # Comma-separated substring filter for targeted re-sweeps, e.g.
+    #   python tools_driver_sim.py --only embedding_health,minhash
+    pats = sys.argv[sys.argv.index("--only") + 1].split(",")
+    qs = {n: f for n, f in qs.items() if any(p in n for p in pats)}
 fail = 0
 results = {}
 t0 = time.time()
