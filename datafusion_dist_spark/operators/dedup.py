@@ -207,6 +207,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     split_id: int | None = None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
     join → estimate Jaccard as matching-signature-component fraction;
@@ -234,12 +235,43 @@ def minhash_dedup_pairs(
     index side's signatures come from storage instead of recompute,
     but the join shape — one banded equi-join, no all-pairs — is
     identical.
+
+    ``bucket_cap`` is the HOT-BUCKET skew guard. Banded LSH's one
+    genuine scale pathology is a large near-identical cluster
+    (template/SEO boilerplate pages — a real crawl's heaviest key):
+    all m members land in the same band buckets and the equi-join
+    emits m² candidate rows per band, quadratic in the cluster no
+    matter how the rest of the corpus behaves. With a cap C, members
+    are ranked by doc_id inside each (band_id, band_key) bucket and a
+    pair survives only if BOTH ranks ≤ C — full fidelity inside the
+    head — or the lower side is the bucket's rank-1 representative:
+    every overflow member still pairs with the representative, so
+    per-bucket candidates are ≤ C(C-1)/2 + (m-C) (LINEAR in m) and
+    connected components recover the full cluster through the
+    representative's star. Deterministic (rank = doc_id order), so
+    the SQL oracle replays it exactly; same discipline as the
+    ABSOLUTE n-gram posting-list cap (relative caps re-grow with the
+    corpus and trend quadratic — measured r4). Self/union dedup only;
+    the prebuilt-index path keeps cap=None (its index/batch frames
+    are ranked separately, so a global rank is not well-defined
+    there).
     """
     num_hashes = bands * rows_per_band
     sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
     banded = _banded(sigs, bands, rows_per_band)
+    if bucket_cap is not None:
+        from pyspark.sql import Window
+
+        banded = banded.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+            ),
+        )
     a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
-    return _band_pair_estimates(a, b, num_hashes, threshold, split_id)
+    return _band_pair_estimates(
+        a, b, num_hashes, threshold, split_id, bucket_cap=bucket_cap
+    )
 
 
 def _band_pair_estimates(
@@ -248,6 +280,7 @@ def _band_pair_estimates(
     num_hashes: int,
     threshold: float,
     split_id: int | None,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Shared banded-join tail of the MinHash dedup family: equi-join
     on (band_id, band_key), Jaccard estimated as the
@@ -255,12 +288,20 @@ def _band_pair_estimates(
     sides already carry, per-pair dedup over primitive columns only.
     ``a``/``b`` must be aliased "a"/"b" by the caller (same banded
     frame for self/union dedup, storage-vs-computed frames for the
-    prebuilt-index path)."""
+    prebuilt-index path). ``bucket_cap`` requires the caller to have
+    ranked the banded frame (``rn`` per bucket, doc_id order) and adds
+    the hot-bucket guard predicate — see ``minhash_dedup_pairs``."""
     if split_id is None:
         side_pred = F.col("a.doc_id") < F.col("b.doc_id")
     else:
         side_pred = (F.col("a.doc_id") < split_id) & (
             F.col("b.doc_id") >= split_id
+        )
+    if bucket_cap is not None:
+        # Both-in-head, or the lower side is the bucket representative
+        # (rank ordering == doc_id ordering, so a.rn < b.rn already).
+        side_pred = side_pred & (
+            (F.col("b.rn") <= bucket_cap) | (F.col("a.rn") == 1)
         )
     matches = F.aggregate(
         F.zip_with(

@@ -235,6 +235,78 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hot-band-bucket cap — ABSOLUTE, like llm._NGRAM_CAP (a corpus-
+# relative cap re-grows with the corpus and trends quadratic; measured
+# r4). 16 keeps full pair fidelity for every bucket the uniform
+# corpora produce (max band-bucket ~ a handful of docs) while bounding
+# a planted template cluster's candidates to C(C-1)/2 + (m-C).
+_BUCKET_CAP = 16
+
+
+def _minhash_pairs_capped_cte(
+    threshold: float = 0.5, cap: int = _BUCKET_CAP
+) -> str:
+    """Capped twin of _minhash_pairs_cte: rank inside each band bucket
+    (doc_id order), keep pairs with both ranks in the head or whose
+    lower side is the rank-1 representative — the identical integer
+    policy the Spark operator applies."""
+    frac = _match_frac_sql()
+    return f"""banded_rn AS (
+            SELECT doc_id, band_id, band_key,
+                   row_number() OVER (
+                       PARTITION BY band_id, band_key ORDER BY doc_id
+                   ) AS rn
+            FROM banded
+        ),
+        cands AS (
+            SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM banded_rn a JOIN banded_rn b
+              ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+             AND (b.rn <= {cap} OR a.rn = 1)
+        ),
+        pairs AS (
+            SELECT c.a_id, c.b_id, {frac} AS est
+            FROM cands c
+            JOIN sigs sa ON c.a_id = sa.doc_id
+            JOIN sigs sb ON c.b_id = sb.doc_id
+            WHERE {frac} >= {threshold}
+        )"""
+
+
+@register(
+    "dedup_minhash_lsh_capped",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        {_shingle_cte()},
+        {_sig_cte()},
+        {_band_cte()},
+        {_minhash_pairs_capped_cte()}
+        SELECT a_id, b_id, round(est, 6) AS est_jaccard FROM pairs
+    """,
+    doc="MinHash-LSH near-dup pairs with the hot-band-bucket skew "
+    "guard: members of a band bucket are ranked by doc_id and a pair "
+    "survives only with both ranks <= 16 or via the bucket's rank-1 "
+    "representative, bounding per-bucket candidates to C(C-1)/2 + "
+    "(m-C) — LINEAR in a template cluster's size m where the uncapped "
+    "join is m^2 (a real crawl's heaviest skew key: boilerplate/SEO "
+    "template pages). Connected components recover the full cluster "
+    "through the representative's star, so cluster-level dedup "
+    "decisions are unchanged; only redundant intra-cluster pair "
+    "listings are dropped. On the uniform test corpora no bucket "
+    "exceeds the cap, so output equals dedup_minhash_lsh exactly. "
+    "(operators/dedup.py:minhash_dedup_pairs bucket_cap)",
+)
+def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_dedup_pairs(
+        _corpus(spark, sf_dir),
+        bands=BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=0.5,
+        bucket_cap=_BUCKET_CAP,
+    )
+
+
 _SIMHASH_BITS = 16
 
 

@@ -893,3 +893,66 @@ def test_probe_cache_misses_on_same_path_rewrite(spark, tmp_path):
     assert sims1 != sims2, "stale centroid rows served after rewrite"
     assert len(cents2) == 8 and len(probes2) == 2
     probe_cache_clear()
+
+
+def test_minhash_bucket_cap_bounds_hot_cluster(spark):
+    """The hot-band-bucket cap is the LSH skew guard: a template
+    cluster (m identical docs — the SEO-boilerplate shape) lands whole
+    in one band bucket per band and the uncapped join emits all
+    m(m-1)/2 pairs; with cap C the candidates per bucket are exactly
+    C(C-1)/2 head pairs + (m-C) representative pairs, and connected
+    components still recover the full cluster through the rank-1
+    representative's star."""
+    tpl = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lamda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    m, cap = 40, 8
+    rows = [(i, tpl) for i in range(m)]
+    noise = [
+        "quarterly revenue figures exceeded projections in several regions",
+        "the migration script renames every legacy column before backfill",
+        "ferry schedules change seasonally depending on harbor conditions",
+        "a compiler optimization pass removed the redundant bounds checks",
+    ]
+    rows += [(1000 + i, noise[i]) for i in range(len(noise))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+    }
+    capped = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.5, bucket_cap=cap
+        ).collect()
+    }
+    cluster_unc = {p for p in uncapped if p[0] < m and p[1] < m}
+    cluster_cap = {p for p in capped if p[0] < m and p[1] < m}
+    assert len(cluster_unc) == m * (m - 1) // 2  # the quadratic listing
+    assert capped <= uncapped
+    assert len(cluster_cap) == cap * (cap - 1) // 2 + (m - cap)
+    # Identical docs -> identical buckets in every band: ranks agree,
+    # so the surviving pair set is the head + representative star.
+    assert all(b <= cap - 1 or a == 0 for a, b in cluster_cap)
+    # Connectivity: union-find over capped pairs joins all m members.
+    parent = list(range(m))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in cluster_cap:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(m)}) == 1
+    # A cap no bucket exceeds is a no-op: bit-identical to uncapped.
+    relaxed = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.5, bucket_cap=m + 1
+        ).collect()
+    }
+    assert relaxed == uncapped
