@@ -216,12 +216,19 @@ def main() -> None:
     argv = sys.argv[1:]
     budget_path: str | None = None
     budget_factor = 2.0
+    out_path: str | None = None
     while argv:
         a = argv.pop(0)
         if a == "--assert-budget":
             budget_path = argv.pop(0)
         elif a == "--budget-factor":
             budget_factor = float(argv.pop(0))
+        elif a == "--out":
+            # Committable full-bench artifact (BENCH_SELF_rNN.json):
+            # the driver's BENCH_rNN capture tail-truncates long
+            # stdout, losing the first ~20 per-query rows (r4) — the
+            # committed copy is the complete record.
+            out_path = argv.pop(0)
         else:
             raise SystemExit(f"unknown argument {a!r}")
 
@@ -258,6 +265,9 @@ def main() -> None:
         "data_hashes": data_hashes(sf_dir),
     }
     print(json.dumps(result))
+    if out_path is not None:
+        with open(out_path, "w") as fh:
+            fh.write(json.dumps(result) + "\n")
     spark.stop()
     if budget_path is not None:
         problems = assert_budget(result, budget_path, budget_factor)

@@ -120,6 +120,55 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     "sample_temperature": None,
 }
 
+# --skew zipf: the skewed-data rehearsal (r5). Same harness, but the
+# scaled corpus is scale_corpus(skew="zipf") — deterministic hot keys
+# (orders.o_custkey / events.user_id zipf-remapped), a global
+# boilerplate prefix whose shingle df grows with the corpus, a
+# template near-dup cluster (the LSH hot-bucket pathology), and a
+# zipf document-length tail (~+21% text bytes). The entry list is the
+# subset those axes actually touch; embeddings are NOT skewed, so the
+# ANN tier would just re-measure the uniform corpus and is omitted.
+# Budgets: linear entries get coeff 1.5 (12x growth + skewed volume +
+# straggler scheduling headroom); entries whose OUTPUT is the
+# quadratic pair listing of the planted template cluster are budgeted
+# factor² and paired with their capped/linear twin — the same
+# fixed-vs-adaptive demonstration discipline as the uniform tier.
+SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
+    # hash-group dedup: hot digest groups are still one exchange
+    "dedup_exact": (1.0, 1.5),
+    "dedup_exact_normalized": (1.0, 1.5),
+    "dedup_paragraph_blocks": (1.0, 1.5),
+    # the planted template cluster makes the UNCAPPED pair listing
+    # honestly quadratic (m ~ 0.4% of docs, all in one band bucket);
+    # the capped twin bounds per-bucket candidates and must hold the
+    # linear budget — the knob demonstration under real skew.
+    "dedup_minhash_lsh": (2.0, 1.5),
+    "dedup_minhash_lsh_capped": (1.0, 1.5),
+    # incremental dedup pairs index x batch members of the cluster —
+    # same quadratic pair space as the uncapped listing.
+    "dedup_incremental": (2.0, 1.5),
+    # consumes the uncapped pair set (m² edges into CC)
+    "dedup_clusters": (2.0, 1.5),
+    "dedup_simhash": (1.0, 1.5),
+    # boilerplate shingle df grows linearly with the corpus: these are
+    # the entries whose ABSOLUTE posting caps finally bite (uniform
+    # corpus max df ~25 never reaches them).
+    "dedup_ngram_jaccard_capped": (1.0, 1.5),
+    "dedup_containment": (1.0, 1.5),
+    "dedup_substring_spans": (1.0, 1.5),
+    # single-scan text / pipeline tier under the length tail
+    "pipeline_clean_corpus": (1.0, 1.5),
+    "decontaminate_bloom_verify": (1.0, 1.5),
+    "text_tfidf_topk": (1.0, 1.5),
+    "sample_temperature": (1.0, 1.5),
+    # hot custkey = hub node: degree-ordered orientation / lineage-cut
+    # PR are the hub guards being exercised
+    "graph_pagerank": (1.0, 1.5),
+    "graph_triangle_count": (1.0, 1.5),
+    # the skew-proof aggregation itself
+    "agg_salted_twophase": (1.0, 1.5),
+}
+
 EXCLUDED: dict[str, str] = {
     "dedup_ngram_jaccard": "exact inverted-index variant, uncapped by "
     "definition (the oracle-grade twin); dedup_ngram_jaccard_capped is "
@@ -208,6 +257,7 @@ def main() -> None:
     out_path: str | None = None
     do_assert = True
     only: list[str] | None = None
+    skew: str | None = None
     while argv:
         a = argv.pop(0)
         if a == "--factor":
@@ -220,16 +270,23 @@ def main() -> None:
             do_assert = False
         elif a == "--queries":
             only = argv.pop(0).split(",")
+        elif a == "--skew":
+            skew = argv.pop(0)
         else:
             raise SystemExit(f"unknown argument {a!r}")
 
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    suffix = f"-{skew}" if skew else ""
     scale_dir = os.environ.get(
-        "SPARK_GRAFT_SCALE_DIR", f"/tmp/ddspark-scale/f{factor}"
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/ddspark-scale/f{factor}{suffix}"
     )
-    print(f"scaling corpus {base_dir} -> {scale_dir} (x{factor})", file=sys.stderr)
+    print(
+        f"scaling corpus {base_dir} -> {scale_dir} (x{factor}"
+        f"{', skew=' + skew if skew else ''})",
+        file=sys.stderr,
+    )
     t0 = time.perf_counter()
-    manifest = scale_corpus(base_dir, scale_dir, factor)
+    manifest = scale_corpus(base_dir, scale_dir, factor, skew=skew)
     print(f"corpus ready in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     import bench  # warmup + data_hashes
@@ -237,7 +294,8 @@ def main() -> None:
     spark = build_session("ddspark-bench-scale")
     bench.warmup(spark, base_dir)
     specs = registry.all_specs()
-    names = [n for n in SCALE_QUERIES if only is None or n in only]
+    budgets = SKEW_QUERIES if skew else SCALE_QUERIES
+    names = [n for n in budgets if only is None or n in only]
     for name, why in EXCLUDED.items():
         print(f"excluded {name}: {why}", file=sys.stderr)
 
@@ -245,7 +303,7 @@ def main() -> None:
     violations: list[str] = []
     for name in names:
         fn = specs[name].spark_fn
-        power, coeff = SCALE_QUERIES[name] or (1.0, DEFAULT_BUDGET_PER_FACTOR)
+        power, coeff = budgets[name] or (1.0, DEFAULT_BUDGET_PER_FACTOR)
         budget = coeff * factor**power
         tb = ts = float("inf")
         for _ in range(runs):
@@ -275,7 +333,10 @@ def main() -> None:
                 f"{name}: x{ratio} > budget x{budget:.1f} "
                 f"({tb:.2f}s -> {ts:.2f}s)"
             )
-    if only is None or any(n.startswith("ann_ivf_knn_join_prebuilt") for n in only):
+    if skew is None and (
+        only is None
+        or any(n.startswith("ann_ivf_knn_join_prebuilt") for n in only)
+    ):
         for name, r in measure_ivf_prebuilt(
             spark, base_dir, scale_dir, factor, runs
         ).items():
@@ -292,8 +353,9 @@ def main() -> None:
                 )
     spark.stop()
     out = {
-        "metric": "scale_rehearsal",
+        "metric": "scale_rehearsal" + (f"_{skew}" if skew else ""),
         "factor": factor,
+        "skew": skew,
         "runs_per_query": runs,
         "base_dir": base_dir,
         "queries": results,

@@ -110,12 +110,23 @@ def measure(spark, sf_dir: str, work_dir: str, n_batches: int) -> dict:
         tb = min(tb, time.perf_counter() - t0)
     out["index_build_sec"] = round(tb, 3)
 
-    for mode in ("resketch", "prebuilt"):
+    pair_state: dict[str, set] = {}
+    for mode, order in (
+        ("resketch", None),
+        ("prebuilt", list(range(n_batches))),
+        # Late-data replay: same drops, REVERSED delivery order. Each
+        # drop dedupes only against the static prebuilt index (never
+        # batch-to-batch), so the accumulated pair set must be
+        # order-invariant — the hash check below pins it against both
+        # the in-order run and the one-shot batch oracle.
+        ("prebuilt_replay", list(range(n_batches))[::-1]),
+    ):
         in_dir = os.path.join(work_dir, f"crawl-{mode}")
         ckpt = os.path.join(work_dir, f"ckpt-{mode}")
         for d in (in_dir, ckpt):
             shutil.rmtree(d, ignore_errors=True)
         lat: list[float] = []
+        state: set = set()
 
         def dedup_batch(batch_df, batch_id):
             t = time.perf_counter()
@@ -128,23 +139,47 @@ def measure(spark, sf_dir: str, work_dir: str, n_batches: int) -> dict:
                     )
                 ).count()
             else:
-                n = dedup.minhash_dedup_pairs_prebuilt(
+                rows = dedup.minhash_dedup_pairs_prebuilt(
                     spark, index_path, batch_df, split_id=SPLIT, threshold=0.5
-                ).count()
+                ).collect()
+                state.update((r.a_id, r.b_id, r.est_jaccard) for r in rows)
+                n = len(rows)
             lat.append(time.perf_counter() - t)
             dedup_batch.pairs = getattr(dedup_batch, "pairs", 0) + n
 
         # One drop per stream run (the checkpointed-offset pattern from
         # tests/test_streaming.py) so every drop is its own microbatch.
-        for drop in drops:
+        for drop in drops if order is None else [drops[i] for i in order]:
             drop.coalesce(1).write.format("ddspark_arrow_dir").option(
                 "path", in_dir
             ).mode("append").save()
             _run_stream(spark, in_dir, ckpt, dedup_batch)
         assert len(lat) == n_batches, f"{mode}: {len(lat)} microbatches"
         assert dedup_batch.pairs > 0, f"{mode}: no pairs flagged"
-        out[mode] = {"batch_secs": [round(s, 3) for s in lat],
-                     "min_batch_sec": round(min(lat), 3)}
+        pair_state[mode] = state
+        if mode != "prebuilt_replay":
+            out[mode] = {"batch_secs": [round(s, 3) for s in lat],
+                         "min_batch_sec": round(min(lat), 3)}
+
+    # Replay hash check: reversed delivery == in-order == one-shot batch.
+    batch_all = {
+        (r.a_id, r.b_id, r.est_jaccard)
+        for r in dedup.minhash_dedup_pairs(
+            index.unionByName(
+                drops[0] if n_batches == 1 else
+                __import__("functools").reduce(
+                    lambda a, b: a.unionByName(b), drops
+                )
+            ),
+            threshold=0.5,
+            split_id=SPLIT,
+        ).collect()
+    }
+    out["replay"] = {
+        "order_invariant": pair_state["prebuilt_replay"] == pair_state["prebuilt"],
+        "matches_batch_oracle": pair_state["prebuilt"] == batch_all,
+        "n_pairs": len(pair_state["prebuilt"]),
+    }
     return out
 
 
@@ -203,11 +238,16 @@ def main() -> None:
             f"{mode}: per-batch {tb:.2f}s -> {ts:.2f}s  x{ratio}",
             file=sys.stderr,
         )
+    for tag, m in (("base", base), ("scaled", scaled)):
+        r = m["replay"]
+        if not (r["order_invariant"] and r["matches_batch_oracle"]):
+            violations.append(f"replay[{tag}]: {r}")
     result = {
         "metric": "streaming_dedup_per_batch",
         "factor": factor,
         "batches": n_batches,
         "modes": modes,
+        "replay": {"base": base["replay"], "scaled": scaled["replay"]},
         "index_build": {
             "base_sec": base["index_build_sec"],
             "scaled_sec": scaled["index_build_sec"],

@@ -259,16 +259,31 @@ def minhash_dedup_pairs(
     num_hashes = bands * rows_per_band
     sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
     banded = _banded(sigs, bands, rows_per_band)
-    if bucket_cap is not None:
-        from pyspark.sql import Window
+    if bucket_cap is None:
+        a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
+        return _band_pair_estimates(a, b, num_hashes, threshold, split_id)
+    from pyspark.sql import Window
 
-        banded = banded.withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("band_id", "band_key").orderBy("doc_id")
-            ),
-        )
-    a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
+    ranked = banded.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+        ),
+    )
+    # The JOIN SHAPE is where the cap earns its bound, not the
+    # predicate: with the rank filter only in the join condition the
+    # hash join still ENUMERATES all m² in-bucket pairs before
+    # rejecting them (measured: capped wall == uncapped wall at the
+    # x10 skew rehearsal's 2.9k-member template cluster). Filtering
+    # the BUILD side to the ≤cap head rows per bucket bounds
+    # enumeration to cap × m per bucket — the build table a probe row
+    # scans holds at most cap entries per key — while the (b.rn ≤ cap
+    # OR a.rn = 1) condition then trims that to the head pairs plus
+    # the representative's star.
+    a = ranked.filter(F.col("rn") <= bucket_cap).alias("a").hint(
+        "shuffle_hash"
+    )
+    b = ranked.alias("b")
     return _band_pair_estimates(
         a, b, num_hashes, threshold, split_id, bucket_cap=bucket_cap
     )

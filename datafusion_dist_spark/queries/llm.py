@@ -403,38 +403,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
 
 
-@register(
-    "dedup_containment",
-    oracle=f"""
-        WITH {CORPUS_CTE},
-        {_shingle_cte()},
-        sizes AS (
-            SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
-        ),
-        inter AS (
-            SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
-            FROM shingles a JOIN shingles b
-              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY a.doc_id, b.doc_id
-        )
-        SELECT i.a_id, i.b_id,
-               round(CAST(i.n_inter AS DOUBLE)
-                     / least(sa.n_sh, sb.n_sh), 6) AS containment
-        FROM inter i
-        JOIN sizes sa ON i.a_id = sa.doc_id
-        JOIN sizes sb ON i.b_id = sb.doc_id
-        WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.6
-    """,
-    doc="Asymmetric n-gram containment >= 0.6: |A∩B| / min(|A|,|B|) — "
-    "the doc-in-doc / quoted-excerpt detector that Jaccard misses "
-    "(a short doc quoted inside a long one has tiny Jaccard but "
-    "containment ~1). Same single-pass inverted-index plan as the "
-    "Jaccard pass. (operators/dedup.py:ngram_containment_pairs)",
-)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_containment_pairs(_corpus(spark, sf_dir), threshold=0.6)
-
-
 # ABSOLUTE document-frequency cap. This constant's history is the
 # whole scale lesson: an absolute cap of 8 silently no-oped the pass
 # at sf0.1 (median df outgrew it; zero pairs flagged), so r3 made the
@@ -459,13 +427,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NGRAM_CAP = 100
 _NGRAM_CAP_SQL = str(_NGRAM_CAP)
 
-
-@register(
-    "dedup_ngram_jaccard_capped",
-    oracle=f"""
-        WITH {CORPUS_CTE},
-        {_shingle_cte()},
-        sizes AS (
+# Shared capped inverted-index CTE head: shingle sizes + the kept
+# (df <= cap) posting stream + pair intersections — the SQL replay of
+# _pair_counts_from_shingles' cap, used by both the Jaccard and the
+# containment entries so the two scores can never diverge on which
+# pairs exist.
+_CAPPED_INTER_CTES = f"""sizes AS (
             SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id
         ),
         kept AS (
@@ -479,7 +446,50 @@ _NGRAM_CAP_SQL = str(_NGRAM_CAP)
             FROM kept a JOIN kept b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
-        )
+        )"""
+
+
+@register(
+    "dedup_containment",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        {_shingle_cte()},
+        {_CAPPED_INTER_CTES}
+        SELECT i.a_id, i.b_id,
+               round(CAST(i.n_inter AS DOUBLE)
+                     / least(sa.n_sh, sb.n_sh), 6) AS containment
+        FROM inter i
+        JOIN sizes sa ON i.a_id = sa.doc_id
+        JOIN sizes sb ON i.b_id = sb.doc_id
+        WHERE CAST(i.n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.6
+    """,
+    doc="Asymmetric n-gram containment >= 0.6: |A∩B| / min(|A|,|B|) — "
+    "the doc-in-doc / quoted-excerpt detector that Jaccard misses "
+    "(a short doc quoted inside a long one has tiny Jaccard but "
+    "containment ~1). Same single-pass inverted-index plan as the "
+    "Jaccard pass, and — since r5 — the same ABSOLUTE posting-list "
+    "cap: the zipf skew rehearsal caught this entry uncapped at "
+    "x11.8 wall (vs the capped Jaccard twin's x3.1) because the "
+    "injected boilerplate prefix's shingles carry df ~ 8% of the "
+    "corpus and the uncapped inverted index enumerates df²/2 pairs "
+    "per hot list. The cap drops those lists before enumeration "
+    "(exact-scoring docs' rare-shingle overlap is the op's actual "
+    "job; boilerplate recall belongs to MinHash-LSH). Exact uncapped "
+    "scoring remains available via max_list_len=None, mirrored by "
+    "dedup_ngram_jaccard. (operators/dedup.py:ngram_containment_pairs)",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_containment_pairs(
+        _corpus(spark, sf_dir), threshold=0.6, max_list_len=_NGRAM_CAP
+    )
+
+
+@register(
+    "dedup_ngram_jaccard_capped",
+    oracle=f"""
+        WITH {CORPUS_CTE},
+        {_shingle_cte()},
+        {_CAPPED_INTER_CTES}
         SELECT i.a_id, i.b_id,
                round(CAST(i.n_inter AS DOUBLE)
                      / (sa.n_sh + sb.n_sh - i.n_inter), 6) AS jaccard

@@ -147,12 +147,155 @@ def _rotate_text(texts, k: int):
     return [None if t is None else t.translate(table) for t in texts]
 
 
-def _scaled_replica(table: str, tbl, k: int, strides: dict[str, int]):
+# --- zipfian skew variant (skew="zipf") -----------------------------
+#
+# The uniform replica model above preserves the SOURCE distributions
+# exactly — which is precisely why it cannot exercise skew handling
+# (salted aggregation, AQE skew joins, posting-list caps, the LSH
+# bucket cap): every key's share of the corpus is constant. The zipf
+# variant layers four deterministic, replica-invariant distortions on
+# top, each targeting one skew class a real 100 TB corpus exhibits and
+# each with its share GROWING with the corpus (the scale-out hot key):
+#
+# * hot-key remap (orders.o_custkey, events.user_id): _SKEW_HOT_FRAC
+#   of fact rows — hash-selected on the row's source primary key, so
+#   the same rows in every replica — have their FK remapped to a
+#   64-key hot set with zipf(1) weights (rank r gets share ∝ 1/(r+1)).
+#   The #1 hot key holds ~hot_frac/H_64 ≈ 4.2% of ALL rows at any
+#   factor: a true heavy hitter for joins and groupBys, and the hot
+#   keys bridge replica blocks (the join graph is deliberately no
+#   longer disconnected).
+# * global boilerplate prefix (_SKEW_BP_FRAC of docs): an UNROTATED
+#   shared token prefix, so its shingle dfs grow linearly with factor
+#   — the hot posting list that the absolute n-gram caps must bound
+#   (the uniform corpus' max shingle df is ~25 and never bites them).
+# * template near-dup cluster (_SKEW_TPL_FRAC of docs): text replaced
+#   by an unrotated ~30-token template + a per-source-doc variant
+#   token. Cluster size grows linearly with the corpus; all members
+#   share LSH band buckets — the hot-bucket pathology minhash's
+#   bucket_cap exists for (uncapped pair output is honestly m²).
+# * zipf length tail (_SKEW_LEN_FRAC of docs): text repeated ×2/4/8/16
+#   on nested hash slices (10%/20%/30%/40% of the selected docs) —
+#   per-row work skew / straggler pressure; ~+21% corpus bytes.
+#
+# Everything is a pure function of source bytes (splitmix64 over the
+# source primary key, seeded per tag by md5 of the tag string): no
+# RNG, rebuild-idempotent via the manifest, and pinned by
+# tests/test_scale.py's skew-distribution assertions.
+_SKEW_HOT_FRAC = 0.20
+_SKEW_HOT_KEYS = 64
+_SKEW_BP_FRAC = 0.08
+_SKEW_TPL_FRAC = 0.004
+_SKEW_LEN_FRAC = 0.05
+_SKEW_BP = (
+    "common header boilerplate navigation menu copyright terms "
+    "privacy policy contact"
+)
+_SKEW_TPL = (
+    "standard product listing template page with identical layout "
+    "description shipping returns warranty details customer service "
+    "hours payment options checkout instructions and footer links "
+    "repeated across the catalog"
+)
+
+
+def _u01(keys, tag: str):
+    """Deterministic uniform [0,1) per integer key: splitmix64 with a
+    per-tag seed (md5 of the tag). Vectorized, no RNG state."""
+    import numpy as np
+
+    seed = int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big")
+    x = keys.astype(np.uint64) + np.uint64(seed)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    x = x ^ (x >> np.uint64(31))
+    return x.astype(np.float64) / 2.0**64
+
+
+def _zipf_ranks(u):
+    """Map uniforms to hot-set ranks with zipf(1) weights via the
+    inverse CDF (rank r's share ∝ 1/(r+1) over _SKEW_HOT_KEYS)."""
+    import numpy as np
+
+    w = 1.0 / np.arange(1, _SKEW_HOT_KEYS + 1)
+    cdf = np.cumsum(w) / w.sum()
+    return np.searchsorted(cdf, u, side="right").clip(0, _SKEW_HOT_KEYS - 1)
+
+
+def _skew_hot_set(src_dir: str, table: str, column: str):
+    """The hot-key target set: the _SKEW_HOT_KEYS smallest distinct
+    SOURCE values of the referenced key (replica-0 ids, never offset —
+    hot keys are global across replicas)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    vals = (
+        pq.read_table(os.path.join(src_dir, f"{table}.parquet"), columns=[column])
+        .column(column)
+        .to_numpy(zero_copy_only=False)
+    )
+    return np.sort(np.unique(vals))[:_SKEW_HOT_KEYS]
+
+
+def _skew_length_mult(u):
+    """Zipf-ish repeat multiplier for the length tail: 16/8/4/2 on
+    10%/20%/30%/40% nested slices of the selected docs."""
+    if u < 0.1:
+        return 16
+    if u < 0.3:
+        return 8
+    if u < 0.6:
+        return 4
+    return 2
+
+
+def _apply_doc_skew(ids, texts):
+    """Template replace / boilerplate prefix / length tail for one
+    replica's (already rotated) document texts. Selection is keyed on
+    the SOURCE doc_id, so the same docs are transformed in every
+    replica; the injected template/boilerplate strings are NOT rotated
+    — their token collisions across replicas are the point."""
+    u_tpl = _u01(ids, "tpl")
+    u_bp = _u01(ids, "bp")
+    u_len = _u01(ids, "len")
+    u_lenm = _u01(ids, "lenm")
+    out = []
+    for i, t in enumerate(texts):
+        if t is None:
+            out.append(None)
+            continue
+        if u_tpl[i] < _SKEW_TPL_FRAC:
+            t = f"{_SKEW_TPL} v{int(ids[i])}x"
+        elif u_bp[i] < _SKEW_BP_FRAC:
+            t = f"{_SKEW_BP} {t}"
+        if u_len[i] < _SKEW_LEN_FRAC:
+            t = " ".join([t] * _skew_length_mult(u_lenm[i]))
+        out.append(t)
+    return out
+
+
+def _apply_key_skew(src_keys, fk_after_offset, hot_set):
+    """Remap _SKEW_HOT_FRAC of rows (selected on the source primary
+    key) to zipf-weighted members of the hot set; the rest keep their
+    stride-offset FK."""
+    import numpy as np
+
+    mask = _u01(src_keys, "hot") < _SKEW_HOT_FRAC
+    # Clip for corpora with fewer distinct keys than the hot-set size
+    # (sf0.001 tests); excess ranks collapse onto the tail key, which
+    # only makes the distribution MORE skewed.
+    ranks = _zipf_ranks(_u01(src_keys, "rank")).clip(0, len(hot_set) - 1)
+    return np.where(mask, hot_set[ranks], fk_after_offset)
+
+
+def _scaled_replica(
+    table: str, tbl, k: int, strides: dict[str, int], skew_info=None
+):
     """Replica k of one source table as a new pyarrow Table."""
     import numpy as np
     import pyarrow as pa
 
-    if k == 0:
+    if k == 0 and skew_info is None:
         return tbl
     cols = {name: tbl.column(name) for name in tbl.schema.names}
     for col, stride_of in _KEYS.get(table, {}).items():
@@ -162,9 +305,35 @@ def _scaled_replica(table: str, tbl, k: int, strides: dict[str, int]):
         )
     if table == "documents":
         # Character-rotated text; n_chars needs no touch — the
-        # bijection is length-preserving by construction.
-        cols["text"] = pa.array(
-            _rotate_text(cols["text"].to_pylist(), k), pa.string()
+        # bijection is length-preserving by construction. (The skew
+        # variant's template/boilerplate/length edits DO change
+        # lengths, so it recomputes n_chars.)
+        texts = _rotate_text(tbl.column("text").to_pylist(), k)
+        if skew_info is not None:
+            src_ids = tbl.column("doc_id").to_numpy(zero_copy_only=False)
+            texts = _apply_doc_skew(src_ids, texts)
+            cols["n_chars"] = pa.array(
+                [None if t is None else len(t) for t in texts],
+                tbl.schema.field("n_chars").type,
+            )
+        cols["text"] = pa.array(texts, pa.string())
+    if skew_info is not None and table == "orders":
+        cols["o_custkey"] = pa.array(
+            _apply_key_skew(
+                tbl.column("o_orderkey").to_numpy(zero_copy_only=False),
+                cols["o_custkey"].to_numpy(zero_copy_only=False),
+                skew_info["hot_custkeys"],
+            ),
+            tbl.schema.field("o_custkey").type,
+        )
+    if skew_info is not None and table == "events":
+        cols["user_id"] = pa.array(
+            _apply_key_skew(
+                tbl.column("event_id").to_numpy(zero_copy_only=False),
+                cols["user_id"].to_numpy(zero_copy_only=False),
+                skew_info["hot_users"],
+            ),
+            tbl.schema.field("user_id").type,
         )
     if table == "embeddings":
         mat = np.array(cols["embedding"].to_pylist(), dtype=np.float32)
@@ -190,11 +359,17 @@ def _scaled_replica(table: str, tbl, k: int, strides: dict[str, int]):
 
 
 def scale_corpus(
-    src_dir: str, dst_dir: str, factor: int, tables: list[str] | None = None
+    src_dir: str,
+    dst_dir: str,
+    factor: int,
+    tables: list[str] | None = None,
+    skew: str | None = None,
 ) -> dict:
     """Materialize a factor-x corpus at dst_dir; idempotent via the
-    manifest (source hashes + factor + table list). Returns the
-    manifest."""
+    manifest (source hashes + factor + table list). ``skew="zipf"``
+    additionally applies the deterministic hot-key / boilerplate /
+    template-cluster / length-tail distortions documented above.
+    Returns the manifest."""
     import pyarrow.parquet as pq
 
     if factor > 130:
@@ -205,12 +380,18 @@ def scale_corpus(
             "flip keyed on bits of k — has period lcm(64, 256) = 256 "
             "and is not the binding constraint.)"
         )
+    if skew not in (None, "zipf"):
+        raise ValueError(f"unknown skew mode {skew!r} (expected 'zipf')")
     tables = list(tables or TABLES)
     manifest = {
         "factor": factor,
         "tables": tables,
         "source": _file_hashes(src_dir),
     }
+    if skew is not None:
+        # Key added only when set, so pre-skew uniform manifests stay
+        # valid and cached corpora are not rebuilt.
+        manifest["skew"] = skew
     mpath = os.path.join(dst_dir, "_SCALE_MANIFEST.json")
     try:
         with open(mpath) as fh:
@@ -231,6 +412,12 @@ def scale_corpus(
         + 1
         for name, (t, c) in _STRIDE_SOURCE.items()
     }
+    skew_info = None
+    if skew == "zipf":
+        skew_info = {
+            "hot_custkeys": _skew_hot_set(src_dir, "customer", "c_custkey"),
+            "hot_users": _skew_hot_set(src_dir, "events", "user_id"),
+        }
     for table in tables:
         src = pq.read_table(os.path.join(src_dir, f"{table}.parquet"))
         dst = os.path.join(dst_dir, f"{table}.parquet")
@@ -240,7 +427,9 @@ def scale_corpus(
         writer = pq.ParquetWriter(dst, src.schema)
         try:
             for k in range(factor):
-                writer.write_table(_scaled_replica(table, src, k, strides))
+                writer.write_table(
+                    _scaled_replica(table, src, k, strides, skew_info)
+                )
         finally:
             writer.close()
     with open(mpath, "w") as fh:

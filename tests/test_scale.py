@@ -179,3 +179,120 @@ def test_embedding_transform_period_exceeds_factor_cap():
         r66 / np.linalg.norm(r66, axis=1, keepdims=True)
     ).T
     assert float(np.abs(sims).max()) < 0.999, "cross-replica near-dup manufactured"
+
+
+@pytest.fixture(scope="module")
+def skewed(tmp_path_factory):
+    dst = str(tmp_path_factory.mktemp("skew") / "f3z")
+    scale_corpus(SRC, dst, 3, skew="zipf")
+    return dst
+
+
+def test_zipf_skew_distributions(skewed):
+    """Pin the skew corpus' engineered distortions (the analog of the
+    uniform corpus' df pins): a future generator edit that silently
+    flattens the hot keys or the template cluster would turn the skew
+    rehearsal back into the uniform one without failing any budget."""
+    from datafusion_dist_spark.scale import (
+        _SKEW_BP,
+        _SKEW_BP_FRAC,
+        _SKEW_HOT_FRAC,
+        _SKEW_TPL,
+    )
+
+    con = duckdb.connect()
+    # Hot-key zipf: the remapped share is ~_SKEW_HOT_FRAC and the top
+    # key alone holds several times a uniform key's share.
+    tot, top, med = con.execute(
+        f"""
+        WITH g AS (SELECT o_custkey, count(*) AS c
+                   FROM read_parquet('{skewed}/orders.parquet') GROUP BY 1)
+        SELECT (SELECT sum(c) FROM g),
+               (SELECT max(c) FROM g),
+               (SELECT median(c) FROM g)
+        """
+    ).fetchone()
+    assert top / tot > 0.03, (top, tot)
+    assert top > 5 * med, (top, med)
+    # Top EVENT user: rank-0 zipf weight over the (clipped, sf0.001 has
+    # few distinct users) hot set is ~1/H_15 ≈ 0.30 of the remapped 20%
+    # ⇒ ~6-9% of ALL events incl. its natural share — an order of
+    # magnitude above a uniform user's.
+    top_u, tot_e = con.execute(
+        f"""
+        SELECT (SELECT max(c) FROM (SELECT count(*) AS c
+                FROM read_parquet('{skewed}/events.parquet') GROUP BY user_id)),
+               (SELECT count(*) FROM read_parquet('{skewed}/events.parquet'))
+        """
+    ).fetchone()
+    assert 0.05 < top_u / tot_e < 0.15, (top_u, tot_e)
+    # Boilerplate prefix share, and it must be UNROTATED (identical
+    # string in every replica — its linear-growing shingle df is the
+    # point).
+    bp, tot_docs = con.execute(
+        f"""
+        SELECT sum(CASE WHEN text LIKE '{_SKEW_BP}%' THEN 1 ELSE 0 END),
+               count(*)
+        FROM read_parquet('{skewed}/documents.parquet')
+        """
+    ).fetchone()
+    assert _SKEW_BP_FRAC * 0.7 < bp / tot_docs < _SKEW_BP_FRAC * 1.4
+    # Template cluster: same source docs in every replica (ids congruent
+    # mod the stride), all sharing the unrotated template prefix.
+    tpl_rows = con.execute(
+        f"""
+        SELECT doc_id FROM read_parquet('{skewed}/documents.parquet')
+        WHERE text LIKE '{_SKEW_TPL}%' ORDER BY doc_id
+        """
+    ).fetchall()
+    n_src = con.execute(
+        f"SELECT max(doc_id) + 1 FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchone()[0]
+    assert len(tpl_rows) >= 3 and len(tpl_rows) % 3 == 0, tpl_rows
+    src_ids = sorted({r[0] % n_src for r in tpl_rows})
+    assert len(src_ids) == len(tpl_rows) // 3, "template set not replica-invariant"
+    # Length tail: a zipf x16 ceiling, and n_chars stays consistent
+    # with the edited text everywhere.
+    mx, base_mx = con.execute(
+        f"""
+        SELECT (SELECT max(n_chars) FROM read_parquet('{skewed}/documents.parquet')),
+               (SELECT max(n_chars) FROM read_parquet('{SRC}/documents.parquet'))
+        """
+    ).fetchone()
+    assert mx > 8 * base_mx, (mx, base_mx)
+    bad = con.execute(
+        f"""
+        SELECT count(*) FROM read_parquet('{skewed}/documents.parquet')
+        WHERE n_chars <> length(text)
+        """
+    ).fetchone()[0]
+    assert bad == 0
+
+
+def test_zipf_skew_deterministic_and_manifest_distinct(skewed, scaled):
+    """Same inputs → byte-identical skew corpus (pure function of the
+    source, no RNG); and the skew manifest differs from the uniform one
+    only by the skew key, so cached uniform corpora are not invalidated."""
+    import hashlib
+    import json
+    import os
+
+    rebuilt = skewed + "-again"
+    scale_corpus(SRC, rebuilt, 3, skew="zipf")
+
+    def md5(p):
+        h = hashlib.md5()
+        with open(p, "rb") as fh:
+            for chunk in iter(lambda: fh.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    for t in ["documents", "orders", "events", "embeddings"]:
+        assert md5(f"{skewed}/{t}.parquet") == md5(f"{rebuilt}/{t}.parquet"), t
+    with open(os.path.join(skewed, "_SCALE_MANIFEST.json")) as fh:
+        m_skew = json.load(fh)
+    with open(os.path.join(scaled, "_SCALE_MANIFEST.json")) as fh:
+        m_uni = json.load(fh)
+    assert m_skew.pop("skew") == "zipf"
+    assert "skew" not in m_uni
+    assert m_skew == m_uni

@@ -397,3 +397,78 @@ def test_streaming_incremental_dedup_over_arrow_dir(spark, tmp_path):
         *(v for k, v in flagged_per_batch.items() if k > 0)
     ) if len(flagged_per_batch) > 1 else set()
     assert all(i >= 600000 for i in late_ids), late_ids
+
+
+def test_streaming_dedup_replay_out_of_order_matches_batch(spark, tmp_path):
+    """Late/out-of-order delivery must not change dedup state: the same
+    two crawl drops streamed in-order and REVERSED (the late-batch
+    replay) accumulate the identical flagged-pair set, and both equal
+    the one-shot batch oracle over index ∪ all drops. Holds by
+    construction — each drop dedupes only against the static prebuilt
+    index, never batch-to-batch — and this pins that construction:
+    an operator change that introduced cross-batch state (or a
+    non-deterministic index read) would fork the replay hash."""
+    from pyspark.sql import functions as F
+
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.operators import dedup
+    from datafusion_dist_spark.sources.python_ds import register_sources
+    from tests.conftest import SF_DIR
+
+    register_sources(spark)
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") < 40)
+    index_path = str(tmp_path / "mh-index")
+    dedup.minhash_index_build(index, index_path)
+
+    drops = [
+        index.filter(F.col("doc_id") % 9 == 0).select(
+            (F.col("doc_id") + 300000).alias("doc_id"), "text"
+        ),
+        index.filter(F.col("doc_id") % 7 == 0).select(
+            (F.col("doc_id") + 600000).alias("doc_id"), "text"
+        ),
+    ]
+
+    def run_stream(order, tag):
+        out = str(tmp_path / f"crawl-{tag}")
+        ckpt = str(tmp_path / f"ckpt-{tag}")
+        state: set = set()
+
+        def dedup_batch(batch_df, batch_id):
+            rows = dedup.minhash_dedup_pairs_prebuilt(
+                spark, index_path, batch_df, split_id=300000, threshold=0.5
+            ).collect()
+            state.update((r.a_id, r.b_id, r.est_jaccard) for r in rows)
+
+        for i in order:
+            drops[i].coalesce(1).write.format("ddspark_arrow_dir").option(
+                "path", out
+            ).mode("append").save()
+            q = (
+                spark.readStream.format("ddspark_arrow_dir")
+                .option("path", out)
+                .load()
+                .writeStream.foreachBatch(dedup_batch)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        return state
+
+    in_order = run_stream([0, 1], "fwd")
+    replayed = run_stream([1, 0], "rev")
+    assert in_order, "no pairs flagged"
+    assert replayed == in_order, "replay order changed dedup state"
+
+    # One-shot batch oracle: the whole crawl in a single pass.
+    batch_all = {
+        (r.a_id, r.b_id, r.est_jaccard)
+        for r in dedup.minhash_dedup_pairs(
+            index.unionByName(drops[0]).unionByName(drops[1]),
+            threshold=0.5,
+            split_id=300000,
+        ).collect()
+    }
+    assert in_order == batch_all, "streamed state != batch oracle"

@@ -31,8 +31,13 @@ df = E.entry(spark)
 rows = df.collect()
 print(f"entry(): {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
 
-# 2. queries vs oracles at sf0.01
+# 2. queries vs oracles at sf0.01 (--sf-dir overrides: the r5 protocol
+# runs the FULL sweep at sf0.1 too — scale-dependent constants (caps,
+# bucket ladders) are the recurring bug class and only a second SF
+# catches a silently no-oping one).
 sf_dir = "/root/testdata/sf0.01"
+if "--sf-dir" in sys.argv:
+    sf_dir = sys.argv[sys.argv.index("--sf-dir") + 1]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
