@@ -448,18 +448,53 @@ def minhash_dedup_pairs_prebuilt(
 # -- SimHash --------------------------------------------------------------
 
 
-def simhash(docs: DataFrame, text_col: str = "text", bits: int = 16) -> DataFrame:
+# Corpus-tracking SimHash width. A FIXED sketch width saturates: at 16
+# bits a 72k-doc corpus puts ~1% of ALL pairs within Hamming 3 by
+# chance, so the pair op's OUTPUT is quadratic in the corpus no matter
+# how candidates are blocked — the r5 second-SF sweep found the sweep
+# session OOMing on exactly this (the sf0.01 gate passed for four
+# rounds). The width must grow so the block-key space tracks the
+# corpus: block_bits ≈ ceil(log2 n) clamped to [4, 15] (15 = the
+# 60-bit hash budget / 4 pigeonhole blocks), bits = 4 × block_bits.
+# Integer threshold ladder, never libm log2 — the SQL oracle replays
+# the identical integer from a count(*) scalar.
+SIMHASH_HASH_WIDTH = 15  # hex chars of md5 -> 60-bit token hash
+
+
+def adaptive_simhash_bits(n: int) -> int:
+    """SimHash width for an n-doc corpus: 4 pigeonhole blocks of
+    ceil(log2 n) bits each, clamped to [16, 60]."""
+    for b in range(15, 4, -1):
+        if n > 1 << (b - 1):
+            return 4 * b
+    return 16
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    bits: int = 16,
+    hash_width: int = 8,
+) -> DataFrame:
     """Per-doc SimHash over distinct tokens: bit_j = sign of
     sum(+1/-1 per token according to bit j of the token hash).
 
-    Token hash = 32-bit int from md5 (cross-engine stable); ``bits``
+    Token hash = first ``hash_width`` hex chars of md5 (cross-engine
+    stable; 8 → 32-bit, 15 → 60-bit for the adaptive widths); ``bits``
     bit-columns summed in one aggregation, then packed to one BIGINT.
     """
+    if bits > 4 * hash_width:
+        raise ValueError(
+            f"bits={bits} exceeds the {4 * hash_width}-bit hash "
+            f"(hash_width={hash_width} hex chars)"
+        )
     toks = spread(docs).select(
         "doc_id",
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
     )
-    h = F.conv(hash_hex(F.col("tok"), seed="sim"), 16, 10).cast("bigint")
+    h = F.conv(
+        hash_hex(F.col("tok"), seed="sim", width=hash_width), 16, 10
+    ).cast("bigint")
     toks = toks.withColumn("h", h)
     aggs = [
         F.sum(

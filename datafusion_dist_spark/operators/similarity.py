@@ -434,9 +434,15 @@ def kmeans_refine_step(
         cvecs[0],  # qscore unused; reuse the shared scorer as-is
         _lit_norm(cvecs[0]),
     )
-    # No spread: assignment is a shuffle-free projection; the (cid,
-    # dim) aggregation right after is the plan's only exchange.
-    assigned = embeddings.select(
+    # spread(): the r5 strong-scaling gate measured this entry FLAT at
+    # 8 vs 32 cores (x1.0, 3.1 s) — the x10 corpus parquet arrives as
+    # 1-2 input splits and the scorer + posexplode + partial aggregate
+    # are all pipelined into those map tasks, so the whole round ran
+    # on 2 cores. The earlier "no spread, assignment is shuffle-free"
+    # reasoning optimized away the one shuffle that buys 16x map
+    # parallelism; spread() skips itself when the input is already
+    # parallel (the 100 TB case), so only under-parallel inputs pay.
+    assigned = spread(embeddings).select(
         F.col(vec_col), scorer(F.col(vec_col)).alias("s")
     ).select(
         _rounded_argmax_cid(cent_rows).alias("cid"),

@@ -338,6 +338,69 @@ def _simhash_cte(source: str = "corpus") -> str:
     """
 
 
+def _simhash_wide_cte(source: str = "corpus") -> str:
+    """Adaptive-width simhash + blocked candidate CTEs: 60-bit token
+    hash (15 hex chars), width from the corpus-count integer ladder
+    (``dedup.adaptive_simhash_bits`` replayed as a CASE over
+    count(*)), pack gated on j < bits, and the 4-block pigeonhole
+    candidate join — the provably lossless rewrite of the all-pairs
+    Hamming scan (a pair within distance 3 agrees exactly on ≥1 of 4
+    blocks), which also keeps the ORACLE feasible at sf0.1."""
+    from datafusion_dist_spark.operators.dedup import SIMHASH_HASH_WIDTH
+
+    maxbits = 4 * SIMHASH_HASH_WIDTH
+    ladder = " ".join(
+        f"WHEN n > {1 << (b - 1)} THEN {4 * b}" for b in range(15, 4, -1)
+    )
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT)"
+        f" AS b{j}"
+        for j in range(maxbits)
+    )
+    pack = " + ".join(
+        f"CASE WHEN {j} < w.bits AND b{j} > 0 THEN {2**j} ELSE 0 END"
+        for j in range(maxbits)
+    )
+    h = hash_hex_oracle("tok", seed="sim", width=SIMHASH_HASH_WIDTH)
+    return f"""
+    doc_tokens AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM {source}, UNNEST({TOKS}) AS t(tok)
+    ),
+    tok_hashes AS (
+        SELECT doc_id, CAST(('0x' || {h}) AS BIGINT) AS h
+        FROM doc_tokens
+    ),
+    w AS (
+        SELECT CASE {ladder} ELSE 16 END AS bits,
+               (CASE {ladder} ELSE 16 END) // 4 AS bb
+        FROM (SELECT count(*) AS n FROM {source})
+    ),
+    bit_sums AS (
+        SELECT doc_id,
+               {sums}
+        FROM tok_hashes GROUP BY doc_id
+    ),
+    simhashes AS (
+        SELECT doc_id, CAST({pack} AS BIGINT) AS simhash
+        FROM bit_sums CROSS JOIN w
+    ),
+    blocked AS (
+        SELECT doc_id, simhash, u.i AS block_id,
+               (simhash >> (u.i * w.bb))
+                 & ((CAST(1 AS BIGINT) << w.bb) - 1) AS block_key
+        FROM simhashes CROSS JOIN w, UNNEST([0, 1, 2, 3]) AS u(i)
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.simhash AS sa, b.simhash AS sb
+        FROM blocked a JOIN blocked b
+          ON a.block_id = b.block_id AND a.block_key = b.block_key
+         AND a.doc_id < b.doc_id
+    )
+    """
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -356,20 +419,34 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs",
     oracle=f"""
         WITH {CORPUS_CTE},
-        {_simhash_cte()}
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        FROM simhashes a JOIN simhashes b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        {_simhash_wide_cte()}
+        SELECT a_id, b_id,
+               CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        FROM cands WHERE bit_count(xor(sa, sb)) <= 3
     """,
     doc="SimHash near-dup pairs (Hamming ≤ 3) via pigeonhole bit-block "
     "banding: a pair within distance d agrees on ≥1 of d+1 blocks, so "
-    "the blocked equi-join provably loses nothing vs the oracle's "
-    "all-pairs scan. (operators/dedup.py:simhash_hamming_pairs)",
+    "the blocked equi-join provably loses nothing vs an all-pairs "
+    "scan. The sketch WIDTH tracks the corpus (4 blocks of "
+    "~ceil(log2 n) bits, 16..60 — integer ladder, scalar-subquery "
+    "replayed in SQL): the r5 second-SF sweep caught the previous "
+    "FIXED 16-bit width saturating at sf0.1 — with 72k docs ~1% of "
+    "ALL pairs sit within Hamming 3 of each other by chance, making "
+    "the op's OUTPUT quadratic in the corpus (driver OOM) while the "
+    "sf0.01 gate had passed for four rounds. Same knob family as "
+    "nbits/K/posting caps: fixed blocking constants are only correct "
+    "for a pinned corpus size. The oracle uses the same provably "
+    "lossless blocked candidates (an all-pairs oracle join would "
+    "itself be 2.6e9 rows at sf0.1). "
+    "(operators/dedup.py:simhash_hamming_pairs, adaptive_simhash_bits)",
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sims = dedup.simhash(_corpus(spark, sf_dir), bits=_SIMHASH_BITS)
-    return dedup.simhash_hamming_pairs(sims, bits=_SIMHASH_BITS, max_distance=3)
+    corpus = _corpus(spark, sf_dir)
+    bits = dedup.adaptive_simhash_bits(corpus.count())
+    sims = dedup.simhash(
+        corpus, bits=bits, hash_width=dedup.SIMHASH_HASH_WIDTH
+    )
+    return dedup.simhash_hamming_pairs(sims, bits=bits, max_distance=3)
 
 
 @register(

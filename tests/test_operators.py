@@ -956,3 +956,33 @@ def test_minhash_bucket_cap_bounds_hot_cluster(spark):
         ).collect()
     }
     assert relaxed == uncapped
+
+
+def test_adaptive_simhash_width_ladder_and_pairs(spark):
+    """The simhash sketch width must track the corpus (a fixed 16-bit
+    sketch saturates: ~1% of ALL pairs land within Hamming 3 by chance
+    at 72k docs — caught OOMing the r5 second-SF sweep). Ladder pins +
+    an end-to-end check that planted exact dups still pair at the
+    adaptive width with a 60-bit hash."""
+    assert dedup.adaptive_simhash_bits(0) == 16
+    assert dedup.adaptive_simhash_bits(16) == 16
+    assert dedup.adaptive_simhash_bits(17) == 20
+    assert dedup.adaptive_simhash_bits(7200) == 52
+    assert dedup.adaptive_simhash_bits(72_000) == 60
+    assert dedup.adaptive_simhash_bits(10**12) == 60  # hash budget cap
+    with pytest.raises(ValueError, match="exceeds"):
+        dedup.simhash(None, bits=36, hash_width=8)
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text").limit(40)
+    first = docs.first()
+    planted = spark.createDataFrame(
+        [(91000, first.text)], "doc_id long, text string"
+    )
+    corpus = docs.unionByName(planted)
+    bits = dedup.adaptive_simhash_bits(41)
+    sims = dedup.simhash(corpus, bits=bits, hash_width=dedup.SIMHASH_HASH_WIDTH)
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in dedup.simhash_hamming_pairs(sims, bits=bits).collect()
+    }
+    assert pairs.get((first.doc_id, 91000)) == 0, pairs

@@ -199,8 +199,13 @@ def test_ivf_scorer_single_python_eval(spark):
 def test_kmeans_refine_single_exchange(spark):
     """The Lloyd iteration must be: scorer projection (one Python
     eval) → posexplode → ONE two-phase aggregation keyed by (cid,
-    dim). Any additional exchange means the vector column is being
-    shuffled — the thing the design exists to avoid at 100 TB."""
+    dim). The only other exchange permitted is spread()'s ROUND-ROBIN
+    repartition of an under-parallel input (this tiny test corpus is
+    1 split; the r5 strong-scaling gate measured the round pinned to
+    2 cores without it — at 100 TB the input is already parallel and
+    spread() is a pass-through, so that exchange vanishes). Any OTHER
+    exchange means the vector column is being shuffled by key — the
+    thing the design exists to avoid."""
     import re
 
     from datafusion_dist_spark.queries.llm import ann_kmeans_refine
@@ -210,7 +215,9 @@ def test_kmeans_refine_single_exchange(spark):
     tree = re.split(r"\n\(\d+\) ", plan)[0]
     facts = plan_facts(df)
     assert tree.count("ArrowEvalPython") == 1, tree
-    assert facts["n_exchanges"] == 1, facts
+    assert facts["n_exchanges"] <= 2, facts
+    if facts["n_exchanges"] == 2:
+        assert plan.lower().count("roundrobin") >= 1, plan
     assert facts["partial_aggregate"], facts
 
 
