@@ -167,6 +167,16 @@ SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
     "graph_triangle_count": (1.0, 1.5),
     # the skew-proof aggregation itself
     "agg_salted_twophase": (1.0, 1.5),
+    # embedding tier under the planted hot-DIRECTION cluster: adaptive
+    # nbits/K split the SPACE, not a cluster, so the uncapped ops'
+    # in-bucket / in-cell pair term is m² (m ~ 2% of vectors, growing
+    # with the corpus) — factor² budgets, paired with the head-cap
+    # twins that must hold linear. Same demonstration discipline as
+    # minhash's bucket cap.
+    "dedup_embedding_cosine_adaptive": (2.0, 1.5),
+    "dedup_embedding_cosine_capped": (1.0, 1.5),
+    "dedup_semantic_adaptive": (2.0, 1.5),
+    "dedup_semantic_capped": (1.0, 1.5),
 }
 
 EXCLUDED: dict[str, str] = {

@@ -734,6 +734,7 @@ def embedding_near_dup_pairs(
     nbits: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by sign bucket.
 
@@ -770,7 +771,18 @@ def embedding_near_dup_pairs(
     the EXACT rounded-threshold decision stays in the plan —
     bit-identical to the SQL-fold oracle by the scorer's sequential
     accumulation discipline (same as ``semantic_dedup_decisions``).
-    """
+
+    ``bucket_cap`` is the HOT-BUCKET skew guard (the sign-bucket
+    analog of minhash's band ``bucket_cap``): a hot DIRECTION cluster
+    — m near-identical vectors, all in one sign bucket — makes both
+    the pair work AND the pair LISTING m², and no bucket width can
+    split a direction cluster. With the cap, only the bucket's first
+    C members (vec_id order) serve as the LOWER side of a pair:
+    per-bucket work and output drop to C×m, every overflow member
+    still pairs with every head member above threshold (so cluster
+    membership survives for connected components), and only
+    redundant overflow×overflow listings are dropped. Deterministic
+    (id order) ⇒ the SQL oracle replays it via row_number."""
     import numpy as np
 
     if nbits is None:
@@ -782,6 +794,7 @@ def embedding_near_dup_pairs(
         sign_bucket(F.col(vec_col), nbits).alias("bucket"),
     )
     raw_cut = threshold - 1e-6
+    cap = bucket_cap
 
     def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -794,18 +807,24 @@ def embedding_near_dup_pairs(
         for i in range(1, dim):
             sq = sq + V[:, i] * V[:, i]
         norm = np.sqrt(sq)
+        # The a (lower-id, column) side: whole bucket, or the ≤cap
+        # head — the matrix below is then block×head, never block×n.
+        head = n if cap is None else min(cap, n)
         out_a, out_b, out_s = [], [], []
-        block = 2048  # bounds the pair matrix to block×n doubles
+        block = 2048  # bounds the pair matrix to block×head doubles
         for lo in range(0, n, block):
             hi = min(lo + block, n)
-            D = np.multiply.outer(V[lo:hi, 0], V[:, 0])
+            D = np.multiply.outer(V[lo:hi, 0], V[:head, 0])
             for i in range(1, dim):
-                D = D + np.multiply.outer(V[lo:hi, i], V[:, i])
-            S = D / np.multiply.outer(norm[lo:hi], norm)
+                D = D + np.multiply.outer(V[lo:hi, i], V[:head, i])
+            S = D / np.multiply.outer(norm[lo:hi], norm[:head])
             # a (column) is the LOWER id: rows are the b side
             r_idx, c_idx = np.nonzero(
                 (S >= raw_cut)
-                & (np.arange(n)[None, :] < (lo + np.arange(hi - lo))[:, None])
+                & (
+                    np.arange(head)[None, :]
+                    < (lo + np.arange(hi - lo))[:, None]
+                )
             )
             out_a.append(ids[c_idx])
             out_b.append(ids[r_idx + lo])
@@ -927,6 +946,7 @@ def semantic_dedup_decisions(
     threshold: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    head_cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: cluster the embedding space,
     score pairwise cosine only WITHIN a cluster, and mark every vector
@@ -954,6 +974,17 @@ def semantic_dedup_decisions(
     (re-cluster) or a pre-split on a secondary sketch (e.g. sign
     bucket) before this operator; the previous join-based shape
     tolerated fat clusters via AQE but cost 2.5× everywhere else.
+
+    ``head_cap`` is the FAT-CELL work guard: a hot direction cluster
+    lands whole in one coarse cell no matter how K grows (adaptive K
+    splits the SPACE, not a cluster), making in-cell pair work m².
+    With the cap, only the cell's first C members (vec_id order)
+    serve as comparison partners: per-cell work drops to C×m while
+    every member still gets its dup_of (the head contains the cell's
+    smallest ids — exactly the ids dup_of points to) and n_dups
+    counts lower-id HEAD partners only (a documented undercount for
+    deep overflow, the price of the bound). Deterministic ⇒ the SQL
+    oracle replays it via row_number.
 
     Exactness split: Python computes the RAW cosine with the SQL
     fold's exact operation order (left-to-right accumulation of
@@ -1006,6 +1037,7 @@ def semantic_dedup_decisions(
     # >= threshold - 5e-7; widen to 1e-6 so the Python prefilter is a
     # strict superset of the exact in-plan decision.
     raw_cut = threshold - 1e-6
+    cap = head_cap
 
     def _pair_scores(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col).reset_index(drop=True)
@@ -1020,16 +1052,22 @@ def semantic_dedup_decisions(
             for i in range(1, dim):
                 sq = sq + V[:, i] * V[:, i]
             norm = np.sqrt(sq)
-            block = 2048  # bounds the pair matrix to block×n doubles
+            # Comparison partners: the whole cell, or the ≤cap head.
+            head = n if cap is None else min(cap, n)
+            block = 2048  # bounds the pair matrix to block×head doubles
             for lo in range(0, n, block):
                 hi = min(lo + block, n)
-                D = np.multiply.outer(V[lo:hi, 0], V[:, 0])
+                D = np.multiply.outer(V[lo:hi, 0], V[:head, 0])
                 for i in range(1, dim):
-                    D = D + np.multiply.outer(V[lo:hi, i], V[:, i])
-                S = D / np.multiply.outer(norm[lo:hi], norm)
+                    D = D + np.multiply.outer(V[lo:hi, i], V[:head, i])
+                S = D / np.multiply.outer(norm[lo:hi], norm[:head])
                 # candidate pairs: lower-id (column) < this row's id
                 r_idx, c_idx = np.nonzero(
-                    (S >= raw_cut) & (np.arange(n)[None, :] < (lo + np.arange(hi - lo))[:, None])
+                    (S >= raw_cut)
+                    & (
+                        np.arange(head)[None, :]
+                        < (lo + np.arange(hi - lo))[:, None]
+                    )
                 )
                 out_id.append(ids[r_idx + lo])
                 out_nbr.append(ids[c_idx])

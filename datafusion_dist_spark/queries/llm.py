@@ -712,6 +712,57 @@ def dedup_embedding_cosine_adaptive(
     )
 
 
+# Head cap for the embedding-tier hot-cluster guards: per sign bucket /
+# SemDeDup cell, only the first C members (vec_id order) serve as the
+# lower side of a comparison. ABSOLUTE, same discipline as _NGRAM_CAP
+# and _BUCKET_CAP: a hot DIRECTION cluster lands whole in one bucket
+# and one coarse cell no matter how nbits/K grow (adaptive knobs split
+# the SPACE, not a cluster), so without the cap both pair work and —
+# for the pairs op — pair OUTPUT are m² in the cluster.
+_EMB_HEAD_CAP = 16
+
+
+@register(
+    "dedup_embedding_cosine_capped",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT vec_id, embedding,
+                   ({_bucket_expr_adaptive("embeddings")}) AS bucket,
+                   row_number() OVER (
+                       PARTITION BY ({_bucket_expr_adaptive("embeddings")})
+                       ORDER BY vec_id
+                   ) AS rn
+            FROM embeddings
+        )
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id, {_COS} AS cosine
+        FROM ranked a JOIN ranked b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         AND a.rn <= {_EMB_HEAD_CAP}
+        WHERE {_COS} >= 0.5
+    """,
+    doc="Embedding near-dup pairs with the hot-bucket skew guard on "
+    "top of the adaptive sign-bucket width: only a bucket's first 16 "
+    "members (vec_id order) serve as the lower pair side, bounding "
+    "per-bucket work AND output to 16 x m where a hot direction "
+    "cluster (the zipf skew corpus plants one) is otherwise m² in "
+    "both — no bucket width can split a direction cluster, so the "
+    "cap is the knob that survives it. Every overflow member still "
+    "pairs with every head member above threshold, so cluster "
+    "membership survives connected components; only redundant "
+    "overflow x overflow listings are dropped. Cap replayed in SQL "
+    "via row_number. "
+    "(operators/similarity.py:embedding_near_dup_pairs bucket_cap)",
+)
+def dedup_embedding_cosine_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nbits = _adaptive_nbits(emb.count())
+    return similarity.embedding_near_dup_pairs(
+        emb, threshold=0.5, nbits=nbits, bucket_cap=_EMB_HEAD_CAP
+    )
+
+
 @register(
     "ann_topk_bruteforce",
     oracle="""
@@ -2902,6 +2953,68 @@ def dedup_semantic_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.count()
     return similarity.semantic_dedup_decisions(
         emb, n_centroids=max(8, n // _IVF_LIST_SIZE), threshold=0.5
+    )
+
+
+@register(
+    "dedup_semantic_capped",
+    oracle=f"""
+        WITH cents AS (
+            SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cvec
+            FROM embeddings WHERE vec_id < {_ADAPTIVE_K_SQL}
+        ),
+        assigned AS (
+            SELECT vec_id, embedding, cid FROM (
+                SELECT a.vec_id, a.embedding, c.cid,
+                       row_number() OVER (
+                           PARTITION BY a.vec_id
+                           ORDER BY {_cos_sql("a.embedding", "c.cvec")} DESC,
+                                    c.cid ASC
+                       ) AS rn
+                FROM embeddings a CROSS JOIN cents c
+            ) WHERE rn = 1
+        ),
+        ranked AS (
+            SELECT vec_id, embedding, cid,
+                   row_number() OVER (
+                       PARTITION BY cid ORDER BY vec_id
+                   ) AS rn
+            FROM assigned
+        ),
+        dups AS (
+            SELECT y.vec_id, min(x.vec_id) AS dup_of,
+                   count(*) AS n_dups
+            FROM ranked x
+            JOIN ranked y ON x.cid = y.cid AND x.vec_id < y.vec_id
+                         AND x.rn <= {_EMB_HEAD_CAP}
+            WHERE {_cos_sql("x.embedding", "y.embedding")} >= 0.5
+            GROUP BY y.vec_id
+        )
+        SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cid, d.dup_of,
+               CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups
+        FROM ranked a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+    doc="SemDeDup with the fat-cell work guard on top of the adaptive "
+    "cluster count: only a cell's first 16 members (vec_id order) "
+    "serve as comparison partners, bounding in-cell pair work to "
+    "16 x m. A hot direction cluster lands whole in one coarse cell "
+    "no matter how K grows (adaptive K splits the SPACE, not a "
+    "cluster — the zipf skew corpus plants exactly this), so without "
+    "the cap the cell's work is m². Every member still gets its "
+    "dup_of (the head holds the cell's smallest ids, which is what "
+    "dup_of points to); n_dups counts lower-id HEAD partners only — "
+    "a documented undercount for deep overflow, the price of the "
+    "bound. Cap replayed in SQL via row_number. "
+    "(operators/similarity.py:semantic_dedup_decisions head_cap)",
+)
+def dedup_semantic_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    return similarity.semantic_dedup_decisions(
+        emb,
+        n_centroids=max(8, n // _IVF_LIST_SIZE),
+        threshold=0.5,
+        head_cap=_EMB_HEAD_CAP,
     )
 
 

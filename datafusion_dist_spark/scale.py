@@ -153,7 +153,7 @@ def _rotate_text(texts, k: int):
 # exactly — which is precisely why it cannot exercise skew handling
 # (salted aggregation, AQE skew joins, posting-list caps, the LSH
 # bucket cap): every key's share of the corpus is constant. The zipf
-# variant layers four deterministic, replica-invariant distortions on
+# variant layers five deterministic, replica-invariant distortions on
 # top, each targeting one skew class a real 100 TB corpus exhibits and
 # each with its share GROWING with the corpus (the scale-out hot key):
 #
@@ -177,6 +177,11 @@ def _rotate_text(texts, k: int):
 # * zipf length tail (_SKEW_LEN_FRAC of docs): text repeated ×2/4/8/16
 #   on nested hash slices (10%/20%/30%/40% of the selected docs) —
 #   per-row work skew / straggler pressure; ~+21% corpus bytes.
+# * embedding hot-direction cluster (_SKEW_EMB_FRAC of vectors): one
+#   shared direction + per-replica-vector jitter — a genuine near-dup
+#   clique (pairwise cosine ~0.75) that all lands in ONE sign bucket
+#   and ONE SemDeDup cell; the embedding analog of the template text
+#   cluster (see _apply_embedding_skew).
 #
 # Everything is a pure function of source bytes (splitmix64 over the
 # source primary key, seeded per tag by md5 of the tag string): no
@@ -187,6 +192,22 @@ _SKEW_HOT_KEYS = 64
 _SKEW_BP_FRAC = 0.08
 _SKEW_TPL_FRAC = 0.004
 _SKEW_LEN_FRAC = 0.05
+# Embedding hot-direction cluster: _SKEW_EMB_FRAC of eligible vectors
+# (source ids below max(256, n_src/8) are protected, so the seed
+# centroids — vec_id < K, K = n/250 up to factor ~30 — stay natural)
+# are replaced by one shared direction + per-replica-vector jitter —
+# pairwise cosine ~0.75 (all above the 0.5 dedup threshold, so the
+# cluster is a genuine m-member near-dup clique whose PAIR LISTING is
+# m²), first 8 components held positive so every member lands in ONE
+# sign bucket (the sign-bucket analog of the LSH hot band bucket).
+# Grows linearly with the corpus: the embedding-tier skew pathology
+# the head_cap knobs exist for.
+_SKEW_EMB_FRAC = 0.02
+_SKEW_EMB_MIN_ID_FLOOR = 256
+# Bumped when any skew transform changes: the manifest otherwise only
+# hashes the SOURCE bytes, so a cached corpus built by an older
+# transform would be silently reused.
+_SKEW_VERSION = 2
 _SKEW_BP = (
     "common header boilerplate navigation menu copyright terms "
     "privacy policy contact"
@@ -274,6 +295,30 @@ def _apply_doc_skew(ids, texts):
     return out
 
 
+def _apply_embedding_skew(src_ids, final_ids, mat):
+    """Replace the hot-direction slice of one replica's embedding
+    matrix (selection on SOURCE vec_id; jitter keyed on the FINAL
+    replica vec_id so replicas of the same source vector are near-dups,
+    never byte-identical). Head components (first 8) stay positive —
+    one shared sign bucket; tail jitter is sized for pairwise cosine
+    ≈ 0.75, comfortably above the 0.5 dedup threshold."""
+    import numpy as np
+
+    min_id = max(_SKEW_EMB_MIN_ID_FLOOR, (int(src_ids.max()) + 1) // 8)
+    mask = (_u01(src_ids, "embhot") < _SKEW_EMB_FRAC) & (src_ids >= min_id)
+    if not mask.any():
+        return mat
+    dim = mat.shape[1]
+    base = np.where(np.arange(dim) < 8, 0.25, 0.05)
+    scale = np.where(np.arange(dim) < 8, 0.1, 0.2)
+    sel = np.nonzero(mask)[0]
+    keys = (final_ids[sel, None] * np.int64(dim) + np.arange(dim)[None, :])
+    jit = (_u01(keys.ravel(), "ej").reshape(len(sel), dim) - 0.5) * scale
+    mat = mat.copy()
+    mat[sel] = (base[None, :] + jit).astype(mat.dtype)
+    return mat
+
+
 def _apply_key_skew(src_keys, fk_after_offset, hot_set):
     """Remap _SKEW_HOT_FRAC of rows (selected on the source primary
     key) to zipf-weighted members of the hot set; the rest keep their
@@ -349,6 +394,12 @@ def _scaled_replica(
         j = np.arange(mat.shape[1] if mat.ndim == 2 else 0)
         signs = np.where((k >> (j % 8)) & 1, -1.0, 1.0).astype(np.float32)
         rolled = rolled * signs
+        if skew_info is not None and rolled.ndim == 2:
+            rolled = _apply_embedding_skew(
+                tbl.column("vec_id").to_numpy(zero_copy_only=False),
+                cols["vec_id"].to_numpy(zero_copy_only=False),
+                rolled,
+            )
         cols["embedding"] = pa.array(
             [row.tolist() for row in rolled],
             pa.list_(pa.float32()),
@@ -389,9 +440,12 @@ def scale_corpus(
         "source": _file_hashes(src_dir),
     }
     if skew is not None:
-        # Key added only when set, so pre-skew uniform manifests stay
-        # valid and cached corpora are not rebuilt.
+        # Keys added only when set, so pre-skew uniform manifests stay
+        # valid and cached corpora are not rebuilt. skew_version bumps
+        # force a rebuild when a skew TRANSFORM changes (the manifest
+        # otherwise only hashes source bytes).
         manifest["skew"] = skew
+        manifest["skew_version"] = _SKEW_VERSION
     mpath = os.path.join(dst_dir, "_SCALE_MANIFEST.json")
     try:
         with open(mpath) as fh:

@@ -986,3 +986,128 @@ def test_adaptive_simhash_width_ladder_and_pairs(spark):
         for r in dedup.simhash_hamming_pairs(sims, bits=bits).collect()
     }
     assert pairs.get((first.doc_id, 91000)) == 0, pairs
+
+
+def _hot_direction_cluster(spark, m=40, n_noise=60):
+    """m near-identical vectors (pairwise cosine ~0.9, one sign
+    bucket) + decorrelated noise vectors — the embedding analog of the
+    minhash template cluster."""
+    import hashlib
+
+    def u(key):
+        h = hashlib.md5(str(key).encode()).digest()
+        return int.from_bytes(h[:4], "big") / 2**32 - 0.5
+
+    rows = []
+    for i in range(m):
+        v = [0.3 + 0.05 * u(i * 64 + j) for j in range(8)] + [
+            0.05 + 0.1 * u(i * 64 + j) for j in range(8, 64)
+        ]
+        rows.append((i, v, 0))
+    for i in range(n_noise):
+        v = [0.4 * u((1000 + i) * 64 + j) for j in range(64)]
+        rows.append((1000 + i, v, 1))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_embedding_bucket_cap_bounds_hot_direction_cluster(spark):
+    """bucket_cap on the sign-bucket pairs op: a hot direction cluster
+    (m members, one bucket, all pairwise above threshold) emits
+    m(m-1)/2 pairs uncapped; with cap C only head members serve as the
+    lower side — exactly sum over b of min(rank(b)-1, C) pairs — and
+    every overflow member still pairs with every head member, so
+    cluster membership survives."""
+    m, cap = 40, 8
+    emb = _hot_direction_cluster(spark, m=m)
+    unc = {
+        (r.a_id, r.b_id)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.5, nbits=4
+        ).collect()
+    }
+    capd = {
+        (r.a_id, r.b_id)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.5, nbits=4, bucket_cap=cap
+        ).collect()
+    }
+    cl_unc = {p for p in unc if p[0] < m and p[1] < m}
+    cl_cap = {p for p in capd if p[0] < m and p[1] < m}
+    assert len(cl_unc) == m * (m - 1) // 2, len(cl_unc)
+    assert capd <= unc
+    # head-head pairs: C(C-1)/2; overflow: each pairs with all C heads.
+    assert len(cl_cap) == cap * (cap - 1) // 2 + (m - cap) * cap
+    assert all(a < cap for a, _ in cl_cap)
+    overflow_covered = {b for a, b in cl_cap if b >= cap}
+    assert overflow_covered == set(range(cap, m)), "overflow member lost"
+    # A cap no bucket exceeds is a no-op.
+    relaxed = {
+        (r.a_id, r.b_id)
+        for r in similarity.embedding_near_dup_pairs(
+            emb, threshold=0.5, nbits=4, bucket_cap=1000
+        ).collect()
+    }
+    assert relaxed == unc
+
+
+def test_semantic_head_cap_preserves_dup_of(spark):
+    """head_cap on SemDeDup: every cluster member (head or overflow)
+    keeps its dup_of (the head holds the cell's smallest ids); n_dups
+    for overflow counts head partners only — the documented
+    undercount that buys the C x m work bound."""
+    import hashlib
+
+    def u(key):
+        h = hashlib.md5(str(key).encode()).digest()
+        return int.from_bytes(h[:4], "big") / 2**32 - 0.5
+
+    # 4 well-separated centroid anchors (ids 0..3, disjoint dim
+    # blocks); a 40-member hot cluster (ids 10..49) hugging anchor 0,
+    # so the whole cluster lands in ONE coarse cell.
+    m, cap = 40, 8
+    rows = [
+        (j, [0.5 if j * 16 <= i < (j + 1) * 16 else 0.0 for i in range(64)], 0)
+        for j in range(4)
+    ]
+    for t in range(m):
+        v = [
+            (0.3 if i < 16 else 0.02) + 0.03 * u(t * 64 + i)
+            for i in range(64)
+        ]
+        rows.append((10 + t, v, 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    unc = {
+        r.vec_id: (r.dup_of, r.n_dups)
+        for r in similarity.semantic_dedup_decisions(
+            emb, n_centroids=4, threshold=0.5
+        ).collect()
+    }
+    capd = {
+        r.vec_id: (r.dup_of, r.n_dups)
+        for r in similarity.semantic_dedup_decisions(
+            emb, n_centroids=4, threshold=0.5, head_cap=cap
+        ).collect()
+    }
+    assert set(capd) == set(unc)
+    # Anchor 0 is the cell's smallest id and above threshold for every
+    # member (cos ~1.0): dup_of must survive the cap for ALL members.
+    for t in range(m):
+        vid = 10 + t
+        assert unc[vid][0] == 0, (vid, unc[vid])
+        assert capd[vid][0] == 0, (vid, capd[vid])
+        # head of cell 0 = {0, 10, ..., 10+cap-2}; lower-id head
+        # partners of member t = anchor + min(t, cap-1) members.
+        assert capd[vid][1] == 1 + min(t, cap - 1), (vid, capd[vid])
+        assert unc[vid][1] == 1 + t, (vid, unc[vid])
+    # cap >= cell size is a no-op.
+    relaxed = {
+        r.vec_id: (r.dup_of, r.n_dups)
+        for r in similarity.semantic_dedup_decisions(
+            emb, n_centroids=4, threshold=0.5, head_cap=1000
+        ).collect()
+    }
+    assert relaxed == unc

@@ -294,5 +294,41 @@ def test_zipf_skew_deterministic_and_manifest_distinct(skewed, scaled):
     with open(os.path.join(scaled, "_SCALE_MANIFEST.json")) as fh:
         m_uni = json.load(fh)
     assert m_skew.pop("skew") == "zipf"
-    assert "skew" not in m_uni
+    assert isinstance(m_skew.pop("skew_version"), int)
+    assert "skew" not in m_uni and "skew_version" not in m_uni
     assert m_skew == m_uni
+
+
+def test_zipf_skew_embedding_hot_cluster(skewed):
+    """The embedding hot-direction cluster: selected vectors (2% of
+    eligible source ids, replica-invariant selection, per-replica
+    jitter) form a genuine near-dup clique — pairwise cosine above the
+    0.5 dedup threshold — that shares ONE sign bucket (first 8
+    components positive), while seed-centroid ids stay natural. A
+    generator edit that flattens the cluster would silently turn the
+    embedding-tier skew rows back into the uniform measurement."""
+    import numpy as np
+
+    con = duckdb.connect()
+    emb = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{skewed}/embeddings.parquet')"
+    ).fetchall()
+    V = {v: np.array(e) for v, e in emb}
+    hot = sorted(
+        v
+        for v, e in V.items()
+        if (e[:8] > 0.1).all() and (e[:8] < 0.4).all() and (np.abs(e[8:]) < 0.2).all()
+    )
+    n_src = max(v for v in V) // 3 + 1
+    assert len(hot) >= 6 and len(hot) % 3 == 0, hot
+    # replica-invariant selection, ids >= the protected floor
+    src_ids = sorted({v % n_src for v in hot})
+    assert len(src_ids) == len(hot) // 3
+    assert min(src_ids) >= 256
+    H = np.stack([V[v] for v in hot])
+    Hn = H / np.linalg.norm(H, axis=1, keepdims=True)
+    S = Hn @ Hn.T
+    iu = np.triu_indices(len(H), 1)
+    assert S[iu].min() >= 0.5, float(S[iu].min())
+    # no byte-identical members (per-replica jitter)
+    assert len({tuple(np.round(r, 6)) for r in H}) == len(H)
