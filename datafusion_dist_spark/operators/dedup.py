@@ -350,6 +350,7 @@ def minhash_index_build(
     k: int = 3,
     bands: int = 4,
     rows_per_band: int = 4,
+    band_buckets: int | None = None,
 ) -> str:
     """Ingest-time half of incremental/streaming MinHash dedup: sketch
     the corpus ONCE (shingle → signature → banding) and persist the
@@ -364,13 +365,26 @@ def minhash_index_build(
     caller's choice at the write site: this build is the initial/full
     refresh).
 
-    A ``_params.json`` sidecar (k, bands, rows_per_band) is written
-    beside the parquet — underscore-prefixed files are invisible to
-    parquet discovery (same trick as the IVF ``_codebook.json``) — so
-    the query path can validate/derive its sketch parameters instead
-    of trusting the caller to repeat them; a silent mismatch would
-    corrupt every Jaccard estimate (sig lengths vs num_hashes
-    divisor)."""
+    A ``_params.json`` sidecar (k, bands, rows_per_band, band_buckets)
+    is written beside the parquet — underscore-prefixed files are
+    invisible to parquet discovery (same trick as the IVF
+    ``_codebook.json``) — so the query path can validate/derive its
+    sketch parameters instead of trusting the caller to repeat them;
+    a silent mismatch would corrupt every Jaccard estimate (sig
+    lengths vs num_hashes divisor).
+
+    ``band_buckets``: the band-bucketed storage layout — the minhash
+    analog of the IVF cid-partitioned index. Signatures are written
+    PARTITIONED BY (band_id, bk) where bk = crc32(band_key) mod
+    band_buckets, and the prebuilt query path prunes its index read
+    to the partitions the batch's own band keys hash into. For a
+    LARGE batch every bucket is hit and pruning is a no-op (the flat
+    columnar scan was already the cheap path); the win is the
+    small-batch / point-lookup serving shape, where a handful of
+    band keys touch ≤ bands × |batch keys| of the bands ×
+    band_buckets partitions. The bucket key is storage-internal:
+    results are bit-identical to the unpartitioned layout (asserted
+    in tests)."""
     banded = _banded(
         minhash_signatures(
             doc_shingles(docs, text_col, k), bands * rows_per_band
@@ -378,13 +392,27 @@ def minhash_index_build(
         bands,
         rows_per_band,
     )
-    banded.write.mode("overwrite").parquet(path)
+    if band_buckets is not None:
+        banded.withColumn(
+            "bk",
+            F.pmod(F.crc32(F.col("band_key")), F.lit(band_buckets)).cast(
+                "int"
+            ),
+        ).write.mode("overwrite").partitionBy("band_id", "bk").parquet(path)
+    else:
+        banded.write.mode("overwrite").parquet(path)
     import json as _json
     import os as _os
 
     with open(_os.path.join(path, "_params.json"), "w") as fh:
         _json.dump(
-            {"k": k, "bands": bands, "rows_per_band": rows_per_band}, fh
+            {
+                "k": k,
+                "bands": bands,
+                "rows_per_band": rows_per_band,
+                "band_buckets": band_buckets,
+            },
+            fh,
         )
     return path
 
@@ -436,12 +464,41 @@ def minhash_dedup_pairs_prebuilt(
         rows_per_band if rows_per_band is not None else stored.get("rows_per_band", 4)
     )
     num_hashes = bands * rows_per_band
-    a = spark.read.parquet(index_path).alias("a").hint("shuffle_hash")
-    b = _banded(
+    banded_batch = _banded(
         minhash_signatures(doc_shingles(batch, text_col, k), num_hashes),
         bands,
         rows_per_band,
-    ).alias("b")
+    )
+    index = spark.read.parquet(index_path)
+    band_buckets = stored.get("band_buckets")
+    if band_buckets:
+        # Band-bucketed layout: prune the index read to the partitions
+        # the batch's band keys hash into. The collect is driver-sized
+        # by the batch contract (≤ bands × |batch| keys — same
+        # discipline as the IVF probe ranking); filtering on the
+        # PARTITION columns (band_id, bk) before any cast keeps the
+        # scan's PartitionFilters populated (plan-gated). For a batch
+        # whose keys cover every bucket this degrades gracefully to
+        # the full columnar scan.
+        keys = (
+            banded_batch.select(
+                "band_id",
+                F.pmod(F.crc32(F.col("band_key")), F.lit(band_buckets))
+                .cast("int")
+                .alias("bk"),
+            )
+            .distinct()
+            .collect()
+        )
+        if not keys:
+            index = index.filter(F.lit(False))
+        else:
+            index = index.filter(
+                F.col("band_id").isin(sorted({int(r.band_id) for r in keys}))
+                & F.col("bk").isin(sorted({int(r.bk) for r in keys}))
+            )
+    a = index.alias("a").hint("shuffle_hash")
+    b = banded_batch.alias("b")
     return _band_pair_estimates(a, b, num_hashes, threshold, split_id)
 
 

@@ -1111,3 +1111,47 @@ def test_semantic_head_cap_preserves_dup_of(spark):
         ).collect()
     }
     assert relaxed == unc
+
+
+def test_minhash_band_bucketed_index_bit_identical(spark, tmp_path):
+    """The band-bucketed index layout (PARTITIONED BY band_id, bk) is
+    storage-internal: the prebuilt query path over it must return
+    exactly the flat layout's pairs AND the inline union form's —
+    the bucket key only prunes reads, never changes results."""
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") < 60)
+    batch = index.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    flat = str(tmp_path / "mh-flat")
+    bucketed = str(tmp_path / "mh-bucketed")
+    dedup.minhash_index_build(index, flat)
+    dedup.minhash_index_build(index, bucketed, band_buckets=8)
+
+    def pairs(path):
+        return sorted(
+            map(
+                tuple,
+                dedup.minhash_dedup_pairs_prebuilt(
+                    spark, path, batch, split_id=500000, threshold=0.5
+                ).collect(),
+            )
+        )
+
+    p_flat, p_bucketed = pairs(flat), pairs(bucketed)
+    assert p_flat, "planted copies must pair"
+    assert p_bucketed == p_flat
+    inline = sorted(
+        map(
+            tuple,
+            dedup.minhash_dedup_pairs(
+                index.unionByName(batch), threshold=0.5, split_id=500000
+            ).collect(),
+        )
+    )
+    assert p_bucketed == inline
+    # Empty batch over the bucketed layout: no keys -> empty result.
+    empty = dedup.minhash_dedup_pairs_prebuilt(
+        spark, bucketed, batch.filter(F.lit(False)), split_id=500000
+    )
+    assert empty.collect() == []

@@ -527,3 +527,37 @@ def test_embedding_near_dup_no_pair_join(spark):
     ), facts
     assert "CartesianProduct" not in tree and "NestedLoop" not in tree, tree
     assert tree.count("FlatMapGroupsInPandas") == 1, tree
+
+
+def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
+    """The band-bucketed minhash index (PARTITIONED BY band_id, bk)
+    must serve a small batch with a PRUNED read: the parquet scan
+    carries PartitionFilters on band_id and bk (directory-level
+    pruning of unmatched buckets) — the minhash analog of the IVF
+    cid-pruned probe read."""
+    from datafusion_dist_spark.operators import dedup as dd
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "mh-bucketed")
+    dd.minhash_index_build(
+        docs.filter(F.col("doc_id") < 80), path, band_buckets=16
+    )
+    batch = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )  # one doc -> 4 band keys -> <= 4 of the 64 (band_id, bk) dirs
+    df = dd.minhash_dedup_pairs_prebuilt(
+        spark, path, batch, split_id=500000, threshold=0.5
+    )
+    plan = formatted_plan(df)
+    pf_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "bk#" in ln
+    ]
+    assert pf_lines, plan[:2000]
+    import re
+
+    m = re.search(r"bk#\d+ IN \(([^)]*)\)", pf_lines[0])
+    assert m, pf_lines[0]
+    assert len(m.group(1).split(",")) <= 4, pf_lines[0]
+    assert "band_id#" in pf_lines[0], pf_lines[0]
