@@ -183,6 +183,13 @@ EXCLUDED: dict[str, str] = {
     "dedup_ngram_jaccard": "exact inverted-index variant, uncapped by "
     "definition (the oracle-grade twin); dedup_ngram_jaccard_capped is "
     "the at-scale path and IS measured",
+    "dedup_simhash_pairs": "its OUTPUT is the true near-dup pair "
+    "listing, and the synthetic corpus' small token vocabulary makes "
+    "token-SET near-collisions genuinely abundant (1.6M pairs at "
+    "sf0.1) — wall time would measure result materialization, not "
+    "candidate discipline. The adaptive sketch width that keeps the "
+    "candidate join linear is hash-checked at both SFs instead "
+    "(dedup_simhash, the sketch itself, IS measured)",
     "dedup_lsh_quality": "quality gate that runs the exact "
     "inverted-index truth side on purpose; not a production per-batch "
     "op",
