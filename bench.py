@@ -96,6 +96,10 @@ HEADLINE = [
     "ann_ivf_knn_join_adaptive",
     "dedup_embedding_cosine_adaptive",
     "dedup_semantic_adaptive",
+    # r5 skew-guard twins (hot-bucket / fat-cell caps)
+    "dedup_minhash_lsh_capped",
+    "dedup_embedding_cosine_capped",
+    "dedup_semantic_capped",
     "text_vocab_coverage",
     "pipeline_epoch_upsample",
     "text_rule_filters",

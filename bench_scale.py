@@ -267,6 +267,56 @@ def measure_ivf_prebuilt(
     return out
 
 
+def measure_aqe_skew_join(spark, scale_dir: str) -> dict:
+    """The AQE skew-join probe the zipf rehearsal exists for: join the
+    hot-custkey orders table against customer as a plain shuffle SMJ
+    and record whether AQE's OptimizeSkewedJoin actually SPLIT the hot
+    partition (the final adaptive plan carries `skew=true`). Thresholds
+    are scaled to the rehearsal corpus (the hot partition is ~20 MB at
+    x10 vs a ~300 KB median; production defaults are 256 MB): the
+    point is that the engine's declarative join path leaves AQE free
+    to handle the skew — no manual salt needed — and the artifact
+    records that it did."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256kb",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256kb",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        o = spark.read.parquet(os.path.join(scale_dir, "orders.parquet"))
+        c = spark.read.parquet(os.path.join(scale_dir, "customer.parquet"))
+        j = (
+            o.join(c, o.o_custkey == c.c_custkey)
+            .groupBy("c_nationkey")
+            .agg(F.count("*").alias("n"))
+        )
+        t0 = time.perf_counter()
+        n = len(j.collect())
+        wall = time.perf_counter() - t0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        return {
+            "skew_split_fired": "skew=true" in plan,
+            "groups": n,
+            "sec": round(wall, 3),
+        }
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def main() -> None:
     argv = sys.argv[1:]
     factor = 10
@@ -350,6 +400,15 @@ def main() -> None:
                 f"{name}: x{ratio} > budget x{budget:.1f} "
                 f"({tb:.2f}s -> {ts:.2f}s)"
             )
+    aqe_probe = None
+    if skew is not None and only is None:
+        aqe_probe = measure_aqe_skew_join(spark, scale_dir)
+        print(f"aqe_skew_join: {aqe_probe}", file=sys.stderr)
+        if not aqe_probe["skew_split_fired"]:
+            violations.append(
+                "aqe_skew_join: OptimizeSkewedJoin did not split the hot "
+                "partition at the skewed corpus"
+            )
     if skew is None and (
         only is None
         or any(n.startswith("ann_ivf_knn_join_prebuilt") for n in only)
@@ -373,6 +432,7 @@ def main() -> None:
         "metric": "scale_rehearsal" + (f"_{skew}" if skew else ""),
         "factor": factor,
         "skew": skew,
+        **({"aqe_skew_join": aqe_probe} if aqe_probe is not None else {}),
         "runs_per_query": runs,
         "base_dir": base_dir,
         "queries": results,

@@ -561,3 +561,45 @@ def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
     assert m, pf_lines[0]
     assert len(m.group(1).split(",")) <= 4, pf_lines[0]
     assert "band_id#" in pf_lines[0], pf_lines[0]
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling is the engine's answer to hot join keys
+    (the reference's load-aware scheduling analog, and what the zipf
+    rehearsal's hot-custkey probe exercises at x10 — bench_scale.py
+    measure_aqe_skew_join): a declarative shuffle SMJ over a key
+    holding 75% of the rows must come out of AQE with the hot
+    partition SPLIT (final plan: SortMergeJoin(skew=true) +
+    'skewed' AQEShuffleRead), no manual salting involved. Pins the
+    conf recipe thresholds scale down for test-sized shuffles."""
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16kb",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16kb",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(400_000).select(
+            F.when(F.col("id") < 300_000, F.lit(7))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").groupBy().agg(F.count("*").alias("n"))
+        rows = j.collect()
+        assert rows[0].n == 300_000 * 1 + 100_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "skewed" in plan, plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
