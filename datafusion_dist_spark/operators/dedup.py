@@ -31,6 +31,25 @@ from datafusion_dist_spark.functions.hashing import (
 )
 from datafusion_dist_spark.operators.common import spread
 
+# No-arg skew guards (r6). The text-dedup pair ops are the calls a
+# 100 TB user reaches FIRST, and uncapped they are job-killers on any
+# real crawl (one boilerplate shingle / one template cluster = m²
+# work in one task — both measured in the zipf rehearsals: containment
+# x11.8, minhash hot bucket honestly quadratic). Mirroring the r5
+# adaptive-default move in the embedding tier, the caps are now the
+# DEFAULTS and the exact/uncapped form is the explicit opt-out
+# (``max_list_len=None`` / ``bucket_cap=None``) — the registry's
+# uncapped oracle-pin entries opt out explicitly. Values match the
+# registry's capped twins: an ABSOLUTE posting-list cap (relative caps
+# re-grow with the corpus and trend quadratic — measured r4) and the
+# per-(band,bucket) head rank cap.
+DEFAULT_MAX_LIST_LEN = 100
+DEFAULT_BUCKET_CAP = 16
+# Sentinel distinguishing "not passed" from an explicit None opt-out
+# (minhash's default depends on the dedup mode — see
+# ``minhash_dedup_pairs``).
+_UNSET = object()
+
 # -- exact ----------------------------------------------------------------
 
 
@@ -207,7 +226,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     split_id: int | None = None,
-    bucket_cap: int | None = None,
+    bucket_cap: int | None = _UNSET,  # type: ignore[assignment]
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
     join → estimate Jaccard as matching-signature-component fraction;
@@ -255,7 +274,17 @@ def minhash_dedup_pairs(
     the prebuilt-index path keeps cap=None (its index/batch frames
     are ranked separately, so a global rank is not well-defined
     there).
+
+    Defaults (r6): for SELF/union dedup the cap defaults ON
+    (``DEFAULT_BUCKET_CAP``) — the no-arg call must survive a real
+    crawl's template cluster; pass ``bucket_cap=None`` for the exact
+    uncapped pair listing (the registry's ``dedup_minhash_lsh``
+    oracle pin). In incremental mode (``split_id`` set) the default
+    stays None so the inline path remains bit-identical to
+    ``minhash_dedup_pairs_prebuilt``, which cannot rank globally.
     """
+    if bucket_cap is _UNSET:
+        bucket_cap = DEFAULT_BUCKET_CAP if split_id is None else None
     num_hashes = bands * rows_per_band
     sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
     banded = _banded(sigs, bands, rows_per_band)
@@ -401,19 +430,19 @@ def minhash_index_build(
         ).write.mode("overwrite").partitionBy("band_id", "bk").parquet(path)
     else:
         banded.write.mode("overwrite").parquet(path)
-    import json as _json
-    import os as _os
+    from datafusion_dist_spark.sources.sidecar import write_json_sidecar
 
-    with open(_os.path.join(path, "_params.json"), "w") as fh:
-        _json.dump(
-            {
-                "k": k,
-                "bands": bands,
-                "rows_per_band": rows_per_band,
-                "band_buckets": band_buckets,
-            },
-            fh,
-        )
+    write_json_sidecar(
+        docs.sparkSession,
+        path,
+        "_params.json",
+        {
+            "k": k,
+            "bands": bands,
+            "rows_per_band": rows_per_band,
+            "band_buckets": band_buckets,
+        },
+    )
     return path
 
 
@@ -442,14 +471,24 @@ def minhash_dedup_pairs_prebuilt(
     Sketch parameters default to the index's ``_params.json`` sidecar
     (written by ``minhash_index_build``); explicitly passed values are
     validated against it — a k/bands/rows mismatch raises instead of
-    silently producing wrong Jaccard estimates."""
-    import json as _json
-    import os as _os
+    silently producing wrong Jaccard estimates. A MISSING sidecar is
+    an error unless the caller passes ALL of k/bands/rows_per_band
+    explicitly: silently assuming defaults would re-open exactly the
+    corruption the sidecar exists to prevent (an index built with
+    non-default params whose sidecar was lost would be scored with
+    mismatched signature lengths)."""
+    from datafusion_dist_spark.sources.sidecar import read_json_sidecar
 
-    try:
-        with open(_os.path.join(index_path, "_params.json")) as fh:
-            stored = _json.load(fh)
-    except (OSError, ValueError):
+    stored = read_json_sidecar(spark, index_path, "_params.json")
+    if stored is None:
+        if k is None or bands is None or rows_per_band is None:
+            raise ValueError(
+                f"minhash index at {index_path} has no _params.json "
+                "sidecar; pass k, bands AND rows_per_band explicitly "
+                "(they must match the build) — assuming defaults would "
+                "silently corrupt Jaccard estimates if the index was "
+                "built with other params"
+            )
         stored = {}
     for name, passed in (("k", k), ("bands", bands), ("rows_per_band", rows_per_band)):
         if passed is not None and name in stored and stored[name] != passed:
@@ -692,7 +731,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    max_list_len: int | None = None,
+    max_list_len: int | None = DEFAULT_MAX_LIST_LEN,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity via inverted-index join.
 
@@ -715,7 +754,7 @@ def ngram_containment_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.8,
-    max_list_len: int | None = None,
+    max_list_len: int | None = DEFAULT_MAX_LIST_LEN,
 ) -> DataFrame:
     """Asymmetric n-gram containment: C = |A∩B| / min(|A|, |B|) — the
     subset detector Jaccard misses. A short document quoted inside a
@@ -739,7 +778,7 @@ def substring_span_pairs(
     text_col: str = "text",
     span_chars: int = 24,
     min_shared: int = 2,
-    max_list_len: int | None = None,
+    max_list_len: int | None = DEFAULT_MAX_LIST_LEN,
 ) -> DataFrame:
     """Substring-level duplication: doc pairs sharing at least
     ``min_shared`` distinct character ``span_chars``-grams — the

@@ -1518,9 +1518,9 @@ def ivf_index_build(
     discipline matters most, since the partition layout it writes is
     what every later query prunes against.
     """
-    import json as _json
-    import os as _os
     from types import SimpleNamespace
+
+    from datafusion_dist_spark.sources.sidecar import write_json_sidecar
 
     if path is None:
         raise ValueError("ivf_index_build requires an output path")
@@ -1535,8 +1535,12 @@ def ivf_index_build(
             [], "c_id long, c_vec array<double>, c_norm double, cid long"
         )
         empty.write.mode("overwrite").partitionBy("cid").parquet(path)
-        with open(_os.path.join(path, "_codebook.json"), "w") as fh:
-            _json.dump({"cids": [], "cvecs": [], "dim": 1}, fh)
+        write_json_sidecar(
+            corpus.sparkSession,
+            path,
+            "_codebook.json",
+            {"cids": [], "cvecs": [], "dim": 1},
+        )
         return path
     cmap = {int(r.cid): [float(v) for v in r.cvec] for r in cent_rows_raw}
     cids = sorted(cmap)
@@ -1557,8 +1561,12 @@ def ivf_index_build(
         _rounded_argmax_cid(cent_rows).alias("cid"),
     )
     assigned.write.mode("overwrite").partitionBy("cid").parquet(path)
-    with open(_os.path.join(path, "_codebook.json"), "w") as fh:
-        _json.dump({"cids": cids, "cvecs": cvecs, "dim": dim}, fh)
+    write_json_sidecar(
+        corpus.sparkSession,
+        path,
+        "_codebook.json",
+        {"cids": cids, "cvecs": cvecs, "dim": dim},
+    )
     return path
 
 
@@ -1589,11 +1597,15 @@ def ivf_knn_join_prebuilt(
     ``ivf_knn_join`` for the same corpus, queries, and probe policy
     (asserted in tests).
     """
-    import json as _json
-    import os as _os
+    from datafusion_dist_spark.sources.sidecar import read_json_sidecar
 
-    with open(_os.path.join(index_path, "_codebook.json")) as fh:
-        book = _json.load(fh)
+    book = read_json_sidecar(spark, index_path, "_codebook.json")
+    if book is None:
+        raise ValueError(
+            f"IVF index at {index_path} has no _codebook.json sidecar "
+            "(written by ivf_index_build); probe ranking needs the "
+            "codebook — rebuild the index"
+        )
     empty = spark.createDataFrame(
         [], "q_id long, c_id long, score double, rn int"
     )

@@ -29,11 +29,21 @@ from datafusion_dist_spark.registry import register
 
 # -- shared SQL fragments --------------------------------------------------
 
-CORPUS_CTE = """
+# Planted-duplicate id offset: the smallest multiple of 100000 strictly
+# above max(doc_id), NOT a literal. At the driver's testdata SFs
+# (max doc_id < 100000) this is exactly the historical 100000, so
+# outputs are unchanged; at scale_corpus factors > 20 (replica doc_ids
+# reach factor x 5000) a literal would collide with real replica ids
+# and silently merge distinct docs into one doc_id (the r5 F30
+# rehearsal measured exactly that corrupted corpus). Entries that need
+# several disjoint planted ranges use small multiples of this offset.
+_DUP_OFFSET_SQL = "(SELECT (MAX(doc_id) // 100000 + 1) * 100000 FROM documents)"
+
+CORPUS_CTE = f"""
     corpus AS (
         SELECT doc_id, text FROM documents
         UNION ALL
-        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        SELECT doc_id + {_DUP_OFFSET_SQL} AS doc_id, text FROM documents
         WHERE doc_id % 5 = 0
     )
 """
@@ -61,10 +71,32 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return _QVEC_CACHE[sf_dir]
 
 
+_DUP_OFFSET_CACHE: dict[str, int] = {}
+
+
+def _dup_offset(spark: SparkSession, sf_dir: str) -> int:
+    """Python twin of ``_DUP_OFFSET_SQL``: the smallest multiple of
+    100000 strictly above max(doc_id), cached per scale dir (one tiny
+    single-column aggregate job on first use). Both sides read the
+    same parquet, so Spark and the DuckDB oracle derive the identical
+    integer."""
+    off = _DUP_OFFSET_CACHE.get(sf_dir)
+    if off is None:
+        mx = (
+            load_table(spark, sf_dir, "documents")
+            .agg(F.max("doc_id"))
+            .head()[0]
+        )
+        off = (int(mx) // 100000 + 1) * 100000
+        _DUP_OFFSET_CACHE[sf_dir] = off
+    return off
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dup = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        (F.col("doc_id") + _dup_offset(spark, sf_dir)).alias("doc_id"),
+        "text",
     )
     return d.unionByName(dup)
 
@@ -119,6 +151,7 @@ def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
                 bands=BANDS,
                 rows_per_band=ROWS_PER_BAND,
                 threshold=0.5,
+                bucket_cap=None,  # oracle pin: exact uncapped listing
             ).persist()
             _PAIR_CACHE[key] = df
     return df
@@ -231,7 +264,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _minhash_pairs_shared's cache would hide that cost from every
     # bench pass (min-of-2 would time a cache read).
     return dedup.minhash_dedup_pairs(
-        _corpus(spark, sf_dir), bands=BANDS, rows_per_band=ROWS_PER_BAND, threshold=0.5
+        _corpus(spark, sf_dir),
+        bands=BANDS,
+        rows_per_band=ROWS_PER_BAND,
+        threshold=0.5,
+        bucket_cap=None,  # oracle pin: exact uncapped listing
     )
 
 
@@ -477,7 +514,11 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/dedup.py:ngram_jaccard_pairs)",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.ngram_jaccard_pairs(_corpus(spark, sf_dir), threshold=0.5)
+    # max_list_len=None: this entry IS the exact twin (oracle pin);
+    # the operator's no-arg default is the capped at-scale path.
+    return dedup.ngram_jaccard_pairs(
+        _corpus(spark, sf_dir), threshold=0.5, max_list_len=None
+    )
 
 
 # ABSOLUTE document-frequency cap. This constant's history is the
@@ -2577,7 +2618,8 @@ _NORM_ORACLE = dedup.normalized_text_oracle("text")
         WITH ncorpus AS (
             SELECT doc_id, text FROM documents
             UNION ALL
-            SELECT doc_id + 200000 AS doc_id, upper(text) || '!!' AS text
+            SELECT doc_id + 2 * {_DUP_OFFSET_SQL} AS doc_id,
+                   upper(text) || '!!' AS text
             FROM documents WHERE doc_id % 7 = 0
         )
         SELECT md5({_NORM_ORACLE}) AS digest, count(*) AS n_copies,
@@ -2596,7 +2638,7 @@ _NORM_ORACLE = dedup.normalized_text_oracle("text")
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     variant = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"),
+        (F.col("doc_id") + 2 * _dup_offset(spark, sf_dir)).alias("doc_id"),
         F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
     )
     return dedup.exact_dedup_normalized(d.unionByName(variant))
@@ -2712,7 +2754,8 @@ def pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH corpus AS (
             SELECT doc_id, text FROM documents WHERE doc_id < 400
             UNION ALL
-            SELECT doc_id + 300000 AS doc_id, text FROM documents
+            SELECT doc_id + 3 * {_DUP_OFFSET_SQL} AS doc_id, text
+            FROM documents
             WHERE doc_id < 400 AND doc_id % 9 = 0
             UNION ALL
             SELECT doc_id, text FROM documents WHERE doc_id >= 400
@@ -2747,7 +2790,8 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     index = d.filter(F.col("doc_id") < 400)
     planted = index.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+        (F.col("doc_id") + 3 * _dup_offset(spark, sf_dir)).alias("doc_id"),
+        "text",
     )
     batch = d.filter(F.col("doc_id") >= 400).unionByName(planted)
     return (
@@ -2757,6 +2801,7 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows_per_band=ROWS_PER_BAND,
             threshold=0.5,
             split_id=400,
+            bucket_cap=None,  # oracle pin (incremental default is None)
         )
         .withColumnRenamed("a_id", "index_id")
         .withColumnRenamed("b_id", "new_id")
@@ -3279,13 +3324,17 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
     lsh = (
         dedup.minhash_dedup_pairs(
-            corpus, bands=BANDS, rows_per_band=ROWS_PER_BAND, threshold=0.5
+            corpus,
+            bands=BANDS,
+            rows_per_band=ROWS_PER_BAND,
+            threshold=0.5,
+            bucket_cap=None,  # the quality gate scores the exact sketch
         )
         .select("a_id", "b_id")
         .withColumn("f", F.lit(1))
     )
     truth = (
-        dedup.ngram_jaccard_pairs(corpus, threshold=0.5)
+        dedup.ngram_jaccard_pairs(corpus, threshold=0.5, max_list_len=None)
         .select("a_id", "b_id")
         .withColumn("g", F.lit(1))
     )
@@ -3336,7 +3385,8 @@ def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE md5(text) END AS digest
             FROM documents
             UNION ALL
-            SELECT doc_id + 700000 AS doc_id, source, md5(text) AS digest
+            SELECT doc_id + 7 * {_DUP_OFFSET_SQL} AS doc_id,
+                   source, md5(text) AS digest
             FROM documents WHERE doc_id % 17 = 0
         ),
         j AS (
@@ -3378,7 +3428,7 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("digest"),
     )
     v2_new = d.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 700000).alias("doc_id"),
+        (F.col("doc_id") + 7 * _dup_offset(spark, sf_dir)).alias("doc_id"),
         "source",
         F.md5("text").alias("digest"),
     )

@@ -208,6 +208,13 @@ _SKEW_EMB_MIN_ID_FLOOR = 256
 # hashes the SOURCE bytes, so a cached corpus built by an older
 # transform would be silently reused.
 _SKEW_VERSION = 2
+# Bumped when the UNIFORM replica transform changes (text rotation,
+# embedding roll/sign-flip, key strides). Recorded in EVERY manifest —
+# the r5 embedding sign-flip change was guarded only for the skew path
+# via _SKEW_VERSION, so a cached uniform corpus built by the older
+# roll-only transform still matched its manifest and was silently
+# reused. Any transform edit must bump this.
+_REPLICA_VERSION = 2
 _SKEW_BP = (
     "common header boilerplate navigation menu copyright terms "
     "privacy policy contact"
@@ -438,6 +445,7 @@ def scale_corpus(
         "factor": factor,
         "tables": tables,
         "source": _file_hashes(src_dir),
+        "replica_version": _REPLICA_VERSION,
     }
     if skew is not None:
         # Keys added only when set, so pre-skew uniform manifests stay

@@ -1,0 +1,51 @@
+"""JSON sidecar I/O beside parquet index directories.
+
+Index builders (``minhash_index_build``, ``ivf_index_build``) ship a
+small model/params artifact next to the partition directories as an
+underscore-prefixed file (invisible to parquet discovery). The parquet
+write itself accepts any Hadoop URI (s3a://, hdfs://, file:/, bare
+local paths), so the sidecar must too — a plain ``open()`` crashes on
+every non-local URI (flagged in round-5 review). These helpers go
+through the Hadoop FileSystem API of the live session, which resolves
+bare local paths to the local filesystem and remote URIs to their
+scheme's FS, matching wherever the parquet just landed.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+
+def _fs_and_path(spark, dir_path: str, name: str):
+    jvm = spark._jvm
+    parent = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = parent.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, jvm.org.apache.hadoop.fs.Path(parent, name)
+
+
+def write_json_sidecar(spark, dir_path: str, name: str, obj: Any) -> None:
+    """Write ``obj`` as JSON to ``dir_path/name`` (overwrite)."""
+    fs, p = _fs_and_path(spark, dir_path, name)
+    out = fs.create(p, True)
+    try:
+        out.write(json.dumps(obj).encode("utf-8"))
+    finally:
+        out.close()
+
+
+def read_json_sidecar(spark, dir_path: str, name: str) -> Any | None:
+    """Read ``dir_path/name`` as JSON; None when the file is absent
+    (callers decide whether absence is an error — for sketch-param
+    sidecars it is, unless every parameter was passed explicitly)."""
+    fs, p = _fs_and_path(spark, dir_path, name)
+    if not fs.exists(p):
+        return None
+    stream = fs.open(p)
+    try:
+        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)

@@ -853,6 +853,21 @@ def test_minhash_index_params_sidecar(spark, tmp_path):
         dedup.minhash_dedup_pairs_prebuilt(
             spark, path, batch, split_id=400000, bands=4
         )
+    # r6: a LOST sidecar is an error unless the caller states ALL
+    # sketch params — the old silent k=3/bands=4/rows=4 fallback
+    # re-opened exactly the mismatch corruption the sidecar prevents.
+    import os as _os
+
+    _os.remove(_os.path.join(path, "_params.json"))
+    with _pytest.raises(ValueError, match="no _params.json"):
+        dedup.minhash_dedup_pairs_prebuilt(
+            spark, path, batch, split_id=400000, threshold=0.5
+        )
+    explicit = dedup.minhash_dedup_pairs_prebuilt(
+        spark, path, batch, split_id=400000, threshold=0.5,
+        k=4, bands=2, rows_per_band=8,
+    ).collect()
+    assert sorted(map(tuple, explicit)) == sorted(map(tuple, union))
 
 
 def test_probe_cache_misses_on_same_path_rewrite(spark, tmp_path):
@@ -920,7 +935,9 @@ def test_minhash_bucket_cap_bounds_hot_cluster(spark):
 
     uncapped = {
         (r.a_id, r.b_id)
-        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        for r in dedup.minhash_dedup_pairs(
+            docs, threshold=0.5, bucket_cap=None
+        ).collect()
     }
     capped = {
         (r.a_id, r.b_id)
@@ -931,6 +948,15 @@ def test_minhash_bucket_cap_bounds_hot_cluster(spark):
     cluster_unc = {p for p in uncapped if p[0] < m and p[1] < m}
     cluster_cap = {p for p in capped if p[0] < m and p[1] < m}
     assert len(cluster_unc) == m * (m - 1) // 2  # the quadratic listing
+    # r6: the NO-ARG default is the capped path (DEFAULT_BUCKET_CAP) —
+    # the job-killer form needs an explicit bucket_cap=None opt-out.
+    default_pairs = {
+        (r.a_id, r.b_id)
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.5).collect()
+        if r.a_id < m and r.b_id < m
+    }
+    d = dedup.DEFAULT_BUCKET_CAP
+    assert len(default_pairs) == d * (d - 1) // 2 + (m - d)
     assert capped <= uncapped
     assert len(cluster_cap) == cap * (cap - 1) // 2 + (m - cap)
     # Identical docs -> identical buckets in every band: ranks agree,

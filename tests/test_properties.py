@@ -302,7 +302,9 @@ def test_ngram_cap_bounds_stop_shingle_pairs(spark):
              (101, "alpha beta gamma delta epsilon zeta theta")]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
 
-    uncapped = ngram_jaccard_pairs(docs, threshold=0.0).toPandas()
+    uncapped = ngram_jaccard_pairs(
+        docs, threshold=0.0, max_list_len=None
+    ).toPandas()
     capped = ngram_jaccard_pairs(docs, threshold=0.0, max_list_len=8).toPandas()
 
     # The boilerplate shingles pair up all 30 planted docs uncapped...
@@ -322,6 +324,28 @@ def test_ngram_cap_bounds_stop_shingle_pairs(spark):
     # Capped scores never exceed exact scores anywhere.
     merged = capped.merge(uncapped, on=["a_id", "b_id"], suffixes=("_c", "_u"))
     assert (merged.jaccard_c <= merged.jaccard_u).all()
+
+
+def test_ngram_default_is_capped(spark):
+    """r6: the NO-ARG text-dedup calls carry the skew guard — a stop
+    shingle whose posting list exceeds DEFAULT_MAX_LIST_LEN is dropped
+    by default; the exact quadratic form needs an explicit
+    max_list_len=None opt-out."""
+    from datafusion_dist_spark.operators.dedup import (
+        DEFAULT_MAX_LIST_LEN,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    n = DEFAULT_MAX_LIST_LEN + 20
+    boiler = "the quick brown fox jumps over"
+    rows = [(i, f"{boiler} unique{i} tail{i} body{i} end{i}") for i in range(n)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    assert ngram_jaccard_pairs(docs, threshold=0.0).count() == 0
+    assert ngram_containment_pairs(docs, threshold=0.0).count() == 0
+    exact = ngram_jaccard_pairs(docs, threshold=0.0, max_list_len=None)
+    assert exact.count() == n * (n - 1) // 2
 
 
 @settings(max_examples=3, deadline=None)
