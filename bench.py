@@ -250,6 +250,7 @@ def main() -> None:
     # query cost. Each pass rebuilds the DataFrame (fresh
     # QueryExecution) — only JVM/codegen warmth carries over.
     timings: dict[str, float] = {}
+    load_before = list(os.getloadavg())
     for name in HEADLINE:
         fn = specs[name].spark_fn
         best = float("inf")
@@ -267,11 +268,37 @@ def main() -> None:
         "sf": float(sf),
         "runs_per_query": 3,
         "data_hashes": data_hashes(sf_dir),
+        # Host-noise record: this box shows 2-6x co-tenant load spikes;
+        # a drifted total with a high loadavg is attributable
+        # mechanically instead of by rerun (judge ask r5 #8).
+        "loadavg_before": [round(v, 2) for v in load_before],
+        "loadavg_after": [round(v, 2) for v in os.getloadavg()],
     }
+    # Full record first (humans, and the committed BENCH_SELF copy)...
     print(json.dumps(result))
     if out_path is not None:
         with open(out_path, "w") as fh:
             fh.write(json.dumps(result) + "\n")
+    # ...then a compact line LAST, sized to survive the driver's
+    # 2000-char stdout tail-capture (BENCH_rNN kept parsing as null for
+    # three rounds because the single full line is ~2.5 KB and its head
+    # — metric, value, the first ~20 queries — fell outside the
+    # window). Same schema minus the per-run metadata; per-query
+    # timings re-rounded until the line fits.
+    for digits in (2, 1):
+        compact = json.dumps(
+            {
+                "metric": result["metric"],
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "queries": {k: round(v, digits) for k, v in timings.items()},
+            },
+            separators=(",", ":"),
+        )
+        if len(compact) <= 1950:
+            break
+    print(compact)
     spark.stop()
     if budget_path is not None:
         problems = assert_budget(result, budget_path, budget_factor)
