@@ -28,9 +28,28 @@ heavy entry (lo_sec >= min_wall) with speedup < threshold (default
 co-tenant spikes; the failure being hunted is speedup ~ 1.0, a
 serialized operator).
 
+r6 changes, from the round-5 verdict ("the gate is blind exactly
+where the engine got fast"):
+
+* default --factor is 30 — at x10 four heavy entries' walls fell
+  under the 3 s floor, so the gate verified nothing for a third of
+  the tier; at x30 every entry clears it.
+* scan splits are sized to the corpus: the rehearsal corpora are
+  single compact parquet files, and at the default 128 MB
+  maxPartitionBytes a CPU-heavy predicate PUSHED INTO the scan runs
+  as one task no matter the core count. That was the whole
+  pipeline_clean_corpus "anti-scaling" (0.89x): the pushed-down
+  quality filter is the correct 100 TB plan (filter before shuffle),
+  but locally it was split-bound, not serialized. The parent sizes
+  spark.sql.files.maxPartitionBytes once from the largest corpus
+  file (≥ 2x the high core count of splits, clamped to [128 KB,
+  128 MB]) and both children inherit the SAME value, exactly the
+  "size maxPartitionBytes to the target SF" discipline a production
+  deployment applies.
+
 Usage:
-  python bench_cores.py [--factor 10] [--cores 8,32] [--runs 2]
-                        [--out BENCH_CORES_r04.json] [--no-assert]
+  python bench_cores.py [--factor 30] [--cores 8,32] [--runs 2]
+                        [--out BENCH_CORES_r06.json] [--no-assert]
   python bench_cores.py --child --cores-n 8 --dir DIR --runs 2  # internal
 """
 
@@ -88,6 +107,33 @@ MIN_SPEEDUP = 1.15
 # oracle-pinned K caps parallel groups at 8; the adaptive twin is
 # the at-scale path and is gated normally.
 MIN_SPEEDUP_OVERRIDE = {"graph_pagerank": 1.1, "dedup_semantic": 1.1}
+# r6: the floor exemption is no longer silent. An entry whose LOW-core
+# wall sits under MIN_WALL even at the factor-30 corpus must carry a
+# root-caused reason here; a sub-floor entry WITHOUT one is a
+# violation, so new entries cannot hide behind the floor the way a
+# third of the tier did at x10 (r5 verdict).
+BELOW_FLOOR_REASONS = {
+    "dedup_embedding_cosine_adaptive": (
+        "~2 s at x30/8 cores: the adaptive nbits ladder holds per-"
+        "bucket pair work ~constant per unit data, so the wall is "
+        "dominated by fixed per-job overhead (bucket-key projection + "
+        "one applyInPandas stage), which no core count shrinks. The "
+        "CPU-heavy stage (per-bucket numpy scorer over spread() input) "
+        "is the same code path as dedup_semantic_adaptive / "
+        "ann_ivf_knn_join_adaptive, both gated above the floor."
+    ),
+    "pipeline_clean_corpus": (
+        "the r5 0.89x 'anti-scaling' was root-caused to scan splits, "
+        "not serialization: Catalyst pushes the quality filter (with "
+        "the full tokenize expression) into the parquet scan — the "
+        "correct filter-before-shuffle plan at 100 TB — and the single "
+        "compact corpus file made that ONE task at the default 128 MB "
+        "maxPartitionBytes. With corpus-sized splits the wall dropped "
+        "from ~4.3 s to ~1.8 s at x30/8 cores (now under the floor) "
+        "and still measured x1.54 at 8->32 — the speedup is real, "
+        "just on an overhead-scale wall."
+    ),
+}
 
 
 def child(cores_n: int, sf_dir: str, runs: int) -> None:
@@ -113,9 +159,31 @@ def child(cores_n: int, sf_dir: str, runs: int) -> None:
     print("CORES_RESULT " + json.dumps(out))
 
 
+# The tables the HEAVY tier scans; split sizing targets the smallest
+# of them so EVERY heavy scan stage has at least 2x hi_cores splits.
+HEAVY_INPUTS = ("documents", "embeddings", "events")
+
+
+def corpus_split_bytes(scale_dir: str, hi_cores: int) -> int:
+    """maxPartitionBytes sized so the SMALLEST heavy-tier input file
+    yields at least 2x hi_cores scan splits (clamped to [128 KB,
+    128 MB]) — the local stand-in for a production corpus, where any
+    table is thousands of splits. Computed ONCE by the parent so both
+    core counts run the identical plan."""
+    smallest = min(
+        (
+            os.path.getsize(os.path.join(scale_dir, f"{t}.parquet"))
+            for t in HEAVY_INPUTS
+            if os.path.exists(os.path.join(scale_dir, f"{t}.parquet"))
+        ),
+        default=0,
+    )
+    return max(131072, min(134217728, smallest // (2 * hi_cores)))
+
+
 def main() -> None:
     argv = sys.argv[1:]
-    factor = 10
+    factor = 30
     cores = (8, 32)
     runs = 2
     out_path: str | None = None
@@ -155,9 +223,12 @@ def main() -> None:
 
     scale_corpus(base_dir, scale_dir, factor)
 
+    mpb = corpus_split_bytes(scale_dir, max(cores))
+    print(f"scan split size: {mpb} bytes", file=sys.stderr)
     walls: dict[int, dict[str, float]] = {}
     for n in cores:
         print(f"running heavy tier at local[{n}] ...", file=sys.stderr)
+        env = dict(os.environ, SPARK_GRAFT_MAX_PARTITION_BYTES=str(mpb))
         proc = subprocess.run(
             [
                 sys.executable,
@@ -172,7 +243,8 @@ def main() -> None:
             ],
             capture_output=True,
             text=True,
-            timeout=3600,
+            env=env,
+            timeout=7200,
         )
         line = [
             ln
@@ -190,10 +262,29 @@ def main() -> None:
     for name in HEAVY:
         lo_s, hi_s = walls[lo_n][name], walls[hi_n][name]
         speedup = round(lo_s / hi_s, 2) if hi_s > 0 else float("inf")
-        queries[name] = {"lo_sec": lo_s, "hi_sec": hi_s, "speedup": speedup}
+        gated = lo_s >= MIN_WALL
+        queries[name] = {
+            "lo_sec": lo_s,
+            "hi_sec": hi_s,
+            "speedup": speedup,
+            "gated": gated,
+            **(
+                {"floor_note": BELOW_FLOOR_REASONS[name]}
+                if not gated and name in BELOW_FLOOR_REASONS
+                else {}
+            ),
+        }
         flag = ""
         min_speedup = MIN_SPEEDUP_OVERRIDE.get(name, MIN_SPEEDUP)
-        if lo_s >= MIN_WALL and speedup < min_speedup:
+        if not gated and name not in BELOW_FLOOR_REASONS:
+            violations.append(
+                f"{name}: wall {lo_s:.2f}s under the {MIN_WALL:.0f}s floor "
+                f"at factor {factor} with no root-caused reason in "
+                "BELOW_FLOOR_REASONS — raise the factor, fix the entry, "
+                "or document why its wall is overhead-bound"
+            )
+            flag = "  <-- UNDER FLOOR, UNEXPLAINED"
+        if gated and speedup < min_speedup:
             violations.append(
                 f"{name}: speedup x{speedup} < x{min_speedup} "
                 f"({lo_s:.2f}s @ {lo_n} cores -> {hi_s:.2f}s @ {hi_n})"
@@ -209,6 +300,7 @@ def main() -> None:
         "factor": factor,
         "cores": list(cores),
         "runs_per_query": runs,
+        "scan_split_bytes": mpb,
         "min_wall_gate_sec": MIN_WALL,
         "min_speedup": MIN_SPEEDUP,
         "queries": queries,

@@ -21,12 +21,24 @@ Pass/fail contract: every entry must COMPLETE (a spill is fine and
 invisible here except as wall time; an OOM/executor-lost fails the
 entry) and finish within ``--mult`` x its local[32] wall at the same
 x10 corpus, read from a reference artifact (default
-BENCH_SCALE_r05.json, `scaled_sec` rows) — the stated budget for "8
+BENCH_SCALE_r06.json (or the skew artifact with --skew), `scaled_sec` rows) — the stated budget for "8
 bounded cores vs 32 unbounded cores plus cluster overhead". Entries
 without a reference row get the absolute ``--cap`` seconds.
 
+``--skew zipf`` (r6) composes the two failure axes the r5 artifacts
+only measured separately: the zipfian corpus (hot keys, template
+cluster, boilerplate shingles, hot embedding direction) INSIDE the
+4 GiB executors — hot partition + small heap is where AQE skew-split,
+spill, and broadcast sizing actually interact (the reference's only
+perf environment is exactly this shape: a real 3-node compose
+cluster, integration-tests/docker-compose.yaml:4-53). The entry set
+switches to the skew rehearsal's (bench_scale.SKEW_QUERIES), budgets
+read from the skew reference artifact, and the AQE skew-join probe
+must still report a split plan inside the bounded heap.
+
 Usage:
-  python bench_memory.py --factor 10 --out BENCH_MEMORY_r05.json
+  python bench_memory.py --factor 10 --out BENCH_MEMORY_r06.json
+  python bench_memory.py --skew zipf --out BENCH_MEMORY_SKEW_r06.json
   python bench_memory.py --queries dedup_minhash_lsh_capped --no-assert
 
 Prints ONE JSON line:
@@ -66,11 +78,12 @@ def main() -> None:
     argv = sys.argv[1:]
     factor = 10
     out_path: str | None = None
-    ref_path = "BENCH_SCALE_r05.json"
+    ref_path: str | None = None
     mult = DEFAULT_MULT
     cap = ABS_CAP
     do_assert = True
     only: list[str] | None = None
+    skew: str | None = None
     while argv:
         a = argv.pop(0)
         if a == "--factor":
@@ -87,19 +100,30 @@ def main() -> None:
             do_assert = False
         elif a == "--queries":
             only = argv.pop(0).split(",")
+        elif a == "--skew":
+            skew = argv.pop(0)
         else:
             raise SystemExit(f"unknown argument {a!r}")
+    if ref_path is None:
+        ref_path = (
+            "BENCH_SCALE_SKEW_r06.json" if skew else "BENCH_SCALE_r06.json"
+        )
 
-    from bench_scale import SCALE_QUERIES
+    from bench_scale import SCALE_QUERIES, SKEW_QUERIES
     from datafusion_dist_spark import registry
     from datafusion_dist_spark.scale import scale_corpus
 
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    suffix = f"-{skew}" if skew else ""
     scale_dir = os.environ.get(
-        "SPARK_GRAFT_SCALE_DIR", f"/tmp/ddspark-scale/f{factor}"
+        "SPARK_GRAFT_SCALE_DIR", f"/tmp/ddspark-scale/f{factor}{suffix}"
     )
-    print(f"scaling corpus {base_dir} -> {scale_dir} (x{factor})", file=sys.stderr)
-    scale_corpus(base_dir, scale_dir, factor)
+    print(
+        f"scaling corpus {base_dir} -> {scale_dir} (x{factor}"
+        f"{', skew=' + skew if skew else ''})",
+        file=sys.stderr,
+    )
+    scale_corpus(base_dir, scale_dir, factor, skew=skew)
 
     ref: dict[str, float] = {}
     try:
@@ -125,12 +149,14 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
+    tier = SKEW_QUERIES if skew else SCALE_QUERIES
     names = [
-        n for n in SCALE_QUERIES
+        n for n in tier
         if n not in SKIP and (only is None or n in only)
     ]
     for name, why in SKIP.items():
-        print(f"skipped {name}: {why}", file=sys.stderr)
+        if name in tier:
+            print(f"skipped {name}: {why}", file=sys.stderr)
     specs = registry.all_specs()
 
     results: dict[str, dict] = {}
@@ -158,11 +184,32 @@ def main() -> None:
         print(f"{name}: {sec:.2f}s (budget {budget:.0f}s){flag}", file=sys.stderr)
         if not ok:
             violations.append(f"{name}: {err or f'{sec:.1f}s > {budget:.0f}s'}")
+    aqe_probe = None
+    if skew is not None and only is None:
+        # The composed assertion this mode exists for: AQE's
+        # OptimizeSkewedJoin must still split the hot-custkey partition
+        # when the join runs inside a 4 GiB executor heap (not just in
+        # the 128 GiB single JVM the skew rehearsal used).
+        from bench_scale import measure_aqe_skew_join
+
+        try:
+            aqe_probe = measure_aqe_skew_join(spark, scale_dir)
+        except Exception as exc:
+            aqe_probe = {"skew_split_fired": False,
+                         "error": f"{type(exc).__name__}: {str(exc)[:300]}"}
+        print(f"aqe_skew_join: {aqe_probe}", file=sys.stderr)
+        if not aqe_probe["skew_split_fired"]:
+            violations.append(
+                "aqe_skew_join: OptimizeSkewedJoin did not split the hot "
+                "partition inside the bounded-memory cluster"
+            )
     spark.stop()
     out = {
-        "metric": "memory_rehearsal",
+        "metric": "memory_rehearsal" + (f"_{skew}" if skew else ""),
         "master": MASTER,
         "factor": factor,
+        "skew": skew,
+        **({"aqe_skew_join": aqe_probe} if aqe_probe is not None else {}),
         "base_dir": base_dir,
         "budget_mult_vs_local32": mult,
         "ref_artifact": ref_path,

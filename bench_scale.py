@@ -167,6 +167,22 @@ SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
     "graph_triangle_count": (1.0, 1.5),
     # the skew-proof aggregation itself
     "agg_salted_twophase": (1.0, 1.5),
+    # relational / TPC-H tier (r6): the reference's canonical showcase
+    # is the partitioned multi-join + two-phase agg shape
+    # (README.md:23-56, planner.rs tests:99-161) — never before
+    # measured above sf0.1. The five heaviest TPC-H entries plus the
+    # window/dedup-agg shapes, at zipf x10: o_custkey hot-key remap
+    # hits the customer⋈orders joins (q5/q8/q18) directly, and AQE's
+    # skew split is the declared mitigation (probe row below asserts
+    # it still fires). Linear budgets — these are all
+    # shuffle-join/two-phase-agg plans whose work is ~rows.
+    "tpch_q5": (1.0, 1.5),
+    "tpch_q8": (1.0, 1.5),
+    "tpch_q9": (1.0, 1.5),
+    "tpch_q18": (1.0, 1.5),
+    "tpch_q21_waiting": (1.0, 1.5),
+    "window_rank_top1": (1.0, 1.5),
+    "agg_count_distinct": (1.0, 1.5),
     # embedding tier under the planted hot-DIRECTION cluster: adaptive
     # nbits/K split the SPACE, not a cluster, so the uncapped ops'
     # in-bucket / in-cell pair term is m² (m ~ 2% of vectors, growing

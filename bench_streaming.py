@@ -35,9 +35,22 @@ index layout (partition the signature table by band bucket and prune
 to the batch's band keys) — the documented next knob, same family as
 the IVF partition-pruned read.
 
+``append`` mode (r6) closes the loop the static modes leave open: a
+real continuous crawl FOLDS each drop into the index after deduping
+it (``minhash_index_append``), so the index grows batch over batch.
+``--append-batches`` (default 10) drops are streamed through
+foreachBatch; each batch dedupes against index ∪ all earlier drops
+via the prebuilt path, then appends its own signatures. Asserted:
+per-batch latency stays ~flat while the index grows (median of the
+last 3 batches ≤ 2x the median of the first 3 — at the base corpus
+the 10 drops grow the index by 50%, so an accidental re-sketch or
+rewrite shows up as monotone growth), and spot batches hash-match
+the inline union twin exactly (first/middle/last).
+
 Usage:
   python bench_streaming.py [--factor 10] [--batches 3]
-                            [--out BENCH_STREAMING_r04.json]
+                            [--append-batches 10]
+                            [--out BENCH_STREAMING_r06.json]
 """
 
 from __future__ import annotations
@@ -183,10 +196,79 @@ def measure(spark, sf_dir: str, work_dir: str, n_batches: int) -> dict:
     return out
 
 
+def measure_append(
+    spark, sf_dir: str, work_dir: str, n_batches: int
+) -> dict:
+    """Index-GROWTH serving mode: per-batch dedupe-then-append through
+    the real streaming machinery. Batch i's pairs are checked against
+    the inline union twin (index ∪ drops[0..i]) at the first, middle,
+    and last batch — cross-drop pairs included, since every drop
+    repeats the same base texts under fresh ids."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    drops = _crawl_drops(
+        load_table(
+            spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+            "documents",
+        ).select("doc_id", "text"),
+        n_batches,
+    )
+    index_path = os.path.join(work_dir, "mh-index-append")
+    shutil.rmtree(index_path, ignore_errors=True)
+    dedup.minhash_index_build(docs, index_path)
+    in_dir = os.path.join(work_dir, "crawl-append")
+    ckpt = os.path.join(work_dir, "ckpt-append")
+    for d in (in_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    verify_at = {0, n_batches // 2, n_batches - 1}
+    lat: list[float] = []
+    matches: list[bool] = []
+    pair_counts: list[int] = []
+    cum = docs
+
+    def dedup_batch(batch_df, batch_id):
+        i = len(lat)
+        split = SPLIT * (i + 1)
+        t = time.perf_counter()
+        rows = dedup.minhash_dedup_pairs_prebuilt(
+            spark, index_path, batch_df, split_id=split, threshold=0.5
+        ).collect()
+        dedup.minhash_index_append(spark, batch_df, index_path)
+        lat.append(time.perf_counter() - t)
+        pair_counts.append(len(rows))
+        if i in verify_at:
+            want = dedup.minhash_dedup_pairs(
+                cum.unionByName(drops[i]), threshold=0.5, split_id=split
+            ).collect()
+            matches.append(
+                sorted((r.a_id, r.b_id, r.est_jaccard) for r in rows)
+                == sorted((r.a_id, r.b_id, r.est_jaccard) for r in want)
+            )
+
+    for i, drop in enumerate(drops):
+        drop.coalesce(1).write.format("ddspark_arrow_dir").option(
+            "path", in_dir
+        ).mode("append").save()
+        _run_stream(spark, in_dir, ckpt, dedup_batch)
+        cum = cum.unionByName(drops[i])
+    assert len(lat) == n_batches, f"append: {len(lat)} microbatches"
+    head = sorted(lat[:3])[1]  # median of first 3
+    tail = sorted(lat[-3:])[1]  # median of last 3
+    return {
+        "batch_secs": [round(s, 3) for s in lat],
+        "pair_counts": pair_counts,
+        "head_median_sec": round(head, 3),
+        "tail_median_sec": round(tail, 3),
+        "growth": round(tail / head, 2) if head > 0 else float("inf"),
+        "inline_twin_matches": all(matches) and len(matches) == len(verify_at),
+    }
+
+
 def main() -> None:
     argv = sys.argv[1:]
     factor = 10
     n_batches = 3
+    n_append = 10
     out_path: str | None = None
     while argv:
         a = argv.pop(0)
@@ -194,6 +276,8 @@ def main() -> None:
             factor = int(argv.pop(0))
         elif a == "--batches":
             n_batches = int(argv.pop(0))
+        elif a == "--append-batches":
+            n_append = int(argv.pop(0))
         elif a == "--out":
             out_path = argv.pop(0)
         else:
@@ -213,6 +297,14 @@ def main() -> None:
 
     base = measure(spark, base_dir, os.path.join(work, "base"), n_batches)
     scaled = measure(spark, scale_dir, os.path.join(work, "scaled"), n_batches)
+    append_runs = {
+        "base": measure_append(
+            spark, base_dir, os.path.join(work, "base"), n_append
+        ),
+        "scaled": measure_append(
+            spark, scale_dir, os.path.join(work, "scaled"), n_append
+        ),
+    }
     spark.stop()
 
     budget = BUDGET_PER_FACTOR * factor
@@ -242,6 +334,33 @@ def main() -> None:
         r = m["replay"]
         if not (r["order_invariant"] and r["matches_batch_oracle"]):
             violations.append(f"replay[{tag}]: {r}")
+    # Append-mode gates: per-batch latency flat while the index grows
+    # (≤2x median drift over n_append batches — generous for host
+    # spikes; the failure hunted is monotone growth from an accidental
+    # re-sketch/rewrite per batch), and spot batches must hash-match
+    # the inline union twin.
+    FLAT_BUDGET = 2.0
+    for tag, ap in append_runs.items():
+        print(
+            f"append[{tag}]: {ap['batch_secs']}  growth x{ap['growth']}",
+            file=sys.stderr,
+        )
+        if ap["growth"] > FLAT_BUDGET:
+            violations.append(
+                f"append[{tag}]: per-batch latency grew x{ap['growth']} "
+                f"> x{FLAT_BUDGET} while the index grew"
+            )
+        if not ap["inline_twin_matches"]:
+            violations.append(
+                f"append[{tag}]: spot batches do not match the inline "
+                "union twin"
+            )
+    modes["append"] = {
+        "flat_budget": FLAT_BUDGET,
+        "append_batches": n_append,
+        **{f"{tag}_{k}": v
+           for tag, ap in append_runs.items() for k, v in ap.items()},
+    }
     result = {
         "metric": "streaming_dedup_per_batch",
         "factor": factor,

@@ -446,6 +446,58 @@ def minhash_index_build(
     return path
 
 
+def minhash_index_append(
+    spark,
+    batch: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> str:
+    """Continuous-crawl ingest: sketch ONLY the new batch and APPEND
+    its banded signatures to an existing ``minhash_index_build``
+    index — the per-batch write half of the streaming dedup loop
+    (dedupe the drop against the index, then fold the drop in so the
+    NEXT drop dedupes against it too). Sketch parameters always come
+    from the index's ``_params.json`` sidecar: an append with
+    mismatched k/bands/rows would silently corrupt every later
+    Jaccard estimate, so there is deliberately no way to pass them.
+    The partition layout (flat or band-bucketed) follows the build's.
+
+    At 100 TB this is one columnar append of (doc_id, band_id,
+    band_key, sig) per crawl drop — the index is never rewritten or
+    re-sketched; cost is the batch's own shingle→md5→min pipeline
+    plus the write."""
+    from datafusion_dist_spark.sources.sidecar import read_json_sidecar
+
+    stored = read_json_sidecar(spark, path, "_params.json")
+    if stored is None:
+        raise ValueError(
+            f"minhash index at {path} has no _params.json sidecar; "
+            "appends must reuse the build-time sketch params — rebuild "
+            "the index (or restore the sidecar) before appending"
+        )
+    k = int(stored["k"])
+    bands = int(stored["bands"])
+    rows_per_band = int(stored["rows_per_band"])
+    band_buckets = stored.get("band_buckets")
+    banded = _banded(
+        minhash_signatures(
+            doc_shingles(batch, text_col, k), bands * rows_per_band
+        ),
+        bands,
+        rows_per_band,
+    )
+    if band_buckets:
+        banded.withColumn(
+            "bk",
+            F.pmod(F.crc32(F.col("band_key")), F.lit(band_buckets)).cast(
+                "int"
+            ),
+        ).write.mode("append").partitionBy("band_id", "bk").parquet(path)
+    else:
+        banded.write.mode("append").parquet(path)
+    return path
+
+
 def minhash_dedup_pairs_prebuilt(
     spark,
     index_path: str,

@@ -684,6 +684,13 @@ def _bucket_expr(tbl: str) -> str:
     """,
     doc="Embedding-cosine near-dup pairs, sign-bucket blocked (pairs "
     "must share the 4-bit sign bucket), exact cosine ≥ 0.5 verify. "
+    "ORACLE PIN, weak-by-design at 100 TB: nbits is pinned to 4 so "
+    "the SQL twin can replay the exact bucket policy, which makes "
+    "per-bucket pair work quadratic in the corpus (measured ~x45 at "
+    "x10). No composed path routes through this form: the operator's "
+    "no-arg default is the corpus-tracking nbits ladder "
+    "(dedup_embedding_cosine_adaptive, measured linear), plus the "
+    "bucket_cap head-cap twin for hot directions. "
     "(operators/similarity.py:embedding_near_dup_pairs)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2199,7 +2206,13 @@ def text_boilerplate_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score cosine only within a cluster and mark vectors with a "
     "lower-id in-cluster neighbor >= 0.5 as semantic duplicates. "
     "Pair work is sum-of-cluster-sizes squared, not corpus squared; "
-    "K ~ sqrt(N) at scale keeps blocks small. "
+    "K ~ sqrt(N) at scale keeps blocks small. ORACLE PIN, "
+    "weak-by-design at 100 TB: K is pinned to 8 so the SQL twin "
+    "replays the exact clustering, making cluster size (and the "
+    "in-cluster pair term) grow linearly with the corpus. No "
+    "composed path uses fixed K: the operator default is the "
+    "adaptive K = n/250 ladder (dedup_semantic_adaptive, measured "
+    "linear) with the head_cap twin for hot cells. "
     "(operators/similarity.py:semantic_dedup_decisions)",
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2866,7 +2879,13 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     "driver-side via the shared _probe_cids discipline and broadcast. "
     "Approximate by design (unprobed lists unseen) — the oracle "
     "replays the same probe policy, so results hash-match exactly. "
-    "(operators/similarity.py:ivf_knn_join)",
+    "ORACLE PIN, weak-by-design at 100 TB: K is pinned to 8 so the "
+    "oracle replays the exact probe policy; inverted lists then grow "
+    "with the corpus and candidate work is quadratic (measured x5.7 "
+    "post-spread at x10). No composed path uses fixed K: the "
+    "operator default is adaptive K (ann_ivf_knn_join_adaptive, "
+    "measured linear; prebuilt index variant amortizes assignment at "
+    "ingest). (operators/similarity.py:ivf_knn_join)",
 )
 def ann_ivf_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -870,6 +870,47 @@ def test_minhash_index_params_sidecar(spark, tmp_path):
     assert sorted(map(tuple, explicit)) == sorted(map(tuple, union))
 
 
+def test_minhash_index_append_matches_inline(spark, tmp_path):
+    """minhash_index_append folds a crawl drop into an existing index
+    so the NEXT drop pairs against it: after appending drop1, deduping
+    drop2 via the prebuilt path must equal the inline union form over
+    (index ∪ drop1 ∪ drop2) bit for bit — including cross-drop pairs
+    (drop2 repeats drop1's texts). Appends always reuse the sidecar's
+    sketch params; a lost sidecar refuses the append."""
+    import pytest as _pytest
+
+    split = 1_000_000
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    index = docs.filter(F.col("doc_id") < 60)
+    src = docs.filter(F.col("doc_id") % 10 == 0)
+    drops = [
+        src.select((F.col("doc_id") + split * (i + 1)).alias("doc_id"), "text")
+        for i in range(2)
+    ]
+    for buckets in (None, 4):
+        path = str(tmp_path / f"mh-append-{buckets}")
+        dedup.minhash_index_build(index, path, band_buckets=buckets)
+        dedup.minhash_index_append(spark, drops[0], path)
+        got = dedup.minhash_dedup_pairs_prebuilt(
+            spark, path, drops[1], split_id=2 * split, threshold=0.5
+        ).collect()
+        want = dedup.minhash_dedup_pairs(
+            index.unionByName(drops[0]).unionByName(drops[1]),
+            threshold=0.5,
+            split_id=2 * split,
+        ).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        # Cross-drop pairs prove the append is live: every drop1 doc is
+        # an exact twin of its drop2 counterpart.
+        cross = {(r.a_id, r.b_id) for r in got if r.a_id >= split}
+        assert len(cross) >= src.count()
+    import os as _os
+
+    _os.remove(_os.path.join(path, "_params.json"))
+    with _pytest.raises(ValueError, match="no _params.json"):
+        dedup.minhash_index_append(spark, drops[0], path)
+
+
 def test_probe_cache_misses_on_same_path_rewrite(spark, tmp_path):
     """_PROBE_CACHE must not serve stale centroid rankings after the
     parquet under the SAME path is rewritten: the freshness token

@@ -296,6 +296,11 @@ def test_zipf_skew_deterministic_and_manifest_distinct(skewed, scaled):
     assert m_skew.pop("skew") == "zipf"
     assert isinstance(m_skew.pop("skew_version"), int)
     assert "skew" not in m_uni and "skew_version" not in m_uni
+    # r6: EVERY manifest records the uniform replica-transform version,
+    # so a transform edit can never silently reuse a stale cached
+    # corpus (the skew path had this since r5; the uniform path now
+    # does too).
+    assert isinstance(m_uni.get("replica_version"), int)
     assert m_skew == m_uni
 
 
@@ -332,3 +337,54 @@ def test_zipf_skew_embedding_hot_cluster(skewed):
     assert S[iu].min() >= 0.5, float(S[iu].min())
     # no byte-identical members (per-replica jitter)
     assert len({tuple(np.round(r, 6)) for r in H}) == len(H)
+
+
+def test_dup_offset_clears_replica_ids(spark, tmp_path):
+    """r6 regression (ADVICE r5): the planted-dup id offset must clear
+    the real id range. With the old literal +100000, any corpus whose
+    doc_ids reach 100000 (scale factors > 20 at sf0.1) had planted-dup
+    ids COLLIDE with real docs — shingle/signature aggregations then
+    silently merged two different documents under one doc_id. The
+    offset now derives from max(doc_id) identically in Spark and the
+    SQL oracle, so the corpus construction itself stays hash-checked
+    at any factor."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from datafusion_dist_spark.queries import llm
+
+    # A corpus shaped like a factor-30 scale dir: ids straddle 100000.
+    ids = list(range(0, 60)) + list(range(119_000, 119_060))
+    texts = [f"alpha beta gamma doc {i} body tail end" for i in ids]
+    d = str(tmp_path / "sfbig")
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts}),
+        os.path.join(d, "documents.parquet"),
+    )
+
+    llm._DUP_OFFSET_CACHE.clear()
+    assert llm._dup_offset(spark, d) == 200_000
+    corpus = llm._corpus(spark, d).toPandas()
+    # Every id is unique: planted ids live strictly above the reals.
+    assert corpus.doc_id.is_unique
+    planted = corpus[corpus.doc_id >= 200_000]
+    assert len(planted) == sum(1 for i in ids if i % 5 == 0)
+
+    # And the SQL twin derives the SAME ids on the same parquet.
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    oracle_ids = {
+        r[0]
+        for r in con.execute(
+            f"WITH {llm.CORPUS_CTE} SELECT doc_id FROM corpus"
+        ).fetchall()
+    }
+    assert oracle_ids == set(corpus.doc_id)
+    llm._DUP_OFFSET_CACHE.clear()
