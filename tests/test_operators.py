@@ -911,6 +911,36 @@ def test_minhash_index_append_matches_inline(spark, tmp_path):
         dedup.minhash_index_append(spark, drops[0], path)
 
 
+def test_minhash_bucketed_index_file_discipline(spark, tmp_path):
+    """The bucketed layout must write ONE file per (band_id, bk)
+    partition dir per ingest (repartition by the partition key before
+    partitionBy): without it every shuffle task writes into every dir
+    — tasks x bands x buckets tiny files, and the pruned point-lookup
+    read measured 5x SLOWER than the flat scan at x30 from per-file
+    open cost alone. An append adds at most one more file per dir."""
+    import glob as _glob
+    import os as _os
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "mh-filecount")
+    dedup.minhash_index_build(
+        docs.filter(F.col("doc_id") < 80), path, band_buckets=4
+    )
+
+    def files_per_dir():
+        out = {}
+        for d in _glob.glob(_os.path.join(path, "band_id=*", "bk=*")):
+            out[d] = len(_glob.glob(_os.path.join(d, "*.parquet")))
+        return out
+
+    counts = files_per_dir()
+    assert counts, "no partition dirs written"
+    assert max(counts.values()) == 1, counts
+    batch = docs.filter(F.col("doc_id") >= 80).limit(40)
+    dedup.minhash_index_append(spark, batch, path)
+    assert max(files_per_dir().values()) <= 2, files_per_dir()
+
+
 def test_probe_cache_misses_on_same_path_rewrite(spark, tmp_path):
     """_PROBE_CACHE must not serve stale centroid rankings after the
     parquet under the SAME path is rewritten: the freshness token

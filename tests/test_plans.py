@@ -557,10 +557,17 @@ def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
     assert pf_lines, plan[:2000]
     import re
 
-    m = re.search(r"bk#\d+ IN \(([^)]*)\)", pf_lines[0])
-    assert m, pf_lines[0]
-    assert len(m.group(1).split(",")) <= 4, pf_lines[0]
-    assert "band_id#" in pf_lines[0], pf_lines[0]
+    # r6: the predicate is a per-band OR of (band_id = b AND bk = k)
+    # conjunctions — PAIR pruning, not band_id.isin x bk.isin (the
+    # cross-product form pruned almost nothing for multi-doc batches:
+    # a 10-doc batch's band/bucket UNION covered 120 of 128 dirs where
+    # the pair form reads 40). One doc -> <= 4 pair clauses.
+    clauses = re.findall(r"\(band_id#\d+ = \d+\) AND \(bk#\d+ = \d+\)", pf_lines[0])
+    assert clauses, pf_lines[0]
+    assert len(clauses) <= 4, pf_lines[0]
+    assert "IN (" not in pf_lines[0], (
+        "cross-product isin pruning resurfaced: " + pf_lines[0]
+    )
 
 
 def test_aqe_splits_skewed_join_partition(spark):
