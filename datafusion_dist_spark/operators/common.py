@@ -4,9 +4,86 @@ from __future__ import annotations
 
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
 
 _EXCHANGE_RE = re.compile(r"Exchange\b")
+
+
+def single_entry_cache(
+    df: DataFrame, prev: DataFrame | None
+) -> tuple[DataFrame, DataFrame]:
+    """Persist ``df``, reusing the warm ``prev`` entry when the plan is
+    semantically identical (unpersist-then-repersist on a repeated call
+    would throw away the materialized table), evicting it otherwise.
+    Returns (df_to_use, new_cache_entry)."""
+    if prev is not None:
+        try:
+            if df.sameSemantics(prev):
+                return prev, prev
+            prev.unpersist()
+        except Exception:  # session of the stale entry may be gone
+            pass
+    df = df.persist()
+    return df, df
+
+
+_CACHED_RANKED: DataFrame | None = None
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    rn_col: str = "rn",
+    partitions: int | None = None,
+) -> tuple[DataFrame, int]:
+    """Distributed EXACT global row_number over a total order — the
+    scalable replacement for ``Window.orderBy(...)`` with no
+    partitionBy, which Spark executes by moving EVERY row through one
+    task ("No Partition Defined for Window operation"): a global sort
+    is fine distributed, but a global window is single-partition by
+    construction and dies at 100 TB.
+
+    Classic two-pass ranking: range-repartition on the order columns
+    (partition i holds keys entirely below partition i+1), persist the
+    shuffled projection ONCE (both passes read the same materialized
+    partitions, so AQE cannot renumber pids between them), count rows
+    per partition (one tiny job, ≤ partitions rows to the driver),
+    then rank within each partition and add the broadcast prefix
+    offset. Exact and deterministic whenever ``order_cols`` is a TOTAL
+    order (callers append a unique tiebreak column).
+
+    Returns ``(df_with_rn, total_row_count)`` — callers that derive
+    quantile/decile boundaries need the total anyway, and it falls out
+    of the counts pass for free."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    global _CACHED_RANKED
+    ranged, _CACHED_RANKED = single_entry_cache(ranged, _CACHED_RANKED)
+    counts = sorted(
+        (r["_pid"], r["cnt"])
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    )
+    if not counts:
+        return df.withColumn(rn_col, F.lit(1).cast("long")), 0
+    offsets: dict[int, int] = {}
+    total = 0
+    for pid, cnt in counts:
+        offsets[int(pid)] = total
+        total += int(cnt)
+    omap = F.create_map(
+        *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    out = ranged.withColumn(
+        rn_col, F.row_number().over(w).cast("long") + omap[F.col("_pid")]
+    ).drop("_pid")
+    return out, total
 
 
 def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:

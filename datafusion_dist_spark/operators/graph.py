@@ -38,20 +38,11 @@ _CACHED_TRI_EDGES: DataFrame | None = None
 _CACHED_TRI_ORIENTED: DataFrame | None = None
 
 
-def _single_entry_cache(df: DataFrame, prev: DataFrame | None) -> tuple[DataFrame, DataFrame]:
-    """Persist ``df``, reusing the warm ``prev`` entry when the plan is
-    semantically identical (unpersist-then-repersist on a repeated call
-    would throw away the materialized table), evicting it otherwise.
-    Returns (df_to_use, new_cache_entry)."""
-    if prev is not None:
-        try:
-            if df.sameSemantics(prev):
-                return prev, prev
-            prev.unpersist()
-        except Exception:  # session of the stale entry may be gone
-            pass
-    df = df.persist()
-    return df, df
+# Shared with operators/common.py since r6 (global_row_number uses the
+# same persist-reuse discipline).
+from datafusion_dist_spark.operators.common import (  # noqa: E402
+    single_entry_cache as _single_entry_cache,
+)
 
 
 def bipartite_edges(

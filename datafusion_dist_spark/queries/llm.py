@@ -2441,13 +2441,37 @@ def multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "enters the window) + one tiny aggregation.",
 )
 def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    # NOT Window.orderBy(...).ntile: a global window is single-
+    # partition by construction (Spark warns "Moving all data to a
+    # single partition") — at 100 TB every (doc_id, n_tokens, quality)
+    # row would funnel through one task. global_row_number ranks
+    # distributed (range repartition + per-partition offsets), and
+    # ntile's exact semantics are then integer arithmetic on the rank:
+    # with n rows, the first n % 10 buckets hold ceil(n/10) rows and
+    # the rest floor(n/10) — replayed bit-for-bit against the oracle's
+    # real ntile at both SFs.
+    from datafusion_dist_spark.operators.common import global_row_number
 
     q = text.quality_score(load_table(spark, sf_dir, "documents"))
-    w = Window.orderBy("quality", "doc_id")
+    ranked, n = global_row_number(
+        q.select("doc_id", "n_tokens", "quality"),
+        [F.col("quality"), F.col("doc_id")],
+    )
+    base, rem = divmod(n, 10)
+    head = rem * (base + 1)
+    bucket = F.when(
+        F.col("rn") <= head,
+        F.expr(f"CAST((rn - 1) DIV {base + 1} AS INT) + 1"),
+    )
+    bucket = (
+        bucket.otherwise(
+            F.expr(f"CAST((rn - {head} - 1) DIV {base} AS INT) + {rem + 1}")
+        )
+        if base
+        else bucket
+    )
     return (
-        q.select("doc_id", "n_tokens", "quality")
-        .withColumn("bucket", F.ntile(10).over(w))
+        ranked.withColumn("bucket", bucket)
         .groupBy("bucket")
         .agg(
             F.count("*").alias("n_docs"),
@@ -3193,8 +3217,14 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     freq = occ.groupBy("tok").agg(F.count("*").alias("n"))
     tot = freq.select(F.sum("n").alias("total"))
+    # The curve is cut at rank <= 32, and cum at rank r only involves
+    # the top-r rows — so the global window runs over a 32-row TopK
+    # (orderBy + limit = distributed TakeOrdered), not the full vocab.
+    # The unlimited form would single-partition the whole frequency
+    # table (global windows move every row through one task).
+    top = freq.orderBy(F.desc("n"), F.asc("tok")).limit(32)
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    ranked = freq.select(
+    ranked = top.select(
         "tok",
         "n",
         F.row_number().over(w).alias("rank"),

@@ -1272,3 +1272,46 @@ def test_minhash_band_bucketed_index_bit_identical(spark, tmp_path):
         spark, bucketed, batch.filter(F.lit(False)), split_id=500000
     )
     assert empty.collect() == []
+
+
+def test_global_row_number_exact_and_edges(spark):
+    """global_row_number must equal the single-partition global window
+    bit-for-bit (same total order), including totals, on shuffled
+    input; empty input returns total 0; and the ntile-from-rank
+    arithmetic used by pipeline_quality_buckets matches F.ntile for
+    n < buckets (base = 0: every row its own bucket)."""
+    from pyspark.sql import Window
+
+    from datafusion_dist_spark.operators.common import global_row_number
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 7919 % 997).alias("k"), F.col("id").alias("v")
+    ).repartition(13)
+    got, n = global_row_number(df, [F.col("k"), F.col("v")])
+    assert n == 997
+    want = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("k", "v")).cast("long")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    empty, n0 = global_row_number(
+        df.filter(F.lit(False)), [F.col("k"), F.col("v")]
+    )
+    assert n0 == 0 and empty.count() == 0
+    # n < buckets: exact ntile arithmetic (first n buckets of size 1).
+    small = spark.range(0, 4).select(F.col("id").alias("k"))
+    ranked, n_small = global_row_number(small, [F.col("k")])
+    assert n_small == 4
+    base, rem = divmod(n_small, 10)
+    assert base == 0
+    buckets = {
+        r.k: r.rn for r in ranked.collect()
+    }  # rank == bucket when base == 0
+    want_ntile = {
+        r.k: r.b
+        for r in small.withColumn(
+            "b", F.ntile(10).over(Window.orderBy("k"))
+        ).collect()
+    }
+    assert {k: int(v) for k, v in buckets.items()} == want_ntile
