@@ -2488,7 +2488,9 @@ def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH ents AS (
             SELECT c_custkey AS ent_key, c_name AS name FROM customer
             UNION ALL
-            SELECT c_custkey + 1000000 AS ent_key,
+            SELECT c_custkey
+                     + (SELECT (MAX(c_custkey) // 1000000 + 1) * 1000000
+                        FROM customer) AS ent_key,
                    substr(c_name, 1, length(c_name) - 1) || 'X' AS name
             FROM customer WHERE c_custkey % 10 = 0
         )
@@ -2509,8 +2511,14 @@ def pipeline_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    # Planted-id offset derived from max(c_custkey), same discipline as
+    # _dup_offset for doc_ids: a literal +1000000 collides with real
+    # replica custkeys at scale factors >= 67 and the oracle (same
+    # literal) would hash-match the silently merged output.
+    mx = int(c.agg(F.max("c_custkey")).head()[0])
+    ent_offset = (mx // 1_000_000 + 1) * 1_000_000
     typo = c.filter(F.col("c_custkey") % 10 == 0).select(
-        (F.col("c_custkey") + 1000000).alias("ent_key"),
+        (F.col("c_custkey") + ent_offset).alias("ent_key"),
         F.concat(
             F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
         ).alias("name"),
