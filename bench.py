@@ -298,6 +298,21 @@ def main() -> None:
         )
         if len(compact) <= 1950:
             break
+    else:
+        # Still oversized at 1-digit rounding (query set grew): drop
+        # the per-query dict rather than print a line the driver's
+        # 2000-char stdout tail would truncate back into unparseable —
+        # the totals must always survive.
+        compact = json.dumps(
+            {
+                "metric": result["metric"],
+                "value": total,
+                "unit": "sec",
+                "sf": float(sf),
+                "queries_dropped": len(timings),
+            },
+            separators=(",", ":"),
+        )
     print(compact)
     spark.stop()
     if budget_path is not None:

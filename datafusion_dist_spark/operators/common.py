@@ -28,9 +28,6 @@ def single_entry_cache(
     return df, df
 
 
-_CACHED_RANKED: DataFrame | None = None
-
-
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],
@@ -44,14 +41,24 @@ def global_row_number(
     is fine distributed, but a global window is single-partition by
     construction and dies at 100 TB.
 
-    Classic two-pass ranking: range-repartition on the order columns
-    (partition i holds keys entirely below partition i+1), persist the
-    shuffled projection ONCE (both passes read the same materialized
-    partitions, so AQE cannot renumber pids between them), count rows
-    per partition (one tiny job, ≤ partitions rows to the driver),
-    then rank within each partition and add the broadcast prefix
-    offset. Exact and deterministic whenever ``order_cols`` is a TOTAL
-    order (callers append a unique tiebreak column).
+    Two-pass ranking over DETERMINISTIC range buckets: approx-quantile
+    boundaries of the leading order column (one narrow pass) define a
+    bucket id that is a pure function of the row, so the counts pass
+    and the caller's output pass assign identical buckets without any
+    persisted intermediate (the r6 form range-repartitioned and cached
+    the shuffle to keep ``spark_partition_id`` stable between passes —
+    a session-lifetime executor-storage hold, ADVICE r6). Count rows
+    per bucket (one tiny job, ≤ partitions rows to the driver), then
+    rank within each bucket and add the broadcast prefix offset.
+
+    Exactness never depends on boundary quality: any monotone split of
+    the leading column preserves the total order across buckets, and
+    the in-bucket window finishes the order with the remaining columns.
+    Contract: ``order_cols`` are ASCENDING and form a total order
+    (callers append a unique tiebreak column); the leading column must
+    be numeric (approxQuantile's domain — both current callers rank by
+    a score/key double or long). A heavily-tied leading column only
+    degrades bucket BALANCE, not correctness.
 
     Returns ``(df_with_rn, total_row_count)`` — callers that derive
     quantile/decile boundaries need the total anyway, and it falls out
@@ -60,14 +67,24 @@ def global_row_number(
 
     spark = df.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(n_part, *order_cols).withColumn(
-        "_pid", F.spark_partition_id()
+    lead = order_cols[0]
+    probs = [i / n_part for i in range(1, n_part)]
+    bounds = sorted(
+        set(
+            df.select(lead.cast("double").alias("_gok0")).stat.approxQuantile(
+                "_gok0", probs, 1.0 / (4 * n_part)
+            )
+        )
     )
-    global _CACHED_RANKED
-    ranged, _CACHED_RANKED = single_entry_cache(ranged, _CACHED_RANKED)
+    # NULLs compare as NULL -> coalesce(0): they land in bucket 0,
+    # matching Spark's ascending NULLS FIRST default inside the window.
+    bucket = F.lit(0)
+    for b in bounds:
+        bucket = bucket + F.coalesce((lead > F.lit(b)).cast("int"), F.lit(0))
+    bucketed = df.withColumn("_pid", bucket)
     counts = sorted(
         (r["_pid"], r["cnt"])
-        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in bucketed.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     )
     if not counts:
         return df.withColumn(rn_col, F.lit(1).cast("long")), 0
@@ -80,7 +97,7 @@ def global_row_number(
         *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    out = ranged.withColumn(
+    out = bucketed.withColumn(
         rn_col, F.row_number().over(w).cast("long") + omap[F.col("_pid")]
     ).drop("_pid")
     return out, total

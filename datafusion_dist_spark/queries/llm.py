@@ -71,25 +71,41 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return _QVEC_CACHE[sf_dir]
 
 
-_DUP_OFFSET_CACHE: dict[str, int] = {}
+_DUP_OFFSET_CACHE: dict[tuple[str, str], int] = {}
+
+
+def _planted_id_offset(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    id_col: str,
+    granularity: int,
+) -> int:
+    """Smallest multiple of ``granularity`` strictly above
+    ``max(id_col)`` — the collision-free base for planted-replica ids,
+    cached per (scale dir, table) so repeated entries don't re-run the
+    one-row aggregate job. Both sides read the same parquet, so Spark
+    and the DuckDB oracle derive the identical integer."""
+    key = (sf_dir, table)
+    off = _DUP_OFFSET_CACHE.get(key)
+    if off is None:
+        mx = (
+            load_table(spark, sf_dir, table).agg(F.max(id_col)).head()[0]
+        )
+        if mx is None:
+            raise ValueError(
+                f"{table}.{id_col} at {sf_dir} is empty/all-NULL: cannot "
+                "derive a planted-id offset for the synthetic replicas"
+            )
+        off = (int(mx) // granularity + 1) * granularity
+        _DUP_OFFSET_CACHE[key] = off
+    return off
 
 
 def _dup_offset(spark: SparkSession, sf_dir: str) -> int:
     """Python twin of ``_DUP_OFFSET_SQL``: the smallest multiple of
-    100000 strictly above max(doc_id), cached per scale dir (one tiny
-    single-column aggregate job on first use). Both sides read the
-    same parquet, so Spark and the DuckDB oracle derive the identical
-    integer."""
-    off = _DUP_OFFSET_CACHE.get(sf_dir)
-    if off is None:
-        mx = (
-            load_table(spark, sf_dir, "documents")
-            .agg(F.max("doc_id"))
-            .head()[0]
-        )
-        off = (int(mx) // 100000 + 1) * 100000
-        _DUP_OFFSET_CACHE[sf_dir] = off
-    return off
+    100000 strictly above max(doc_id)."""
+    return _planted_id_offset(spark, sf_dir, "documents", "doc_id", 100000)
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2514,9 +2530,12 @@ def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Planted-id offset derived from max(c_custkey), same discipline as
     # _dup_offset for doc_ids: a literal +1000000 collides with real
     # replica custkeys at scale factors >= 67 and the oracle (same
-    # literal) would hash-match the silently merged output.
-    mx = int(c.agg(F.max("c_custkey")).head()[0])
-    ent_offset = (mx // 1_000_000 + 1) * 1_000_000
+    # literal) would hash-match the silently merged output. Cached per
+    # (sf_dir, table) like _dup_offset so repeated bench/correctness
+    # passes don't each pay the driver-side aggregate job (ADVICE r6).
+    ent_offset = _planted_id_offset(
+        spark, sf_dir, "customer", "c_custkey", 1_000_000
+    )
     typo = c.filter(F.col("c_custkey") % 10 == 0).select(
         (F.col("c_custkey") + ent_offset).alias("ent_key"),
         F.concat(

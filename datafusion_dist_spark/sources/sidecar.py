@@ -41,11 +41,16 @@ def read_json_sidecar(spark, dir_path: str, name: str) -> Any | None:
     fs, p = _fs_and_path(spark, dir_path, name)
     if not fs.exists(p):
         return None
+    # hadoop-common's own IOUtils + java.io only: commons-io is a
+    # TRANSITIVE Hadoop dependency that shaded/trimmed Spark distros
+    # may drop, while org.apache.hadoop.io lives in the same jar as
+    # the FileSystem API used above (ADVICE r6).
+    jvm = spark._jvm
     stream = fs.open(p)
     try:
-        text = spark._jvm.org.apache.commons.io.IOUtils.toString(
-            stream, "UTF-8"
-        )
+        bos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, bos, 8192)
+        data = bytes(bos.toByteArray())
     finally:
         stream.close()
-    return json.loads(text)
+    return json.loads(data.decode("utf-8"))
