@@ -107,6 +107,15 @@ MIN_SPEEDUP = 1.15
 # oracle-pinned K caps parallel groups at 8; the adaptive twin is
 # the at-scale path and is gated normally.
 MIN_SPEEDUP_OVERRIDE = {"graph_pagerank": 1.1, "dedup_semantic": 1.1}
+# Entries measured at a SMALLER factor than the rest of the tier (r7,
+# VERDICT r6 ask 7): dedup_semantic is the fixed-K=8 oracle pin whose
+# quadratic pair stage costs ~470 s of every factor-30 regen (213-255 s
+# x 2 core counts) to prove a point its own BENCH_SCALE_F30 budget row
+# already proves. The pin keeps a cores row — its 8-group applyInPandas
+# structure bound is still worth measuring — but at factor 10, where
+# its wall (~25 s) clears MIN_WALL with the regen under 10 minutes.
+# The adaptive twin (the at-scale path) stays at the full factor.
+PIN_FACTOR = {"dedup_semantic": 10}
 # r6: the floor exemption is no longer silent. An entry whose LOW-core
 # wall sits under MIN_WALL even at the factor-30 corpus must carry a
 # root-caused reason here; a sub-floor entry WITHOUT one is a
@@ -136,7 +145,7 @@ BELOW_FLOOR_REASONS = {
 }
 
 
-def child(cores_n: int, sf_dir: str, runs: int) -> None:
+def child(cores_n: int, sf_dir: str, runs: int, names: list[str]) -> None:
     os.environ["SPARK_GRAFT_CPUS"] = str(cores_n)
     from datafusion_dist_spark import registry
     from datafusion_dist_spark.session import build_session
@@ -147,7 +156,7 @@ def child(cores_n: int, sf_dir: str, runs: int) -> None:
     bench.warmup(spark, sf_dir)
     specs = registry.all_specs()
     out: dict[str, float] = {}
-    for name in HEAVY:
+    for name in names:
         fn = specs[name].spark_fn
         t = float("inf")
         for _ in range(runs):
@@ -190,6 +199,7 @@ def main() -> None:
     do_assert = True
     child_n: int | None = None
     sf_dir: str | None = None
+    names_arg: str | None = None
     while argv:
         a = argv.pop(0)
         if a == "--factor":
@@ -209,10 +219,17 @@ def main() -> None:
             child_n = int(argv.pop(0))
         elif a == "--dir":
             sf_dir = argv.pop(0)
+        elif a == "--names":
+            names_arg = argv.pop(0)
         else:
             raise SystemExit(f"unknown argument {a!r}")
     if child_n is not None and child_n > 0:
-        child(child_n, sf_dir or "/root/testdata/sf0.1", runs)
+        child(
+            child_n,
+            sf_dir or "/root/testdata/sf0.1",
+            runs,
+            names_arg.split(",") if names_arg else list(HEAVY),
+        )
         return
 
     base_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -222,39 +239,57 @@ def main() -> None:
     from datafusion_dist_spark.scale import scale_corpus
 
     scale_corpus(base_dir, scale_dir, factor)
+    # Pinned entries run on their own (smaller) corpus; group them by
+    # effective factor so each corpus is built once and each child run
+    # measures one (corpus, core-count) pair.
+    by_factor: dict[int, list[str]] = {}
+    for name in HEAVY:
+        by_factor.setdefault(min(PIN_FACTOR.get(name, factor), factor), []).append(name)
+    dirs: dict[int, str] = {factor: scale_dir}
+    for f in by_factor:
+        if f != factor:
+            dirs[f] = f"/tmp/ddspark-scale/f{f}"
+            scale_corpus(base_dir, dirs[f], f)
 
     mpb = corpus_split_bytes(scale_dir, max(cores))
     print(f"scan split size: {mpb} bytes", file=sys.stderr)
     walls: dict[int, dict[str, float]] = {}
     for n in cores:
-        print(f"running heavy tier at local[{n}] ...", file=sys.stderr)
-        env = dict(os.environ, SPARK_GRAFT_MAX_PARTITION_BYTES=str(mpb))
-        proc = subprocess.run(
-            [
-                sys.executable,
-                os.path.abspath(__file__),
-                "--child",
-                "--cores-n",
-                str(n),
-                "--dir",
-                scale_dir,
-                "--runs",
-                str(runs),
-            ],
-            capture_output=True,
-            text=True,
-            env=env,
-            timeout=7200,
-        )
-        line = [
-            ln
-            for ln in proc.stdout.splitlines()
-            if ln.startswith("CORES_RESULT ")
-        ]
-        if proc.returncode != 0 or not line:
-            sys.stderr.write(proc.stderr[-4000:])
-            raise SystemExit(f"child at {n} cores failed")
-        walls[n] = json.loads(line[0][len("CORES_RESULT "):])
+        walls[n] = {}
+        for f, names in sorted(by_factor.items(), reverse=True):
+            print(
+                f"running {len(names)} entries at local[{n}] factor {f} ...",
+                file=sys.stderr,
+            )
+            env = dict(os.environ, SPARK_GRAFT_MAX_PARTITION_BYTES=str(mpb))
+            proc = subprocess.run(
+                [
+                    sys.executable,
+                    os.path.abspath(__file__),
+                    "--child",
+                    "--cores-n",
+                    str(n),
+                    "--dir",
+                    dirs[f],
+                    "--runs",
+                    str(runs),
+                    "--names",
+                    ",".join(names),
+                ],
+                capture_output=True,
+                text=True,
+                env=env,
+                timeout=7200,
+            )
+            line = [
+                ln
+                for ln in proc.stdout.splitlines()
+                if ln.startswith("CORES_RESULT ")
+            ]
+            if proc.returncode != 0 or not line:
+                sys.stderr.write(proc.stderr[-4000:])
+                raise SystemExit(f"child at {n} cores (factor {f}) failed")
+            walls[n].update(json.loads(line[0][len("CORES_RESULT "):]))
 
     lo_n, hi_n = cores
     queries: dict[str, dict] = {}
@@ -264,6 +299,11 @@ def main() -> None:
         speedup = round(lo_s / hi_s, 2) if hi_s > 0 else float("inf")
         gated = lo_s >= MIN_WALL
         queries[name] = {
+            **(
+                {"factor": PIN_FACTOR[name]}
+                if name in PIN_FACTOR and PIN_FACTOR[name] < factor
+                else {}
+            ),
             "lo_sec": lo_s,
             "hi_sec": hi_s,
             "speedup": speedup,

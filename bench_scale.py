@@ -183,6 +183,18 @@ SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
     "tpch_q21_waiting": (1.0, 1.5),
     "window_rank_top1": (1.0, 1.5),
     "agg_count_distinct": (1.0, 1.5),
+    # r7 additions (VERDICT r6 ask 6): q1 = the full-scan two-phase
+    # agg under the document/order volume tail; q13 = outer join +
+    # count-distinct landing DIRECTLY on the hot o_custkey (the
+    # classic skewed-outer-join stall, AQE skew split is the declared
+    # mitigation); join_asof + events_sessionize give the
+    # window/temporal family its first scale rows — sessionize's
+    # per-user window is exactly where a zipf user_id hot key turns
+    # into one giant window partition.
+    "tpch_q1": (1.0, 1.5),
+    "tpch_q13": (1.0, 1.5),
+    "join_asof": (1.0, 1.5),
+    "events_sessionize": (1.0, 1.5),
     # embedding tier under the planted hot-DIRECTION cluster: adaptive
     # nbits/K split the SPACE, not a cluster, so the uncapped ops'
     # in-bucket / in-cell pair term is m² (m ~ 2% of vectors, growing

@@ -45,6 +45,21 @@ from datafusion_dist_spark.operators.common import spread
 # per-(band,bucket) head rank cap.
 DEFAULT_MAX_LIST_LEN = 100
 DEFAULT_BUCKET_CAP = 16
+# Pruned-vs-flat auto-select thresholds for band-bucketed index reads
+# (``minhash_dedup_pairs_prebuilt``). Pruning costs one fixed
+# driver-side key-collect job (~1-2 s: the batch's own sketch runs
+# once just to enumerate its (band_id, bk) pairs); it pays off once
+# the unpruned scan it avoids is bigger than that — large BYTES (scan
+# time) or many FILES (per-file open cost). Measured (bench_index.py,
+# BENCH_INDEX_r07, synthetic banded rows, 128 buckets = 514 files):
+# point-lookup pruned-vs-unpruned 2.6 s vs 2.9 s at 116 MB, 2.8 vs
+# 3.9 at 578 MB, 2.6 vs 8.4 at 2.3 GB — the pruned wall is CONSTANT
+# while the scan grows, and it already edges ahead at ~100 MB / ~500
+# files. Thresholds sit just under that first measured win; below
+# them (tiny test corpora, 16-64 dirs) the collect job dominates and
+# the flat scan is served directly.
+PRUNE_MIN_INDEX_BYTES = 64 << 20
+PRUNE_MIN_INDEX_FILES = 256
 # Sentinel distinguishing "not passed" from an explicit None opt-out
 # (minhash's default depends on the dedup mode — see
 # ``minhash_dedup_pairs``).
@@ -533,6 +548,7 @@ def minhash_dedup_pairs_prebuilt(
     bands: int | None = None,
     rows_per_band: int | None = None,
     threshold: float = 0.5,
+    prune: bool | None = None,
 ) -> DataFrame:
     """Query-serving half over a ``minhash_index_build`` index: sketch
     ONLY the incoming batch, read the index's banded signatures from
@@ -553,7 +569,18 @@ def minhash_dedup_pairs_prebuilt(
     explicitly: silently assuming defaults would re-open exactly the
     corruption the sidecar exists to prevent (an index built with
     non-default params whose sidecar was lost would be scored with
-    mismatched signature lengths)."""
+    mismatched signature lengths).
+
+    ``prune`` (band-bucketed indexes only): ``True`` forces the
+    partition-pruned read, ``False`` the flat scan of the bucketed
+    files, ``None`` (default) AUTO-SELECTS from the index's bytes /
+    file count (one filesystem RPC, no Spark job): pruning pays a
+    fixed driver-side key-collect job, so small indexes are served
+    faster by the flat scan (measured: 2.3 s flat vs 2.9 s pruned at
+    a 50 MB index) while large/many-file indexes need the pruned read
+    (thresholds ``PRUNE_MIN_INDEX_BYTES`` / ``PRUNE_MIN_INDEX_FILES``).
+    Results are bit-identical either way — the choice only moves
+    storage reads."""
     from datafusion_dist_spark.sources.sidecar import read_json_sidecar
 
     stored = read_json_sidecar(spark, index_path, "_params.json")
@@ -587,7 +614,14 @@ def minhash_dedup_pairs_prebuilt(
     )
     index = spark.read.parquet(index_path)
     band_buckets = stored.get("band_buckets")
-    if band_buckets:
+    if band_buckets and prune is None:
+        from datafusion_dist_spark.sources.sidecar import dir_summary
+
+        nbytes, nfiles = dir_summary(spark, index_path)
+        prune = (
+            nbytes >= PRUNE_MIN_INDEX_BYTES or nfiles >= PRUNE_MIN_INDEX_FILES
+        )
+    if band_buckets and prune:
         # Band-bucketed layout: prune the index read to the partitions
         # the batch's band keys hash into. The collect is driver-sized
         # by the batch contract (≤ bands × |batch| keys — same

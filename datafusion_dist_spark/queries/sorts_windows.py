@@ -179,7 +179,21 @@ def window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="dense_rank + ntile over a global ordering (window library parity).",
 )
 def window_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Deliberate global window (no partitionBy): window-library parity
+    # over the SUPPLIER DIM TABLE, whose size is bounded by contract —
+    # all rows flow through one task, which is fine for a dim table and
+    # fatal for a fact table. The guard makes the contract executable
+    # instead of a silent single-task stall if a future caller points
+    # this at fact-scale input; the distributed form for unbounded
+    # input is operators.common.global_row_number.
+    _DIM_BOUND = 10_000_000
     s = load_table(spark, sf_dir, "supplier")
+    if s.limit(_DIM_BOUND + 1).count() > _DIM_BOUND:
+        raise ValueError(
+            f"window_dense_ntile input exceeds the {_DIM_BOUND}-row dim-table "
+            "contract; use operators.common.global_row_number for fact-scale "
+            "global ranking"
+        )
     bal = F.round(F.col("s_acctbal") * 100).cast("bigint")
     w = Window.orderBy(bal.desc())
     return s.select(

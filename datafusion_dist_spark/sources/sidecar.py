@@ -24,6 +24,19 @@ def _fs_and_path(spark, dir_path: str, name: str):
     return fs, jvm.org.apache.hadoop.fs.Path(parent, name)
 
 
+def dir_summary(spark, dir_path: str) -> tuple[int, int]:
+    """(total bytes, file count) under ``dir_path`` via the Hadoop FS
+    content summary — one namenode RPC, no Spark job. The prebuilt
+    index readers use this to auto-select pruned vs flat scans: both
+    signals are already known to the filesystem, so the caller never
+    has to guess the index's scale."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    s = fs.getContentSummary(p)
+    return int(s.getLength()), int(s.getFileCount())
+
+
 def write_json_sidecar(spark, dir_path: str, name: str, obj: Any) -> None:
     """Write ``obj`` as JSON to ``dir_path/name`` (overwrite)."""
     fs, p = _fs_and_path(spark, dir_path, name)

@@ -1245,12 +1245,13 @@ def test_minhash_band_bucketed_index_bit_identical(spark, tmp_path):
     dedup.minhash_index_build(index, flat)
     dedup.minhash_index_build(index, bucketed, band_buckets=8)
 
-    def pairs(path):
+    def pairs(path, prune=None):
         return sorted(
             map(
                 tuple,
                 dedup.minhash_dedup_pairs_prebuilt(
-                    spark, path, batch, split_id=500000, threshold=0.5
+                    spark, path, batch, split_id=500000, threshold=0.5,
+                    prune=prune,
                 ).collect(),
             )
         )
@@ -1258,6 +1259,11 @@ def test_minhash_band_bucketed_index_bit_identical(spark, tmp_path):
     p_flat, p_bucketed = pairs(flat), pairs(bucketed)
     assert p_flat, "planted copies must pair"
     assert p_bucketed == p_flat
+    # r7 auto-select: both FORCED read modes over the bucketed layout
+    # are bit-identical to the flat layout — the pruned-vs-flat choice
+    # only moves storage reads, never results.
+    assert pairs(bucketed, prune=True) == p_flat
+    assert pairs(bucketed, prune=False) == p_flat
     inline = sorted(
         map(
             tuple,

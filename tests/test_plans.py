@@ -534,7 +534,16 @@ def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
     must serve a small batch with a PRUNED read: the parquet scan
     carries PartitionFilters on band_id and bk (directory-level
     pruning of unmatched buckets) — the minhash analog of the IVF
-    cid-pruned probe read."""
+    cid-pruned probe read.
+
+    The pruned read is AUTO-SELECTED from the index's scale (r7):
+    pruning pays a fixed driver-side key-collect job, so against a
+    SMALL index the flat scan wins and the auto path must take it
+    (no bk PartitionFilters); once the index's file count crosses
+    PRUNE_MIN_INDEX_FILES (here: a padded many-file index) the auto
+    path must flip to the pruned plan. ``prune=True/False`` overrides
+    both ways; results are bit-identical regardless (operators
+    tests)."""
     from datafusion_dist_spark.operators import dedup as dd
 
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
@@ -545,8 +554,41 @@ def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
     batch = docs.filter(F.col("doc_id") == 5).select(
         (F.col("doc_id") + 500000).alias("doc_id"), "text"
     )  # one doc -> 4 band keys -> <= 4 of the 64 (band_id, bk) dirs
-    df = dd.minhash_dedup_pairs_prebuilt(
+
+    def bk_partition_filters(df):
+        return [
+            ln
+            for ln in formatted_plan(df).splitlines()
+            if "PartitionFilters" in ln and "bk#" in ln
+        ]
+
+    # Small index (64 dirs, ~100 KB): auto takes the FLAT scan — no
+    # bk pruning predicate, no driver-side key collect.
+    auto_small = dd.minhash_dedup_pairs_prebuilt(
         spark, path, batch, split_id=500000, threshold=0.5
+    )
+    assert not bk_partition_filters(auto_small), (
+        "auto-select pruned a small index where flat wins"
+    )
+
+    # Synthetic many-file index: pad the file count past the auto
+    # threshold with underscore-prefixed files (invisible to parquet
+    # discovery, counted by the FS summary — the signal is file count,
+    # not content). Auto must flip to the pruned read.
+    import pathlib as _pl
+
+    for i in range(dd.PRUNE_MIN_INDEX_FILES + 8):
+        (_pl.Path(path) / f"_pad-{i}").touch()
+    auto_big = dd.minhash_dedup_pairs_prebuilt(
+        spark, path, batch, split_id=500000, threshold=0.5
+    )
+    assert bk_partition_filters(auto_big), (
+        "auto-select did not prune a many-file index"
+    )
+
+    # Forced pruned read: the predicate-shape assertions below.
+    df = dd.minhash_dedup_pairs_prebuilt(
+        spark, path, batch, split_id=500000, threshold=0.5, prune=True
     )
     plan = formatted_plan(df)
     pf_lines = [
