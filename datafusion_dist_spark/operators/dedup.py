@@ -60,6 +60,15 @@ DEFAULT_BUCKET_CAP = 16
 # the flat scan is served directly.
 PRUNE_MIN_INDEX_BYTES = 64 << 20
 PRUNE_MIN_INDEX_FILES = 256
+# Build-time twin of the read-side auto-select: band_buckets="auto"
+# picks the layout from the corpus size before writing. ~145 B per
+# banded parquet row measured (bench_index: 116 MB / 800k rows), and
+# the bucketed layout starts paying off at the same
+# PRUNE_MIN_INDEX_BYTES the read path prunes from; 128 buckets is the
+# measured serving config (BENCH_INDEX_r07: pruned point-lookup wall
+# constant ~2.7 s to at least 2.3 GB).
+EST_BANDED_ROW_BYTES = 145
+DEFAULT_BAND_BUCKETS = 128
 # Sentinel distinguishing "not passed" from an explicit None opt-out
 # (minhash's default depends on the dedup mode — see
 # ``minhash_dedup_pairs``).
@@ -394,7 +403,7 @@ def minhash_index_build(
     k: int = 3,
     bands: int = 4,
     rows_per_band: int = 4,
-    band_buckets: int | None = None,
+    band_buckets: int | None | str = None,
 ) -> str:
     """Ingest-time half of incremental/streaming MinHash dedup: sketch
     the corpus ONCE (shingle → signature → banding) and persist the
@@ -439,7 +448,23 @@ def minhash_index_build(
     (PartitionFilters carries the per-band (band_id, bk) pairs) and
     the layout writes one file per partition dir per ingest, so the
     crossover at real scale is a storage-bytes argument, not a
-    tiny-file gamble."""
+    tiny-file gamble.
+
+    ``band_buckets="auto"`` (r7) closes the layout choice for the
+    user: one column-pruned count estimates the banded table's bytes
+    (``EST_BANDED_ROW_BYTES`` per row, anchored by bench_index) and
+    picks the bucketed layout (``DEFAULT_BAND_BUCKETS``) once the
+    estimate crosses the same ``PRUNE_MIN_INDEX_BYTES`` the read side
+    prunes from — small corpora keep the flat layout the measurement
+    says serves them faster. The resolved value lands in the sidecar,
+    so reads and appends never see the sentinel."""
+    if band_buckets == "auto":
+        est_bytes = docs.count() * bands * EST_BANDED_ROW_BYTES
+        band_buckets = (
+            DEFAULT_BAND_BUCKETS
+            if est_bytes >= PRUNE_MIN_INDEX_BYTES
+            else None
+        )
     banded = _banded(
         minhash_signatures(
             doc_shingles(docs, text_col, k), bands * rows_per_band

@@ -911,6 +911,61 @@ def test_minhash_index_append_matches_inline(spark, tmp_path):
         dedup.minhash_index_append(spark, drops[0], path)
 
 
+def test_minhash_index_build_auto_layout(spark, tmp_path, monkeypatch):
+    """band_buckets='auto' picks the layout from the estimated banded
+    bytes: a small corpus writes FLAT (the measured faster serving
+    layout below the crossover), and once the estimate crosses
+    PRUNE_MIN_INDEX_BYTES (threshold shrunk here rather than building
+    a 100 MB index in a unit test) the same call writes the bucketed
+    layout with the resolved bucket count in the sidecar — reads and
+    appends never see the 'auto' sentinel."""
+    import glob as _glob
+    import os as _os
+
+    from datafusion_dist_spark.sources.sidecar import read_json_sidecar
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    small = docs.filter(F.col("doc_id") < 60)
+
+    flat_path = str(tmp_path / "mh-auto-flat")
+    dedup.minhash_index_build(small, flat_path, band_buckets="auto")
+    assert not _glob.glob(_os.path.join(flat_path, "band_id=*"))
+    assert read_json_sidecar(spark, flat_path, "_params.json")[
+        "band_buckets"
+    ] is None
+
+    monkeypatch.setattr(dedup, "PRUNE_MIN_INDEX_BYTES", 1)
+    monkeypatch.setattr(dedup, "DEFAULT_BAND_BUCKETS", 4)
+    bucketed_path = str(tmp_path / "mh-auto-bucketed")
+    dedup.minhash_index_build(small, bucketed_path, band_buckets="auto")
+    assert _glob.glob(_os.path.join(bucketed_path, "band_id=*", "bk=*"))
+    assert (
+        read_json_sidecar(spark, bucketed_path, "_params.json")["band_buckets"]
+        == 4
+    )
+    # Both layouts serve identical pairs through the prebuilt path.
+    batch = small.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    got_flat = sorted(
+        map(
+            tuple,
+            dedup.minhash_dedup_pairs_prebuilt(
+                spark, flat_path, batch, split_id=500000
+            ).collect(),
+        )
+    )
+    got_bucketed = sorted(
+        map(
+            tuple,
+            dedup.minhash_dedup_pairs_prebuilt(
+                spark, bucketed_path, batch, split_id=500000
+            ).collect(),
+        )
+    )
+    assert got_flat and got_flat == got_bucketed
+
+
 def test_minhash_bucketed_index_file_discipline(spark, tmp_path):
     """The bucketed layout must write ONE file per (band_id, bk)
     partition dir per ingest (repartition by the partition key before
