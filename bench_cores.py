@@ -251,8 +251,18 @@ def main() -> None:
             dirs[f] = f"/tmp/ddspark-scale/f{f}"
             scale_corpus(base_dir, dirs[f], f)
 
-    mpb = corpus_split_bytes(scale_dir, max(cores))
-    print(f"scan split size: {mpb} bytes", file=sys.stderr)
+    # Split bytes PER corpus dir: sizing once from the full-factor
+    # corpus and applying it to a pinned smaller corpus would leave the
+    # pin's smallest input with ~factor-ratio fewer splits than the
+    # ">= 2x hi_cores" discipline requires — a split-bound scan at the
+    # high core count reads as a spurious serialization violation
+    # (exactly the artifact this sizing exists to prevent). Both core
+    # counts still share the identical value per corpus.
+    mpb_by_factor = {
+        f: corpus_split_bytes(dirs[f], max(cores)) for f in by_factor
+    }
+    mpb = mpb_by_factor[factor]
+    print(f"scan split sizes: {mpb_by_factor} bytes", file=sys.stderr)
     walls: dict[int, dict[str, float]] = {}
     for n in cores:
         walls[n] = {}
@@ -261,7 +271,10 @@ def main() -> None:
                 f"running {len(names)} entries at local[{n}] factor {f} ...",
                 file=sys.stderr,
             )
-            env = dict(os.environ, SPARK_GRAFT_MAX_PARTITION_BYTES=str(mpb))
+            env = dict(
+                os.environ,
+                SPARK_GRAFT_MAX_PARTITION_BYTES=str(mpb_by_factor[f]),
+            )
             proc = subprocess.run(
                 [
                     sys.executable,

@@ -60,13 +60,27 @@ def global_row_number(
     a score/key double or long). A heavily-tied leading column only
     degrades bucket BALANCE, not correctness.
 
+    Cost model, deliberately: THREE narrow scans of the upstream plan
+    (quantile, counts, the caller's output pass) and zero retained
+    state. The alternative — persist the projection once and read it
+    thrice — is what r6 shipped, and its cache had session-lifetime
+    executor-storage residency with no safe unpersist point (ADVICE
+    r6): at 100 TB you cannot pin the projection in memory anyway, so
+    recomputing a narrow columnar scan IS the scalable trade. Callers
+    that want one-scan behavior can persist their input themselves and
+    release it when THEY are done.
+
     Returns ``(df_with_rn, total_row_count)`` — callers that derive
     quantile/decile boundaries need the total anyway, and it falls out
     of the counts pass for free."""
     from pyspark.sql import Window
 
     spark = df.sparkSession
-    n_part = partitions or spark.sparkContext.defaultParallelism
+    # Bucket-count cap: the window stage's parallelism is the number of
+    # distinct bucket ids, but the per-row bucket assignment below
+    # costs O(bounds) comparisons — 4096 buckets is plenty of
+    # parallelism headroom while keeping that scan bounded.
+    n_part = min(partitions or spark.sparkContext.defaultParallelism, 4096)
     lead = order_cols[0]
     probs = [i / n_part for i in range(1, n_part)]
     bounds = sorted(
@@ -76,11 +90,21 @@ def global_row_number(
             )
         )
     )
-    # NULLs compare as NULL -> coalesce(0): they land in bucket 0,
-    # matching Spark's ascending NULLS FIRST default inside the window.
-    bucket = F.lit(0)
-    for b in bounds:
-        bucket = bucket + F.coalesce((lead > F.lit(b)).cast("int"), F.lit(0))
+    # ONE compact expression (array literal + higher-order filter), not
+    # an O(bounds)-term chained add — thousands of nested Add/Coalesce
+    # nodes would blow whole-stage codegen's method-size limit at real
+    # cluster parallelism. A NULL lead makes every predicate NULL, the
+    # filter keeps none, and size() = bucket 0 — matching Spark's
+    # ascending NULLS FIRST default inside the window.
+    if bounds:
+        bucket = F.size(
+            F.filter(
+                F.array(*[F.lit(b) for b in bounds]),
+                lambda b: lead > b,
+            )
+        )
+    else:
+        bucket = F.lit(0)
     bucketed = df.withColumn("_pid", bucket)
     counts = sorted(
         (r["_pid"], r["cnt"])

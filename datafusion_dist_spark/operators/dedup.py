@@ -69,6 +69,14 @@ PRUNE_MIN_INDEX_FILES = 256
 # constant ~2.7 s to at least 2.3 GB).
 EST_BANDED_ROW_BYTES = 145
 DEFAULT_BAND_BUCKETS = 128
+# (bytes, files) per index path for the read-side auto-select: the FS
+# content summary is one cheap RPC on HDFS but a full recursive listing
+# on local/object-store filesystems, and the continuous-crawl serving
+# loop calls the prebuilt read once per microbatch. Build/append on the
+# same path invalidate in-process; a cross-process append can leave a
+# stale entry, which only delays the pruned-vs-flat flip (perf, never
+# results) until the serving process restarts or re-builds.
+_INDEX_SCALE_CACHE: dict[str, tuple[int, int]] = {}
 # Sentinel distinguishing "not passed" from an explicit None opt-out
 # (minhash's default depends on the dedup mode — see
 # ``minhash_dedup_pairs``).
@@ -458,7 +466,14 @@ def minhash_index_build(
     prunes from — small corpora keep the flat layout the measurement
     says serves them faster. The resolved value lands in the sidecar,
     so reads and appends never see the sentinel."""
-    if band_buckets == "auto":
+    if isinstance(band_buckets, str):
+        if band_buckets != "auto":
+            raise ValueError(
+                f"band_buckets must be an int, None, or 'auto'; got "
+                f"{band_buckets!r} (a typo here would otherwise cast to a "
+                "NULL bucket key and write every row into one "
+                "__HIVE_DEFAULT_PARTITION__ dir)"
+            )
         est_bytes = docs.count() * bands * EST_BANDED_ROW_BYTES
         band_buckets = (
             DEFAULT_BAND_BUCKETS
@@ -503,6 +518,7 @@ def minhash_index_build(
             "band_buckets": band_buckets,
         },
     )
+    _INDEX_SCALE_CACHE.pop(path, None)
     return path
 
 
@@ -560,6 +576,7 @@ def minhash_index_append(
         ).parquet(path)
     else:
         banded.write.mode("append").parquet(path)
+    _INDEX_SCALE_CACHE.pop(path, None)
     return path
 
 
@@ -640,9 +657,11 @@ def minhash_dedup_pairs_prebuilt(
     index = spark.read.parquet(index_path)
     band_buckets = stored.get("band_buckets")
     if band_buckets and prune is None:
-        from datafusion_dist_spark.sources.sidecar import dir_summary
+        if index_path not in _INDEX_SCALE_CACHE:
+            from datafusion_dist_spark.sources.sidecar import dir_summary
 
-        nbytes, nfiles = dir_summary(spark, index_path)
+            _INDEX_SCALE_CACHE[index_path] = dir_summary(spark, index_path)
+        nbytes, nfiles = _INDEX_SCALE_CACHE[index_path]
         prune = (
             nbytes >= PRUNE_MIN_INDEX_BYTES or nfiles >= PRUNE_MIN_INDEX_FILES
         )

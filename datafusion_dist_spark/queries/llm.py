@@ -71,7 +71,7 @@ def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
     return _QVEC_CACHE[sf_dir]
 
 
-_DUP_OFFSET_CACHE: dict[tuple[str, str], int] = {}
+_DUP_OFFSET_CACHE: dict[tuple[str, str, str, int], int] = {}
 
 
 def _planted_id_offset(
@@ -83,10 +83,13 @@ def _planted_id_offset(
 ) -> int:
     """Smallest multiple of ``granularity`` strictly above
     ``max(id_col)`` — the collision-free base for planted-replica ids,
-    cached per (scale dir, table) so repeated entries don't re-run the
-    one-row aggregate job. Both sides read the same parquet, so Spark
-    and the DuckDB oracle derive the identical integer."""
-    key = (sf_dir, table)
+    cached per (scale dir, table, id col, granularity) so repeated
+    entries don't re-run the one-row aggregate job (granularity is part
+    of the key: a cached multiple of 100000 is NOT a valid offset for a
+    caller asking in units of 1000000). Both sides read the same
+    parquet, so Spark and the DuckDB oracle derive the identical
+    integer."""
+    key = (sf_dir, table, id_col, granularity)
     off = _DUP_OFFSET_CACHE.get(key)
     if off is None:
         mx = (

@@ -20,6 +20,9 @@ from pyspark.sql import functions as F
 from datafusion_dist_spark.catalog import load_table
 from datafusion_dist_spark.registry import register, register_sql
 
+# window_dense_ntile's executed-once dim-table guard (see its body).
+_DIM_GUARD_OK: set[tuple[str, str]] = set()
+
 
 @register(
     "sort_multi_nulls",
@@ -185,15 +188,22 @@ def window_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fatal for a fact table. The guard makes the contract executable
     # instead of a silent single-task stall if a future caller points
     # this at fact-scale input; the distributed form for unbounded
-    # input is operators.common.global_row_number.
+    # input is operators.common.global_row_number. Checked ONCE per
+    # (session, sf_dir) — a straight count() (vectorized empty-column
+    # scan, no shuffle; a limit+count form would funnel rows through
+    # one partition), then remembered so bench/correctness repeats pay
+    # no per-call job.
     _DIM_BOUND = 10_000_000
     s = load_table(spark, sf_dir, "supplier")
-    if s.limit(_DIM_BOUND + 1).count() > _DIM_BOUND:
-        raise ValueError(
-            f"window_dense_ntile input exceeds the {_DIM_BOUND}-row dim-table "
-            "contract; use operators.common.global_row_number for fact-scale "
-            "global ranking"
-        )
+    guard_key = (spark.sparkContext.applicationId, sf_dir)
+    if guard_key not in _DIM_GUARD_OK:
+        if s.count() > _DIM_BOUND:
+            raise ValueError(
+                f"window_dense_ntile input exceeds the {_DIM_BOUND}-row "
+                "dim-table contract; use operators.common.global_row_number "
+                "for fact-scale global ranking"
+            )
+        _DIM_GUARD_OK.add(guard_key)
     bal = F.round(F.col("s_acctbal") * 100).cast("bigint")
     w = Window.orderBy(bal.desc())
     return s.select(

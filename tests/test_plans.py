@@ -579,6 +579,11 @@ def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
 
     for i in range(dd.PRUNE_MIN_INDEX_FILES + 8):
         (_pl.Path(path) / f"_pad-{i}").touch()
+    # The (bytes, files) probe is cached per path (one recursive FS
+    # listing per serving process, not per microbatch); out-of-band
+    # modification like this padding — the cross-process-append shape —
+    # requires explicit invalidation, as documented on the cache.
+    dd._INDEX_SCALE_CACHE.pop(path, None)
     auto_big = dd.minhash_dedup_pairs_prebuilt(
         spark, path, batch, split_id=500000, threshold=0.5
     )
