@@ -138,10 +138,22 @@ def result_hash(rows):
 clean_hash = result_hash(agg(li).collect())
 
 
+import tempfile
+
+_MARK = os.path.join(tempfile.mkdtemp(prefix="loss-mark-"), "stage-started")
+
+
 def slow_batches(it):
     # Identity pass-through that stretches the scan/map stage so the
     # kill reliably lands mid-stage; semantics (and the result hash)
-    # are unchanged.
+    # are unchanged. The sentinel tells the killer the stretched stage
+    # has actually STARTED — keying the kill off getActiveJobsIds()
+    # alone raced AQE's job gaps (the first active job it saw could be
+    # a short shuffle-materialization job; a fixed sleep then landed in
+    # the between-jobs planning window, killing no tasks at all).
+    import pathlib
+
+    pathlib.Path(_MARK).touch()
     for pdf in it:
         time.sleep(0.35)
         yield pdf
@@ -155,12 +167,17 @@ kill_info = {}
 def killer():
     st = sc.statusTracker()
     deadline = time.time() + 60
-    while not st.getActiveJobsIds():
+    while not os.path.exists(_MARK):
         if time.time() > deadline:
-            kill_info["error"] = "job never started"
+            kill_info["error"] = "stretched stage never started"
             return
         time.sleep(0.05)
-    time.sleep(1.5)  # land inside the stretched map stage
+    time.sleep(0.3)  # a few tasks deep into the stretched stage
+    while not st.getActiveJobsIds():
+        if time.time() > deadline:
+            kill_info["error"] = "no active job after stage start"
+            return
+        time.sleep(0.02)
     pids = executor_pids()
     if not pids:
         kill_info["error"] = "no executor pid to kill"
