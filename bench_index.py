@@ -155,6 +155,12 @@ def main() -> None:
             nbytes >= dedup.PRUNE_MIN_INDEX_BYTES
             or nfiles >= dedup.PRUNE_MIN_INDEX_FILES
         )
+        # Build-side layout auto-select (band_buckets="auto"): would it
+        # bucket at this scale? Estimated the same way the builder does.
+        auto_buckets = (
+            n_docs * BANDS * dedup.EST_BANDED_ROW_BYTES
+            >= dedup.BUCKET_MIN_INDEX_BYTES
+        )
         row = {
             "docs": n_docs,
             "build_sec": build_sec,
@@ -163,6 +169,7 @@ def main() -> None:
             "flat_sec": lookup_wall(bucketed_path, prune=False),
             "pruned_sec": lookup_wall(bucketed_path, prune=True),
             "auto_prunes": auto_prunes,
+            "auto_buckets": auto_buckets,
         }
         scales.append(row)
         if crossover is None and row["pruned_sec"] < row["flat_sec"]:
@@ -183,6 +190,23 @@ def main() -> None:
                     "best_sec": best_sec,
                 }
             )
+        # Layout violation: band_buckets="auto" must not pick the
+        # measured-slower SERVING layout (flat vs bucketed+pruned)
+        # by more than 1.3x at any measured scale (r7 ADVICE: the old
+        # 64 MiB build threshold picked bucketed where flat wins).
+        auto_layout_sec = (
+            row["pruned_sec"] if auto_buckets else row["flat_layout_sec"]
+        )
+        best_layout_sec = min(row["pruned_sec"], row["flat_layout_sec"])
+        if auto_layout_sec > 1.3 * best_layout_sec:
+            violations.append(
+                {
+                    "docs": n_docs,
+                    "auto_buckets": auto_buckets,
+                    "auto_layout_sec": auto_layout_sec,
+                    "best_layout_sec": best_layout_sec,
+                }
+            )
         print(f"  docs={n_docs} {row}", file=sys.stderr, flush=True)
         if not args.keep:
             shutil.rmtree(flat_path, ignore_errors=True)
@@ -196,6 +220,7 @@ def main() -> None:
         "layout_crossover_docs": layout_crossover,
         "prune_min_index_bytes": dedup.PRUNE_MIN_INDEX_BYTES,
         "prune_min_index_files": dedup.PRUNE_MIN_INDEX_FILES,
+        "bucket_min_index_bytes": dedup.BUCKET_MIN_INDEX_BYTES,
         "violations": violations,
         "loadavg": [round(v, 2) for v in os.getloadavg()],
     }

@@ -10,6 +10,35 @@ from pyspark.sql import functions as F
 _EXCHANGE_RE = re.compile(r"Exchange\b")
 
 
+# Hard fence for explicitly-pinned QUADRATIC operator configurations
+# (uncapped pair listings, under-provisioned fixed blocking constants).
+# These configurations exist as hash-checked oracle anchors — the
+# control arms the adaptive/capped twins are measured against — and
+# their plans deliberately do NOT survive 100x growth. The bound sits
+# just above the largest scale-rehearsal corpus (150k docs at the f30
+# sweep; rehearsals measure the quadratic ON PURPOSE under factor²
+# budgets) and far below fact scale, so a caller pointing a pinned
+# form at real input fails fast with the twin's name instead of
+# stalling in an m²-pair stage (r7 VERDICT task 2 — the executable
+# form of what was previously only a docstring warning).
+QUADRATIC_PIN_MAX_ROWS = 250_000
+
+
+def quadratic_pin_guard(n_rows: int, what: str, twin: str) -> None:
+    """Raise when a pinned-quadratic configuration is applied beyond
+    the oracle-anchor corpus bound. ``what`` names the offending
+    config, ``twin`` the scale-safe alternative (adaptive/capped
+    form + its registry entry)."""
+    if n_rows > QUADRATIC_PIN_MAX_ROWS:
+        raise ValueError(
+            f"{what} on a {n_rows}-row corpus exceeds the "
+            f"{QUADRATIC_PIN_MAX_ROWS}-row quadratic-anchor contract "
+            f"(this configuration is the hash-checked oracle control "
+            f"arm; its pair work does not survive fact-scale input). "
+            f"Use {twin}."
+        )
+
+
 def single_entry_cache(
     df: DataFrame, prev: DataFrame | None
 ) -> tuple[DataFrame, DataFrame]:

@@ -29,7 +29,7 @@ from datafusion_dist_spark.functions.hashing import (
     tokens,
     wide_hash_window,
 )
-from datafusion_dist_spark.operators.common import spread
+from datafusion_dist_spark.operators.common import quadratic_pin_guard, spread
 
 # No-arg skew guards (r6). The text-dedup pair ops are the calls a
 # 100 TB user reaches FIRST, and uncapped they are job-killers on any
@@ -62,21 +62,37 @@ PRUNE_MIN_INDEX_BYTES = 64 << 20
 PRUNE_MIN_INDEX_FILES = 256
 # Build-time twin of the read-side auto-select: band_buckets="auto"
 # picks the layout from the corpus size before writing. ~145 B per
-# banded parquet row measured (bench_index: 116 MB / 800k rows), and
-# the bucketed layout starts paying off at the same
-# PRUNE_MIN_INDEX_BYTES the read path prunes from; 128 buckets is the
-# measured serving config (BENCH_INDEX_r07: pruned point-lookup wall
-# constant ~2.7 s to at least 2.3 GB).
+# banded parquet row measured (bench_index: 116 MB / 800k rows).
+# The build-time flip threshold is SEPARATE from (and higher than)
+# the read-side PRUNE_MIN_INDEX_BYTES: the read thresholds answer
+# "given a bucketed layout, is pruning worth its fixed key-collect
+# job?" while the build threshold answers "is the bucketed layout the
+# faster SERVING layout at all?" — and BENCH_INDEX_r07 measured the
+# unpartitioned flat layout serving point lookups faster up to
+# 578 MB (flat 2.3 s vs pruned 2.7 s) with the pruned read only
+# winning by 2.3 GB (flat 7.9 s vs pruned 2.7 s, constant). The
+# crossover sits between those two points; 1 GiB is just past the
+# last measured flat win. 128 buckets is the measured serving config
+# (pruned point-lookup wall constant ~2.7 s to at least 2.3 GB).
 EST_BANDED_ROW_BYTES = 145
+BUCKET_MIN_INDEX_BYTES = 1 << 30
 DEFAULT_BAND_BUCKETS = 128
-# (bytes, files) per index path for the read-side auto-select: the FS
-# content summary is one cheap RPC on HDFS but a full recursive listing
-# on local/object-store filesystems, and the continuous-crawl serving
-# loop calls the prebuilt read once per microbatch. Build/append on the
-# same path invalidate in-process; a cross-process append can leave a
-# stale entry, which only delays the pruned-vs-flat flip (perf, never
-# results) until the serving process restarts or re-builds.
-_INDEX_SCALE_CACHE: dict[str, tuple[int, int]] = {}
+# Per-index-path memo for the read-side auto-select:
+# path -> (freshness_token, (bytes, files)). The FS content summary is
+# one cheap RPC on HDFS but a full recursive listing on local/object-
+# store filesystems, and the continuous-crawl serving loop calls the
+# prebuilt read once per microbatch. Freshness is proven by the root
+# _SUCCESS marker's (mtime, len) — Spark's commit protocol rewrites it
+# on every successful write into the directory FROM ANY PROCESS, so a
+# cross-process append flips the pruned-vs-flat choice on the next
+# read (one stat) instead of waiting for a restart (the r7 staleness
+# gap; same discipline as similarity._PROBE_CACHE). A token of None
+# (no _SUCCESS: non-Spark writer / marker disabled) disables the memo
+# for that path — correctness of the CHOICE degrades to one recursive
+# listing per read, never to a stale answer. Out-of-band changes that
+# do not go through a Spark write job (e.g. hand-padding files) still
+# need an explicit pop, as tests/test_plans.py documents.
+_INDEX_SCALE_CACHE: dict[str, tuple[tuple[int, int], tuple[int, int]]] = {}
 # Sentinel distinguishing "not passed" from an explicit None opt-out
 # (minhash's default depends on the dedup mode — see
 # ``minhash_dedup_pairs``).
@@ -317,6 +333,19 @@ def minhash_dedup_pairs(
     """
     if bucket_cap is _UNSET:
         bucket_cap = DEFAULT_BUCKET_CAP if split_id is None else None
+    if bucket_cap is None and split_id is None:
+        # Explicitly-uncapped SELF dedup: the all-pairs listing whose
+        # hot-bucket output is m² (the registry's dedup_minhash_lsh
+        # oracle pin). Executable fence, not a docstring (r7 task 2).
+        # Incremental mode (split_id set) stays unguarded: index×batch
+        # never enumerates index×index, and the cap is undefined there.
+        quadratic_pin_guard(
+            docs.count(),
+            "minhash_dedup_pairs(bucket_cap=None) — the uncapped "
+            "all-pairs LSH listing",
+            "the default capped form (bucket_cap=DEFAULT_BUCKET_CAP; "
+            "registry twin dedup_minhash_lsh_capped)",
+        )
     num_hashes = bands * rows_per_band
     sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
     banded = _banded(sigs, bands, rows_per_band)
@@ -462,10 +491,15 @@ def minhash_index_build(
     user: one column-pruned count estimates the banded table's bytes
     (``EST_BANDED_ROW_BYTES`` per row, anchored by bench_index) and
     picks the bucketed layout (``DEFAULT_BAND_BUCKETS``) once the
-    estimate crosses the same ``PRUNE_MIN_INDEX_BYTES`` the read side
-    prunes from — small corpora keep the flat layout the measurement
-    says serves them faster. The resolved value lands in the sidecar,
-    so reads and appends never see the sentinel."""
+    estimate crosses ``BUCKET_MIN_INDEX_BYTES`` — the measured
+    LAYOUT crossover (BENCH_INDEX: flat still wins at 578 MB, pruned
+    wins by 2.3 GB), deliberately higher than the read side's
+    ``PRUNE_MIN_INDEX_BYTES`` which only decides whether an
+    already-bucketed index is worth pruning (r7 ADVICE: reusing the
+    read threshold here picked the measured-slower serving layout for
+    64 MB-1 GiB indexes). Small corpora keep the flat layout the
+    measurement says serves them faster. The resolved value lands in
+    the sidecar, so reads and appends never see the sentinel."""
     if isinstance(band_buckets, str):
         if band_buckets != "auto":
             raise ValueError(
@@ -477,7 +511,7 @@ def minhash_index_build(
         est_bytes = docs.count() * bands * EST_BANDED_ROW_BYTES
         band_buckets = (
             DEFAULT_BAND_BUCKETS
-            if est_bytes >= PRUNE_MIN_INDEX_BYTES
+            if est_bytes >= BUCKET_MIN_INDEX_BYTES
             else None
         )
     banded = _banded(
@@ -613,16 +647,20 @@ def minhash_dedup_pairs_prebuilt(
     non-default params whose sidecar was lost would be scored with
     mismatched signature lengths).
 
-    ``prune`` (band-bucketed indexes only): ``True`` forces the
-    partition-pruned read, ``False`` the flat scan of the bucketed
-    files, ``None`` (default) AUTO-SELECTS from the index's bytes /
-    file count (one filesystem RPC, no Spark job): pruning pays a
-    fixed driver-side key-collect job, so small indexes are served
-    faster by the flat scan (measured: 2.3 s flat vs 2.9 s pruned at
-    a 50 MB index) while large/many-file indexes need the pruned read
-    (thresholds ``PRUNE_MIN_INDEX_BYTES`` / ``PRUNE_MIN_INDEX_FILES``).
-    Results are bit-identical either way — the choice only moves
-    storage reads."""
+    ``prune``: ``True`` forces the partition-pruned read (raises on a
+    flat-layout index, which has no partition dirs to prune — a
+    silent flat scan would defeat the caller's explicit intent),
+    ``False`` the flat scan of the bucketed files, ``None`` (default)
+    AUTO-SELECTS from the index's bytes / file count (one filesystem
+    RPC, no Spark job): pruning pays a fixed driver-side key-collect
+    job, so small indexes are served faster by the flat scan
+    (measured: 2.3 s flat vs 2.9 s pruned at a 50 MB index) while
+    large/many-file indexes need the pruned read (thresholds
+    ``PRUNE_MIN_INDEX_BYTES`` / ``PRUNE_MIN_INDEX_FILES``). The
+    (bytes, files) probe is memoized per path behind the root
+    ``_SUCCESS`` marker's freshness token, so an append from ANY
+    process flips the choice on the next read. Results are
+    bit-identical either way — the choice only moves storage reads."""
     from datafusion_dist_spark.sources.sidecar import read_json_sidecar
 
     stored = read_json_sidecar(spark, index_path, "_params.json")
@@ -656,12 +694,32 @@ def minhash_dedup_pairs_prebuilt(
     )
     index = spark.read.parquet(index_path)
     band_buckets = stored.get("band_buckets")
+    if prune and not band_buckets:
+        # A flat-layout index has no (band_id, bk) partition dirs to
+        # prune; silently serving the flat scan would let a caller
+        # believe they forced the pruned read (r7 ADVICE).
+        raise ValueError(
+            f"prune=True, but the minhash index at {index_path} was "
+            "built with band_buckets=None (flat layout) — there are no "
+            "partition directories to prune. Rebuild with "
+            "band_buckets='auto' (or an int), or drop prune=True"
+        )
     if band_buckets and prune is None:
-        if index_path not in _INDEX_SCALE_CACHE:
-            from datafusion_dist_spark.sources.sidecar import dir_summary
+        from datafusion_dist_spark.sources.sidecar import (
+            dir_summary,
+            success_marker_token,
+        )
 
-            _INDEX_SCALE_CACHE[index_path] = dir_summary(spark, index_path)
-        nbytes, nfiles = _INDEX_SCALE_CACHE[index_path]
+        token = success_marker_token(spark, index_path)
+        hit = _INDEX_SCALE_CACHE.get(index_path)
+        if hit is not None and token is not None and hit[0] == token:
+            nbytes, nfiles = hit[1]
+        else:
+            nbytes, nfiles = dir_summary(spark, index_path)
+            if token is not None:
+                _INDEX_SCALE_CACHE[index_path] = (token, (nbytes, nfiles))
+            else:
+                _INDEX_SCALE_CACHE.pop(index_path, None)
         prune = (
             nbytes >= PRUNE_MIN_INDEX_BYTES or nfiles >= PRUNE_MIN_INDEX_FILES
         )
@@ -846,6 +904,18 @@ def _ngram_pair_counts(
     while set sizes stay uncapped, so capped scores are a lower bound
     on the exact ones. Default None = exact.
     """
+    if max_list_len is None:
+        # Explicitly-uncapped inverted index: one boilerplate shingle
+        # shared by m docs is m²/2 pairs in one task. Executable fence
+        # for the exact/oracle-anchor form (r7 task 2).
+        quadratic_pin_guard(
+            docs.count(),
+            "the uncapped inverted-index pair listing "
+            "(max_list_len=None)",
+            "the default capped form (max_list_len="
+            "DEFAULT_MAX_LIST_LEN; registry twin "
+            "dedup_ngram_jaccard_capped)",
+        )
     # Carry each doc's shingle-set size on its shingle rows (one window
     # -free groupBy-join collapsed into the explode) so the pair
     # aggregation needs no extra join against a sizes table.
@@ -971,6 +1041,14 @@ def substring_span_pairs(
     """
     from datafusion_dist_spark.functions.hashing import char_ngrams
 
+    if max_list_len is None:
+        # Same fence as _ngram_pair_counts: char-gram posting lists
+        # have the identical m²-per-stop-span pathology.
+        quadratic_pin_guard(
+            docs.count(),
+            "the uncapped char-span pair listing (max_list_len=None)",
+            "the default capped form (max_list_len=DEFAULT_MAX_LIST_LEN)",
+        )
     grams = char_ngrams(text_col, span_chars)
     shingles = (
         spread(docs)

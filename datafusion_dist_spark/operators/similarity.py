@@ -31,7 +31,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_dist_spark.operators.common import spread
+from datafusion_dist_spark.operators.common import (
+    QUADRATIC_PIN_MAX_ROWS,
+    quadratic_pin_guard,
+    spread,
+)
 
 
 def _dot_fold(a: Column, b: Column) -> Column:
@@ -787,6 +791,22 @@ def embedding_near_dup_pairs(
 
     if nbits is None:
         nbits = adaptive_nbits(embeddings.count())
+    elif bucket_cap is None:
+        # Explicitly-pinned nbits with no hot-bucket cap: if the pin is
+        # UNDER-provisioned for the corpus (below the adaptive ladder's
+        # answer), bucket population — and pair work — grows with the
+        # data. Executable fence for the oracle-anchor config (r7
+        # task 2); a pinned-but-adequate nbits (>= ladder) passes.
+        n = embeddings.count()
+        if n > QUADRATIC_PIN_MAX_ROWS and nbits < adaptive_nbits(n):
+            quadratic_pin_guard(
+                n,
+                f"embedding_near_dup_pairs(nbits={nbits}) — an "
+                f"under-provisioned fixed sign-bucket width "
+                f"(adaptive ladder says {adaptive_nbits(n)})",
+                "nbits=None (corpus-tracking default; registry twin "
+                "dedup_embedding_cosine_adaptive) or a bucket_cap",
+            )
     dim = _probe_dim(embeddings, vec_col) or 1  # 1: empty-input guard
     b = spread(embeddings).select(
         F.col(id_col),
@@ -1004,6 +1024,23 @@ def semantic_dedup_decisions(
 
     if n_centroids is None:
         n_centroids = adaptive_n_centroids(embeddings.count())
+    elif head_cap is None:
+        # Pinned K with no fat-cell cap: cluster SIZE grows with the
+        # corpus while the cell count stays fixed, so in-cell pair work
+        # is quadratic. Executable fence for the oracle-anchor config
+        # (r7 task 2); an adequate pinned K (>= ladder) passes.
+        n = embeddings.count()
+        if n > QUADRATIC_PIN_MAX_ROWS and n_centroids < adaptive_n_centroids(
+            n
+        ):
+            quadratic_pin_guard(
+                n,
+                f"semantic_dedup_decisions(n_centroids={n_centroids}) — "
+                f"an under-provisioned fixed cluster count (adaptive "
+                f"ladder says {adaptive_n_centroids(n)})",
+                "n_centroids=None (corpus-tracking default; registry "
+                "twin dedup_semantic_adaptive) or a head_cap",
+            )
     dim = _probe_dim(embeddings, vec_col) or 1
     cent_rows = (
         embeddings.filter(F.col(id_col) < n_centroids)
@@ -1359,6 +1396,23 @@ def ivf_knn_join(
     spark = corpus.sparkSession
     if n_centroids is None:
         n_centroids = adaptive_n_centroids(corpus.count())
+    else:
+        # Pinned K: per-query candidate work is |corpus| × nprobe / K,
+        # so an under-provisioned fixed K makes the join quadratic
+        # when both sides grow. Executable fence for the oracle-anchor
+        # config (r7 task 2); an adequate pinned K (>= ladder) passes.
+        n = corpus.count()
+        if n > QUADRATIC_PIN_MAX_ROWS and n_centroids < adaptive_n_centroids(
+            n
+        ):
+            quadratic_pin_guard(
+                n,
+                f"ivf_knn_join(n_centroids={n_centroids}) — an "
+                f"under-provisioned fixed inverted-list count "
+                f"(adaptive ladder says {adaptive_n_centroids(n)})",
+                "n_centroids=None (corpus-tracking default; registry "
+                "twin ann_ivf_knn_join_adaptive)",
+            )
     # Three DRIVER-SIZED jobs feed the probe ranking: the K centroid
     # rows, the |Q| query rows, and a |Q|×K SCALAR sims job (in-plan
     # rounded cosine, so ranking parity with the oracle is by

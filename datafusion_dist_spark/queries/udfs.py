@@ -125,11 +125,23 @@ def udf_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "system_running_jobs",
-    oracle=None,  # virtual table over live engine state — rows-only
+    oracle="""
+        SELECT 'datafusion_dist_spark' AS engine,
+               'created_at,job_id,job_meta,stages' AS schema_cols,
+               TRUE AS probe_visible,
+               TRUE AS empty_after_drain
+    """,
     doc="The running_jobs virtual table (reference: "
     "integration-tests/app/src/table.rs:14-61, schema "
-    "dist/src/util.rs:147-160): job_id, created_at, job_meta JSON, "
-    "stages JSON from the engine's job registry + status tracker.",
+    "dist/src/util.rs:147-160). The live table's contents (uuids, "
+    "timestamps) are inherently non-deterministic, so this entry "
+    "projects the DETERMINISTIC facts the reference's own tests assert "
+    "(table exists, schema, a submitted job is visible while pending, "
+    "the registry drains after collect) so the external driver gets a "
+    "real hash-checked oracle instead of a rows-only `no_oracle` row. "
+    "The raw virtual table stays exercised by tests/test_runtime.py::"
+    "test_running_jobs_virtual_table and the remote twin in "
+    "tests/test_flight.py::test_remote_running_jobs_table.",
 )
 def system_running_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_dist_spark.engine import DistEngine
@@ -137,6 +149,17 @@ def system_running_jobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = DistEngine(spark)
     # Register a live job so the virtual table has observable content.
     handle = eng.submit("SELECT 1 AS one", meta={"purpose": "probe"})
-    df = eng.running_jobs_df()
+    live = eng.running_jobs_df()
+    # Driver-sized by contract: the registry holds this session's
+    # unfinished jobs only (here: exactly the probe).
+    pending = live.collect()
+    probe_visible = any("probe" in r.job_meta for r in pending)
+    schema_cols = ",".join(sorted(live.columns))
     handle.collect()
-    return df
+    empty_after = eng.running_jobs_df().count() == 0
+    return spark.range(1).select(
+        F.lit("datafusion_dist_spark").alias("engine"),
+        F.lit(schema_cols).alias("schema_cols"),
+        F.lit(probe_visible).alias("probe_visible"),
+        F.lit(empty_after).alias("empty_after_drain"),
+    )

@@ -99,7 +99,7 @@ def _load_all() -> None:
 # cover every family), and rotate both the family order and each
 # family's internal order by this epoch so successive rounds sample a
 # growing union. Bump by 1 each round.
-ROTATION_EPOCH = 7
+ROTATION_EPOCH = 8
 
 
 def _interleaved_order(names: list[str], epoch: int) -> list[str]:

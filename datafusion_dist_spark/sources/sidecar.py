@@ -37,6 +37,25 @@ def dir_summary(spark, dir_path: str) -> tuple[int, int]:
     return int(s.getLength()), int(s.getFileCount())
 
 
+def success_marker_token(spark, dir_path: str) -> tuple[int, int] | None:
+    """One-stat freshness token for a Spark-written directory: the
+    (mtime_ms, length) of the root ``_SUCCESS`` marker, which Spark's
+    commit protocol rewrites on EVERY successful write job into the
+    directory — builds and appends alike, from any process. None when
+    the marker is absent (committer configured with
+    ``mapreduce.fileoutputcommitter.marksuccessfuljobs=false``, or a
+    non-Spark writer): callers must treat None as "cannot prove
+    freshness" and skip caching. The index scale cache keys on this so
+    a cross-process append flips the pruned-vs-flat auto-select
+    without a restart (stat is one RPC vs the recursive listing of
+    ``dir_summary``)."""
+    fs, p = _fs_and_path(spark, dir_path, "_SUCCESS")
+    if not fs.exists(p):
+        return None
+    st = fs.getFileStatus(p)
+    return int(st.getModificationTime()), int(st.getLen())
+
+
 def write_json_sidecar(spark, dir_path: str, name: str, obj: Any) -> None:
     """Write ``obj`` as JSON to ``dir_path/name`` (overwrite)."""
     fs, p = _fs_and_path(spark, dir_path, name)

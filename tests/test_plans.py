@@ -579,10 +579,13 @@ def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
 
     for i in range(dd.PRUNE_MIN_INDEX_FILES + 8):
         (_pl.Path(path) / f"_pad-{i}").touch()
-    # The (bytes, files) probe is cached per path (one recursive FS
-    # listing per serving process, not per microbatch); out-of-band
-    # modification like this padding — the cross-process-append shape —
-    # requires explicit invalidation, as documented on the cache.
+    # The (bytes, files) probe is memoized per path behind the root
+    # _SUCCESS marker's freshness token. Hand-touched pad files do NOT
+    # go through a Spark write job, so the token is unchanged and the
+    # memo would serve the stale summary — explicit invalidation, as
+    # documented on the cache. (A real cross-process APPEND rewrites
+    # _SUCCESS and flips the choice without this — pinned by
+    # test_operators.py::test_index_scale_cache_cross_process_append.)
     dd._INDEX_SCALE_CACHE.pop(path, None)
     auto_big = dd.minhash_dedup_pairs_prebuilt(
         spark, path, batch, split_id=500000, threshold=0.5

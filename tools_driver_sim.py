@@ -8,8 +8,7 @@ every queries() entry at sf0.01 against oracle_sql() via DuckDB.
 
     python tools_driver_sim.py
 
-Kept in-repo so future rounds don't have to recreate it from
-.claude/skills/verify/SKILL.md.
+Kept in-repo so future rounds don't have to recreate it.
 """
 import os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
