@@ -354,6 +354,14 @@ def main() -> None:
         "cores": list(cores),
         "runs_per_query": runs,
         "scan_split_bytes": mpb,
+        # Per-factor split sizes (r7 ADVICE): PIN_FACTOR entries run on
+        # a smaller corpus with their own split sizing; without this
+        # map the pinned rows' walls read against the wrong corpus
+        # scale in cross-round comparisons.
+        "scan_split_bytes_by_factor": {
+            str(f): v for f, v in sorted(mpb_by_factor.items())
+        },
+        "pin_factor": dict(PIN_FACTOR),
         "min_wall_gate_sec": MIN_WALL,
         "min_speedup": MIN_SPEEDUP,
         "queries": queries,

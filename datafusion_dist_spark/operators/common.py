@@ -89,6 +89,22 @@ def global_row_number(
     a score/key double or long). A heavily-tied leading column only
     degrades bucket BALANCE, not correctness.
 
+    DETERMINISM CONTRACT (r7 ADVICE, stated executable): because the
+    persist-free form recomputes the upstream plan in the counts pass
+    and again in the caller's output pass, the plan must produce the
+    SAME rows both times — a non-deterministic column feeding the
+    order (``rand()``, ``monotonically_increasing_id()``) or input
+    files rewritten between the two actions violates the contract.
+    Callers with such inputs must ``persist()`` the input themselves
+    (pin the rows, not this helper's internals) before calling. The
+    violation is fenced in-plan, not just documented: a row whose
+    bucket the counts pass never saw hits ``raise_error`` at output
+    time instead of silently carrying a NULL rank (rows that merely
+    MOVE between already-seen buckets under recomputation are
+    inherently undetectable without a third pass — the fence catches
+    the new-bucket shape, tests pin the totals-equality shape for the
+    in-repo callers).
+
     Cost model, deliberately: THREE narrow scans of the upstream plan
     (quantile, counts, the caller's output pass) and zero retained
     state. The alternative — persist the projection once and read it
@@ -150,8 +166,31 @@ def global_row_number(
         *[lit for pid, off in offsets.items() for lit in (F.lit(pid), F.lit(off))]
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
+    # Determinism fence: a bucket id the counts pass never saw has no
+    # offset — raise instead of emitting a silent NULL rank (see the
+    # determinism contract above). Costs nothing when the contract
+    # holds (one null check per row inside codegen).
+    off = omap[F.col("_pid")]
+    off = F.when(
+        off.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "global_row_number: output-pass bucket "
+                ),
+                F.col("_pid").cast("string"),
+                F.lit(
+                    " was never seen by the counts pass - the upstream "
+                    "plan changed between the two actions (rand()/"
+                    "monotonically_increasing_id in the order, or input "
+                    "files rewritten mid-flight, violate the determinism "
+                    "contract; persist() the input before calling)"
+                ),
+            )
+        ).cast("long"),
+    ).otherwise(off)
     out = bucketed.withColumn(
-        rn_col, F.row_number().over(w).cast("long") + omap[F.col("_pid")]
+        rn_col, F.row_number().over(w).cast("long") + off
     ).drop("_pid")
     return out, total
 

@@ -76,6 +76,17 @@ def build_session(
         builder = builder.config(
             "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
         )
+    if not master.startswith("local[") and os.environ.get("PYTHONPATH"):
+        # Multi-process masters (local-cluster, spark:// standalone):
+        # executor JVMs fork their Python workers with the EXECUTOR
+        # environment, not the driver's. local[*] shares one process so
+        # imports just work; a standalone worker daemon launched from a
+        # clean shell does not have the repo on its path, and every
+        # cloudpickled function referencing this package would fail to
+        # unpickle worker-side. Propagate the driver's PYTHONPATH.
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"]
+        )
     # Scan-split sizing. Production default (128 MB) is right at 100 TB
     # where any table is thousands of splits; the LOCAL rehearsal
     # corpora are single compact parquet files, so a CPU-heavy

@@ -54,11 +54,17 @@ sys.path.insert(0, REPO)
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
+# Master from env so the SAME kill scenario runs on both cluster
+# shapes: local-cluster (default — separate executor JVMs, in-process
+# master) and the real standalone daemons tests/test_standalone.py
+# brings up (spark:// URL, master + workers as separate OS processes).
+MASTER = os.environ.get("DDSPARK_MASTER", "local-cluster[2,4,4096]")
 spark = (
-    SparkSession.builder.master("local-cluster[2,4,4096]")
+    SparkSession.builder.master(MASTER)
     .appName("ddspark-executor-loss")
     .config("spark.sql.shuffle.partitions", "16")
     .config("spark.driver.memory", "2g")
+    .config("spark.executor.memory", "2g")
     .config("spark.executorEnv.PYTHONPATH", REPO)
     # Replacement executors must come up fast enough for the bounded
     # test timeout; defaults are fine but pin scheduler patience low
@@ -223,6 +229,15 @@ while True:
     time.sleep(0.5)
 assert spark.sql("SELECT 1 AS one").collect()[0].one == 1
 print("LOSS-OK replacement-executor", flush=True)
+
+if os.environ.get("DDSPARK_SKIP_STREAM"):
+    # Standalone-shape reuse (tests/test_standalone.py) runs the batch
+    # kill only: the streaming half is shape-independent microbatch
+    # retry logic already pinned on local-cluster, and the standalone
+    # suite budget pays for daemon startup instead.
+    spark.stop()
+    print("LOSS-ALL-OK")
+    sys.exit(0)
 
 # Streaming: the same kill inside a microbatch. foreachBatch sees each
 # batch exactly once; task retries stay inside the microbatch job.

@@ -968,6 +968,44 @@ def test_minhash_index_build_auto_layout(spark, tmp_path, monkeypatch):
     assert got_flat and got_flat == got_bucketed
 
 
+def test_global_row_number_determinism_fence(spark, tmp_path):
+    """global_row_number's persist-free form recomputes the upstream
+    plan in the counts pass and the output pass; an input that CHANGES
+    between the two (the r7 ADVICE latent hazard) must hit the in-plan
+    raise_error fence instead of silently emitting NULL ranks. Planted
+    here with a nondeterministic UDF reading a side file whose content
+    flips after the counts pass — the new values land in a bucket the
+    counts pass never saw."""
+    from pyspark.sql.types import DoubleType
+
+    from datafusion_dist_spark.operators.common import global_row_number
+
+    side = tmp_path / "lead-source.txt"
+    side.write_text("0")
+
+    @F.udf(DoubleType())
+    def flaky_lead(i):
+        return float(open(str(side)).read()) + (10.0 if i % 2 else 0.0)
+
+    flaky_lead = flaky_lead.asNondeterministic()
+    base = spark.range(40).select(
+        F.col("id"), flaky_lead(F.col("id")).alias("x")
+    )
+    # Quantile + counts passes run inside the call: values {0, 10} ->
+    # bounds {0, 10} -> occupied buckets {0, 1}; bucket 2 (x > 10)
+    # exists but is EMPTY at count time.
+    gdf, total = global_row_number(base, [F.col("x"), F.col("id")])
+    assert total == 40
+    # Deterministic replay: ranks are exactly 1..total, no NULLs.
+    ranks = [r.rn for r in gdf.select("rn").collect()]
+    assert sorted(ranks) == list(range(1, 41))
+    # Flip the side file: the output pass now computes x in {20, 30} —
+    # bucket 2, never seen by the counts pass. The fence must raise.
+    side.write_text("20")
+    with pytest.raises(Exception, match="never seen by the counts pass"):
+        gdf.collect()
+
+
 def test_quadratic_pin_guards_fence_oversized_input(spark):
     """The five quadratic oracle-pin configurations (uncapped LSH
     listing, uncapped inverted-index pairs, pinned nbits / K /
