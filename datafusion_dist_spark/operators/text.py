@@ -338,9 +338,13 @@ def bm25_topk(
     that match a query term (the filter runs inside the projection,
     before the explode, so the shuffle carries |Q| rows per doc at
     most, not the whole token stream). Corpus stats (N, avgdl) are a
-    1-row broadcast; per-term document frequencies are a |Q|-row
-    broadcast. One groupBy(doc) aggregation + TopK — no full-corpus
-    inverted index is materialized.
+    1-row broadcast; per-term document frequencies come from a count
+    window over the term partition of the tf rows — each (doc, term)
+    row is unique post-aggregation, so count(*) per term IS df, and
+    the window avoids the broadcast-df-join shape whose broadcast-side
+    job recomputes the tf subtree (the tfidf_topk lesson, same file).
+    One groupBy(doc) aggregation + TopK — no full-corpus inverted
+    index is materialized.
     """
     base = (
         spread(docs)
@@ -363,7 +367,6 @@ def bm25_topk(
         F.count("*").alias("n_docs"),
         F.avg("dl").alias("avgdl"),
     )
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     idf = F.log(
         F.lit(1.0)
         + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
@@ -373,7 +376,7 @@ def bm25_topk(
         + k1 * (1.0 - b + b * (F.col("dl") / F.col("avgdl")))
     )
     return (
-        tf.join(df_t, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * tf_norm), 6).alias("bm25"))
@@ -389,15 +392,22 @@ def tfidf_topk(
     indexing/labeling. score = tf * ln(N / df), rounded to 6dp.
 
     Scale shape: one tokenize+explode pass → (doc, term) counts (one
-    shuffle); document frequencies aggregate from those SAME counts
-    (term-keyed, vocabulary-sized — tiny next to the corpus); the
-    re-join back to (doc, term) rows is term-keyed too, so only the
-    count rows shuffle, never the text. N (the corpus size) is a
-    deliberate SECOND pass over the source — a doc_id-only
-    column-pruned scan, so docs with zero tokens still count toward
-    N (deriving N from the tf rows would silently shrink it). Final
-    per-doc top-k is a window with rank, deterministic tiebreak on
-    term.
+    shuffle); document frequencies come from a COUNT WINDOW over the
+    term partition of those same counts — after the (doc, term)
+    aggregation each pair is unique, so count(*) per term IS the
+    document frequency, with no df-side branch at all. The previous
+    shape (df as a separate groupBy joined back) read beautifully but
+    Catalyst broadcast the vocabulary-sized df table, and a broadcast
+    side materializes as its OWN job in which ReuseExchange cannot
+    see the main plan's exchanges — the ENTIRE tokenize+explode scan
+    (the dominant cost) executed twice, measured 2× executor time and
+    a flat 8→32-core curve at the x30 corpus (r8 cores gate). One
+    window exchange of the count rows (term-keyed, no text) replaces
+    the join. N (the corpus size) is a deliberate SECOND pass over
+    the source — a doc_id-only column-pruned scan, so docs with zero
+    tokens still count toward N (deriving N from the tf rows would
+    silently shrink it). Final per-doc top-k is a window with rank,
+    deterministic tiebreak on term.
     """
     tf = (
         spread(docs)
@@ -406,9 +416,8 @@ def tfidf_topk(
         .agg(F.count("*").alias("tf"))
     )
     n_docs = docs.select(F.countDistinct("doc_id").alias("n_docs"))
-    df_t = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
     scored = (
-        tf.join(df_t, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -529,6 +529,32 @@ def test_embedding_near_dup_no_pair_join(spark):
     assert tree.count("FlatMapGroupsInPandas") == 1, tree
 
 
+def test_tfidf_bm25_tokenize_once(spark):
+    """tfidf_topk / bm25_topk: the tokenize+explode subtree (the
+    dominant per-row cost) must appear ONCE in the plan. The previous
+    df-as-broadcast-join shape materialized the vocabulary-sized df
+    table as a broadcast job, inside which ReuseExchange cannot see
+    the main plan's exchanges — the ENTIRE scan+Generate+aggregate
+    executed twice (measured 2× executor time and a FLAT 8→32-core
+    curve at the x30 corpus, r8 cores gate). df now comes from a
+    count window over the term partition of the tf rows — each
+    (doc, term) row is unique post-aggregation, so count(*) per term
+    IS the document frequency."""
+    import re
+
+    from datafusion_dist_spark.queries.llm import text_bm25_topk, text_tfidf_topk
+
+    for fn in (text_tfidf_topk, text_bm25_topk):
+        plan = formatted_plan(fn(spark, SF_DIR))
+        # explain('formatted') details every node once as "(N) Generate";
+        # the old shape carried two (main plan + broadcast subtree).
+        n_gen = len(re.findall(r"\(\d+\) Generate", plan))
+        assert n_gen == 1, (
+            f"{fn.__name__}: expected exactly one tokenize Generate, "
+            f"found {n_gen}\n{plan[:3000]}"
+        )
+
+
 def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
     """The band-bucketed minhash index (PARTITIONED BY band_id, bk)
     must serve a small batch with a PRUNED read: the parquet scan
