@@ -60,6 +60,60 @@ def test_bench_budget_gate_logic(tmp_path, capsys):
     assert len(bench.assert_budget(cur, str(bp2), 2.0)) == 1
 
 
+def test_bench_budget_canary_normalization(tmp_path):
+    """r8 host canary: --assert-budget divides per-query drift by the
+    measured host-throughput ratio — a uniformly slower host relaxes
+    the gate by exactly its canary ratio (clamped [1, 3]); a FASTER
+    host never tightens it; records without canaries gate as before."""
+    import json
+
+    import bench
+
+    base = {
+        "sf": 0.1,
+        "queries": {"q": 1.0},
+        "data_hashes": {"lineitem": "aaa"},
+        "canary": {"matmul_sec": 0.01, "pyloop_sec": 0.1},
+    }
+    bp = tmp_path / "base.json"
+    bp.write_text(json.dumps(base))
+    # 2.5x drift on a host the canary says is 2x slower: allowed
+    # (2.0 factor x 2.0 host adjustment = 4.0 effective budget).
+    slow_host = {
+        "sf": 0.1,
+        "queries": {"q": 2.5},
+        "data_hashes": {"lineitem": "aaa"},
+        "canary": {"matmul_sec": 0.02, "pyloop_sec": 0.2},
+    }
+    assert bench.assert_budget(slow_host, str(bp), 2.0) == []
+    # Same drift with an EQUAL-throughput canary: violation.
+    same_host = dict(slow_host, canary=dict(base["canary"]))
+    assert len(bench.assert_budget(same_host, str(bp), 2.0)) == 1
+    # A faster host must not tighten the gate below the raw factor.
+    fast_host = {
+        "sf": 0.1,
+        "queries": {"q": 1.9},
+        "data_hashes": {"lineitem": "aaa"},
+        "canary": {"matmul_sec": 0.005, "pyloop_sec": 0.05},
+    }
+    assert bench.assert_budget(fast_host, str(bp), 2.0) == []
+    # Pathological canary reading cannot waive the gate past the 3x clamp.
+    broken_canary = dict(
+        slow_host,
+        queries={"q": 7.0},
+        canary={"matmul_sec": 1.0, "pyloop_sec": 10.0},
+    )
+    assert len(bench.assert_budget(broken_canary, str(bp), 2.0)) == 1
+    # Canary missing on either side: plain gate.
+    no_canary = {
+        "sf": 0.1,
+        "queries": {"q": 2.5},
+        "data_hashes": {"lineitem": "aaa"},
+    }
+    assert len(bench.assert_budget(no_canary, str(bp), 2.0)) == 1
+    assert bench.canary_ratio(no_canary, base) is None
+
+
 def test_bench_data_hashes_fingerprint(tmp_path):
     import bench
 
