@@ -110,6 +110,11 @@ HEADLINE = [
     "tpch_q11_full",
     "pipeline_dataset_diff",
     "embedding_health_report",
+    # r8 additions: salted hot-key join, CMS heavy hitters,
+    # dataset-level contamination matrix
+    "join_skew_salted",
+    "agg_countmin_heavy_hitters",
+    "pipeline_contamination_matrix",
 ]
 
 

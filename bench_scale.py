@@ -118,6 +118,14 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     "decontaminate_bloom_verify": None,
     "text_tfidf_topk": None,
     "sample_temperature": None,
+    # r8 additions: dataset-level contamination matrix (distinct
+    # (source, shingle) bounds the self-join at n_sources rows per
+    # shingle — linear in corpus bytes), CMS heavy hitters (constant
+    # grid, linear scan + linear candidate distinct), salted shuffle
+    # join (pure routing over a linear join).
+    "pipeline_contamination_matrix": None,
+    "agg_countmin_heavy_hitters": None,
+    "join_skew_salted": None,
 }
 
 # --skew zipf: the skewed-data rehearsal (r5). Same harness, but the
@@ -205,6 +213,15 @@ SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
     "dedup_embedding_cosine_capped": (1.0, 1.5),
     "dedup_semantic_adaptive": (2.0, 1.5),
     "dedup_semantic_capped": (1.0, 1.5),
+    # r8 additions. The salted join is THE explicit hot-key lever —
+    # measured under the zipf corpus it exists for; CMS's hot user_id
+    # only inflates one counter cell (work is unchanged by skew); the
+    # contamination matrix's boilerplate-prefix shingles (df grows
+    # with the corpus) are exactly what the distinct-(source,shingle)
+    # reduction bounds at n_sources rows per shingle.
+    "join_skew_salted": (1.0, 1.5),
+    "agg_countmin_heavy_hitters": (1.0, 1.5),
+    "pipeline_contamination_matrix": (1.0, 1.5),
 }
 
 EXCLUDED: dict[str, str] = {

@@ -1,0 +1,110 @@
+"""Frequency sketches: count-min cells + point lookups (engine extension).
+
+The reference's only sketch-adjacent surface is approximate distinct
+counting; a training-data pipeline also needs frequency estimation over
+key spaces too large to hold exactly (heavy-hitter domains, hot-URL
+detection, per-user rate screens at crawl scale). Count-min is the
+standard answer: a ``depth x width`` grid of counters whose size is
+FIXED regardless of input rows or distinct keys.
+
+Scale design (the whole point of the sketch):
+- ``countmin_cells`` is one scan → explode each row into ``depth``
+  (h, bucket) cells → two-phase hash aggregate. The explode is map-side
+  CPU only; the shuffle carries at most depth*width partial cells PER
+  TASK, independent of input size. At 100 TB the sketch build is
+  scan-bound with a constant-size shuffle.
+- ``countmin_lookup`` broadcasts the cells (depth*width rows, a few KB)
+  and answers estimates for a candidate-key DataFrame in one scan of
+  the candidates — the big table is never re-joined.
+- Hashes are the cross-engine md5 windows from functions/hashing.py, so
+  a DuckDB oracle reproduces every counter and estimate bit-for-bit
+  (the estimate is a deterministic function of the data, not a random
+  variable per run).
+
+Estimate semantics: est(k) = min over depth rows of counter[h][bucket
+(k)] — an upper bound on the true count (collisions only inflate),
+within eps*N with probability 1-delta for width=e/eps, depth=ln(1/
+delta). Keys absent from the build side read whatever their buckets
+hold (>= 0) — classic CMS behavior, preserved here by the left join +
+zero fill.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_dist_spark.functions.hashing import hash_hex, hash_hex_oracle
+
+
+def _bucket(key: Column, h: int, width: int) -> Column:
+    """Row ``h``'s bucket for ``key``: 16-bit md5 window mod width."""
+    return (
+        F.conv(hash_hex(key.cast("string"), f"cms{h}", 4), 16, 10).cast("int")
+        % F.lit(width)
+    )
+
+
+def bucket_oracle(key_expr: str, h: int, width: int) -> str:
+    """DuckDB mirror of ``_bucket`` (same md5 window, same mod)."""
+    hx = hash_hex_oracle(f"CAST({key_expr} AS VARCHAR)", f"cms{h}", 4)
+    return f"(CAST(('0x' || {hx}) AS INTEGER) % {width})"
+
+
+def countmin_cells(
+    df: DataFrame, key: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Build the sketch: (h, b, cnt) for every touched cell.
+
+    One scan; the explode-to-depth-rows happens inside the same stage
+    as the partial aggregation, so the exchange after it carries cell
+    partials (<= depth*width per task), never the exploded rows.
+    """
+    cells = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("h"),
+                        _bucket(F.col(key), h, width).alias("b"),
+                    )
+                    for h in range(depth)
+                ]
+            )
+        ).alias("cell")
+    )
+    return cells.groupBy(
+        F.col("cell.h").alias("h"), F.col("cell.b").alias("b")
+    ).agg(F.count("*").alias("cnt"))
+
+
+def countmin_lookup(
+    keys: DataFrame, cells: DataFrame, key: str, depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Estimate counts for candidate ``keys``: (key, est).
+
+    The cells grid is broadcast (constant bytes by construction); the
+    candidates are scanned once. Unseen-bucket probes read 0 via the
+    left join so absent keys get the true CMS estimate instead of
+    silently dropping out.
+    """
+    probes = keys.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(h).alias("h"),
+                        _bucket(F.col(key), h, width).alias("b"),
+                    )
+                    for h in range(depth)
+                ]
+            )
+        ).alias("cell"),
+    ).select(key, F.col("cell.h").alias("h"), F.col("cell.b").alias("b"))
+    return (
+        probes.join(F.broadcast(cells), ["h", "b"], "left")
+        .fillna({"cnt": 0})
+        .groupBy(key)
+        .agg(F.min("cnt").alias("est"))
+    )

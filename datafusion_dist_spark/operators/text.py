@@ -766,3 +766,76 @@ def boilerplate_score(
         (F.col("n_common") * F.lit(100)
          >= F.col("n_shingles") * F.lit(int(flag_frac * 100))).alias("is_boiler"),
     )
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Dataset-level contamination matrix: for every pair of groups
+    (sources/datasets), the number of distinct k-shingles they share and
+    the containment fraction n_shared / min(|A|, |B|) — the dataset-card
+    report that decides whether two corpus slices are near-copies before
+    any doc-level dedup runs.
+
+    Scale shape: the corpus collapses to DISTINCT (group, shingle)
+    FIRST, so each shingle contributes at most n_groups rows to the
+    self-join — output and join work are O(n_shingles * n_groups^2)
+    with n_groups the number of DATASETS (dozens), never O(docs^2).
+    That is what makes a source-level overlap report cheap where the
+    doc-level pair matrix needs banding/caps: a hot shingle shared by
+    every document still yields one row per group. The per-group totals
+    are n_groups rows — broadcast onto the pair aggregate.
+
+    Single-tokenize guarantee: the distinct-shingle subtree feeds four
+    plan branches (both self-join sides + both totals), but all four
+    hang off the SAME DataFrame object, so their canonical plans are
+    identical and AQE's exchange reuse collapses them at runtime — the
+    executed plan has exactly one parquet scan and one Generate
+    (tokenize+shingle), verified by the executed-plan gate in
+    tests/test_plans.py. The corpus is never tokenized twice.
+    """
+    from datafusion_dist_spark.functions.hashing import shingle_array
+
+    t = spread(docs).select(
+        F.col(group_col).alias("g"), tokens(F.col(text_col)).alias("_toks")
+    )
+    sh = t.select(
+        "g",
+        F.explode(F.array_distinct(shingle_array(F.col("_toks"), k))).alias(
+            "shingle"
+        ),
+    ).distinct()
+    totals = sh.groupBy("g").agg(F.count("*").alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.g") < F.col("b.g")),
+        )
+        .groupBy(
+            F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    ta = totals.select(
+        F.col("g").alias("source_a"), F.col("n_sh").alias("_na")
+    )
+    tb = totals.select(
+        F.col("g").alias("source_b"), F.col("n_sh").alias("_nb")
+    )
+    return (
+        pairs.join(F.broadcast(ta), "source_a")
+        .join(F.broadcast(tb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared") / F.least("_na", "_nb").cast("double"), 6
+            ).alias("containment"),
+        )
+    )

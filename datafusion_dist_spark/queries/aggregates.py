@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.operators import sketch
 from datafusion_dist_spark.registry import register, register_sql
 
 
@@ -539,3 +540,58 @@ register_sql(
     "exploratory-SQL shape users type constantly; physical plan is "
     "the ordinary two-phase aggregate.",
 )
+
+
+# -- frequency sketch -------------------------------------------------------
+
+_CMS_DEPTH, _CMS_WIDTH, _CMS_MIN_EST = 3, 256, 75
+
+_CMS_CELLS_SQL = " UNION ALL ".join(
+    f"SELECT {h} AS h, {sketch.bucket_oracle('user_id', h, _CMS_WIDTH)} AS b "
+    "FROM events"
+    for h in range(_CMS_DEPTH)
+)
+_CMS_PROBES_SQL = " UNION ALL ".join(
+    f"SELECT user_id, {h} AS h, "
+    f"{sketch.bucket_oracle('user_id', h, _CMS_WIDTH)} AS b "
+    "FROM (SELECT DISTINCT user_id FROM events)"
+    for h in range(_CMS_DEPTH)
+)
+
+
+@register(
+    "agg_countmin_heavy_hitters",
+    oracle=f"""
+        WITH cells AS (
+            SELECT h, b, count(*) AS cnt FROM ({_CMS_CELLS_SQL}) GROUP BY h, b
+        ),
+        probes AS ({_CMS_PROBES_SQL}),
+        est AS (
+            SELECT p.user_id, min(coalesce(c.cnt, 0)) AS est
+            FROM probes p LEFT JOIN cells c ON c.h = p.h AND c.b = p.b
+            GROUP BY p.user_id
+        )
+        SELECT user_id, CAST(est AS BIGINT) AS est_count
+        FROM est WHERE est >= {_CMS_MIN_EST}
+    """,
+    doc="Count-min-sketch heavy hitters over events.user_id: build a "
+    f"fixed {_CMS_DEPTH}x{_CMS_WIDTH} counter grid in one scan (explode "
+    "to depth cells inside the partial-aggregate stage, so the exchange "
+    "carries at most depth*width partials per task regardless of input "
+    "rows), broadcast the grid, and estimate each candidate key as the "
+    "min of its counters. est >= true count always (collisions only "
+    "inflate) — property-tested; the md5 bucket hashes are cross-engine "
+    "so the DuckDB oracle reproduces every counter bit-for-bit. The "
+    "extension the reference's approx-distinct surface lacks: frequency "
+    "estimation whose state is CONSTANT-size at 100 TB. "
+    "(operators/sketch.py)",
+)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cells = sketch.countmin_cells(ev, "user_id", _CMS_DEPTH, _CMS_WIDTH)
+    est = sketch.countmin_lookup(
+        ev.distinct(), cells, "user_id", _CMS_DEPTH, _CMS_WIDTH
+    )
+    return est.filter(F.col("est") >= _CMS_MIN_EST).select(
+        "user_id", F.col("est").cast("bigint").alias("est_count")
+    )

@@ -3605,3 +3605,39 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("norm_u").alias("max_norm_u"),
         F.round(F.median("norm_u")).cast("bigint").alias("med_norm_u"),
     )
+
+
+@register(
+    "pipeline_contamination_matrix",
+    oracle=f"""
+        WITH sh AS (
+            SELECT DISTINCT source AS g, s.shingle
+            FROM (SELECT source, list_distinct({SHINGLES}) AS shs
+                  FROM documents) t,
+                 UNNEST(shs) AS s(shingle)
+        ),
+        totals AS (SELECT g, count(*) AS n_sh FROM sh GROUP BY g),
+        pairs AS (
+            SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_shared
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.g < b.g
+            GROUP BY 1, 2
+        )
+        SELECT p.source_a, p.source_b, p.n_shared,
+               round(CAST(p.n_shared AS DOUBLE) / least(ta.n_sh, tb.n_sh), 6)
+                   AS containment
+        FROM pairs p
+        JOIN totals ta ON ta.g = p.source_a
+        JOIN totals tb ON tb.g = p.source_b
+    """,
+    doc="Dataset-level contamination matrix: distinct 3-shingles shared "
+    "between every pair of sources + containment n_shared/min(|A|,|B|) "
+    "— the dataset-card report run BEFORE doc-level dedup to spot "
+    "near-copy corpus slices. Collapsing to DISTINCT (source, shingle) "
+    "first bounds the shingle self-join at n_sources rows per shingle, "
+    "so the matrix costs O(shingles x sources^2) with sources in the "
+    "dozens — no doc x doc term anywhere, no banding or caps needed at "
+    "100 TB. (operators/text.py:source_overlap_matrix)",
+)
+def pipeline_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    return text.source_overlap_matrix(docs)

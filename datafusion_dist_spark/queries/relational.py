@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from datafusion_dist_spark.catalog import load_table
+from datafusion_dist_spark.operators import joins
 from datafusion_dist_spark.registry import register
 
 # -- scans / projections / filters ----------------------------------------
@@ -384,4 +385,44 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("u.u_name"), F.col("t.c_name")).alias("c_name"),
         F.coalesce(F.col("u.u_bal"), F.col("t.bal_c")).alias("bal_c"),
         action.alias("action"),
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+        SELECT s.s_nationkey, count(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))
+                    AS DOUBLE)/100.0 AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s.s_nationkey
+    """,
+    doc="Explicitly SALTED shuffle join: the fact side's join key gets "
+    "a salt in [0,8), the supplier side is replicated 8x with every "
+    "salt, and the join runs on (key, salt) — the manual lever for a "
+    "hot key that is heavy on BOTH sides, where AQE's skew split (which "
+    "only subdivides the probe side's partitions) cannot help. Salting "
+    "is pure routing: the oracle is the PLAIN join, and the hash-match "
+    "proves result-identity. At 100 TB the cost model is (moderate side "
+    "x 8) shuffle volume bought for straggler-free reducers. "
+    "(operators/joins.py:salted_join; AQE counterpart measured in "
+    "BENCH_SCALE_SKEW — this entry pins the explicit-salt alternative.)",
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice"
+    )
+    # hint forces the shuffle path: at bench SFs Catalyst would broadcast
+    # the replicated supplier side, which is exactly the regime where
+    # salting is pointless — the entry demonstrates the big-dim shape.
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    ).hint("shuffle_hash")
+    j = joins.salted_join(li, sup, "l_suppkey", "s_suppkey", salt=8)
+    return j.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("double") / 100.0
+        ).alias("revenue"),
     )

@@ -337,3 +337,25 @@ def running_user_totals_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def streaming_countmin_cells(
+    events: DataFrame, key: str = "user_id", depth: int = 3, width: int = 256
+) -> DataFrame:
+    """Streaming count-min build: the same explode→groupBy plan as the
+    batch sketch (operators/sketch.py:countmin_cells), run over the
+    unbounded stream in complete mode.
+
+    This is the rare aggregation that is SAFE without a watermark on an
+    unbounded stream: its state is the depth×width counter grid — a
+    few KB, constant FOREVER by construction, regardless of stream
+    volume or key cardinality. That constant-state property is exactly
+    why a crawl-scale pipeline keeps frequency state as a sketch
+    instead of a per-key count (whose state grows with distinct keys).
+    Batch-twin equality is pinned in tests/test_streaming.py; grid
+    mergeability (cells are sum-mergeable across shards/batches) in
+    tests/test_operators.py.
+    """
+    from datafusion_dist_spark.operators.sketch import countmin_cells
+
+    return countmin_cells(events.select(key), key, depth, width)

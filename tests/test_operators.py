@@ -1570,3 +1570,82 @@ def test_global_row_number_exact_and_edges(spark):
         ).collect()
     }
     assert {k: int(v) for k, v in buckets.items()} == want_ntile
+
+
+def test_countmin_estimate_upper_bounds_exact(spark):
+    """CMS invariants: grid size <= depth*width regardless of input;
+    est(k) >= true count for EVERY key (collisions only inflate);
+    unseen keys read their buckets (>= 0) instead of vanishing."""
+    from datafusion_dist_spark.operators import sketch
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    depth, width = 3, 64
+    cells = sketch.countmin_cells(ev, "user_id", depth, width)
+    assert cells.count() <= depth * width
+    per_h = {r["h"]: r["s"] for r in cells.groupBy("h").agg(F.sum("cnt").alias("s")).collect()}
+    n = ev.count()
+    assert all(v == n for v in per_h.values()), per_h  # each row counts every input once
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    est = {
+        r["user_id"]: r["est"]
+        for r in sketch.countmin_lookup(
+            ev.distinct(), cells, "user_id", depth, width
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    unseen = spark.createDataFrame([(999999999,)], "user_id bigint")
+    got = sketch.countmin_lookup(unseen, cells, "user_id", depth, width).collect()
+    assert len(got) == 1 and got[0]["est"] >= 0
+
+
+def test_source_overlap_matrix_symmetric_and_bounded(spark):
+    """Containment in (0, 1]; every pair appears once with a < b; and
+    the matrix agrees with a brute-force pandas recompute on the tiny SF."""
+    from datafusion_dist_spark.operators import text as text_ops
+
+    docs = load_table(spark, SF_DIR, "documents").select("source", "text")
+    m = text_ops.source_overlap_matrix(docs).collect()
+    assert all(r["source_a"] < r["source_b"] for r in m)
+    assert all(0 < r["containment"] <= 1.0 for r in m)
+    import re as _re
+
+    pdf = docs.toPandas()
+    sets: dict[str, set] = {}
+    for _, row in pdf.iterrows():
+        toks = [t for t in _re.split(r"[^a-z0-9]+", row["text"].lower()) if t]
+        shs = {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+        sets.setdefault(row["source"], set()).update(shs)
+    for r in m:
+        want = len(sets[r["source_a"]] & sets[r["source_b"]])
+        assert r["n_shared"] == want, (r, want)
+
+
+def test_countmin_grids_are_sum_mergeable(spark):
+    """CMS grids over disjoint shards merged by cell-wise sum must
+    equal the grid over the union — the property that makes the sketch
+    a distributed/streaming aggregate (map-side partials, per-batch
+    state updates, and cross-shard rollups are all this one merge)."""
+    from datafusion_dist_spark.operators import sketch
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("user_id")
+    merged = {
+        (r["h"], r["b"]): r["cnt"]
+        for r in (
+            sketch.countmin_cells(a, "user_id")
+            .unionByName(sketch.countmin_cells(b, "user_id"))
+            .groupBy("h", "b")
+            .agg(F.sum("cnt").alias("cnt"))
+            .collect()
+        )
+    }
+    want = {
+        (r["h"], r["b"]): r["cnt"]
+        for r in sketch.countmin_cells(ev.select("user_id"), "user_id").collect()
+    }
+    assert merged == want

@@ -686,3 +686,54 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_entry_shuffles_on_salted_keys(spark):
+    """join_skew_salted must take the shuffle path (that is the regime
+    the operator exists for) and carry the salt in its join keys —
+    a broadcast here would mean the hint/salt plumbing silently
+    degenerated into the plain plan."""
+    from datafusion_dist_spark.queries.relational import join_skew_salted
+
+    df = join_skew_salted(spark, SF_DIR)
+    facts = plan_facts(df)
+    assert facts["n_broadcast_joins"] == 0, "salted join must not broadcast"
+    assert facts["n_shuffledhash_joins"] + facts["n_sortmerge_joins"] == 1
+    assert "_salt" in formatted_plan(df), "salt column missing from plan"
+
+
+def test_countmin_constant_shuffle_and_broadcast_lookup(spark):
+    """The CMS build's exchange carries cell partials (<= depth*width
+    per task): exactly two exchanges total (cells aggregate + candidate
+    distinct, whose min-agg reuses the same partitioning), and the grid
+    reaches the lookup as a broadcast — never a shuffle join."""
+    from datafusion_dist_spark.queries.aggregates import (
+        agg_countmin_heavy_hitters,
+    )
+
+    df = agg_countmin_heavy_hitters(spark, SF_DIR)
+    facts = plan_facts(df)
+    assert facts["n_broadcast_joins"] == 1
+    assert facts["n_shuffledhash_joins"] == 0
+    assert facts["n_sortmerge_joins"] == 0
+    assert facts["n_exchanges"] == 2, formatted_plan(df)
+
+
+def test_contamination_matrix_tokenizes_once(spark):
+    """source_overlap_matrix's distinct-shingle subtree feeds four plan
+    branches; all four must collapse to ONE scan + ONE tokenize via
+    AQE exchange reuse in the EXECUTED plan (the static plan prints the
+    branches separately — only the final plan proves the reuse)."""
+    import re as _re
+
+    from datafusion_dist_spark.queries.llm import pipeline_contamination_matrix
+
+    df = pipeline_contamination_matrix(spark, SF_DIR)
+    df.collect()
+    final = formatted_plan(df).split("Initial Plan")[0]
+    tree = _re.split(r"\n\(\d+\) ", final)[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert tree.count("Generate") == 1, tree
+    assert tree.count("ReusedExchange") >= 3, tree
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoop" not in tree

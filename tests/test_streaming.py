@@ -472,3 +472,27 @@ def test_streaming_dedup_replay_out_of_order_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert in_order == batch_all, "streamed state != batch oracle"
+
+
+def test_streaming_countmin_grid_matches_batch(spark):
+    """The streaming CMS grid after consuming the whole stream must be
+    bit-identical to the batch grid — and its state is constant-size
+    (<= depth*width rows) however long the stream runs."""
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.operators import sketch
+    from datafusion_dist_spark.streaming import jobs
+
+    stream = jobs.read_events_stream(spark, SF_DIR)
+    jobs.run_stream_to_memory(
+        jobs.streaming_countmin_cells(stream), "cms_stream"
+    )
+    got = {
+        (r["h"], r["b"]): r["cnt"] for r in spark.table("cms_stream").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    want = {
+        (r["h"], r["b"]): r["cnt"]
+        for r in sketch.countmin_cells(ev, "user_id").collect()
+    }
+    assert got == want
+    assert len(got) <= 3 * 256
