@@ -82,6 +82,9 @@ HEAVY = [
     "pipeline_multisignal_dedup",
     "decontaminate_bloom_verify",
     "text_tfidf_topk",
+    # r8: tokenize-heavy single-scan matrix, x10 wall 4.2 s (>= the
+    # 1.5 s heavy-tier bar), per-row work dominated by shingling
+    "pipeline_contamination_matrix",
 ]
 # Gate threshold: below ~3 s on this corpus a query's wall is fixed
 # per-job overhead (scheduling, pandas-UDF setup, small collects),

@@ -26,7 +26,10 @@ Estimate semantics: est(k) = min over depth rows of counter[h][bucket
 within eps*N with probability 1-delta for width=e/eps, depth=ln(1/
 delta). Keys absent from the build side read whatever their buckets
 hold (>= 0) — classic CMS behavior, preserved here by the left join +
-zero fill.
+zero fill. NULL is not a key: NULL build rows would land in (h, NULL)
+cells no probe can join (md5 of NULL is NULL), silently breaking the
+upper-bound invariant, so both build and lookup drop NULL keys —
+count NULLs separately if they matter.
 """
 
 from __future__ import annotations
@@ -34,20 +37,29 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_dist_spark.functions.hashing import hash_hex, hash_hex_oracle
+from datafusion_dist_spark.functions.hashing import (
+    hash_hex_wide,
+    hash_hex_wide_oracle,
+)
 
 
 def _bucket(key: Column, h: int, width: int) -> Column:
-    """Row ``h``'s bucket for ``key``: 16-bit md5 window mod width."""
+    """Row ``h``'s bucket for ``key``: 16-bit md5 window mod width.
+
+    The depth hash functions are disjoint 4-hex-char windows of ONE
+    md5 digest (functions/hashing.py:wide_hash_window — the same
+    packing minhash uses), so a build row costs one md5 for any
+    depth <= 8, not depth md5s.
+    """
     return (
-        F.conv(hash_hex(key.cast("string"), f"cms{h}", 4), 16, 10).cast("int")
+        F.conv(hash_hex_wide(key.cast("string"), h, 4), 16, 10).cast("int")
         % F.lit(width)
     )
 
 
 def bucket_oracle(key_expr: str, h: int, width: int) -> str:
     """DuckDB mirror of ``_bucket`` (same md5 window, same mod)."""
-    hx = hash_hex_oracle(f"CAST({key_expr} AS VARCHAR)", f"cms{h}", 4)
+    hx = hash_hex_wide_oracle(f"CAST({key_expr} AS VARCHAR)", h, 4)
     return f"(CAST(('0x' || {hx}) AS INTEGER) % {width})"
 
 
@@ -59,8 +71,10 @@ def countmin_cells(
     One scan; the explode-to-depth-rows happens inside the same stage
     as the partial aggregation, so the exchange after it carries cell
     partials (<= depth*width per task), never the exploded rows.
+    NULL keys are dropped (see module docstring), which also keeps the
+    grid-size bound exact: cells.count() <= depth * width always.
     """
-    cells = df.select(
+    cells = df.where(F.col(key).isNotNull()).select(
         F.explode(
             F.array(
                 *[
@@ -86,9 +100,10 @@ def countmin_lookup(
     The cells grid is broadcast (constant bytes by construction); the
     candidates are scanned once. Unseen-bucket probes read 0 via the
     left join so absent keys get the true CMS estimate instead of
-    silently dropping out.
+    silently dropping out. NULL candidates are dropped (NULL is not a
+    key; its probe buckets would be NULL and never match).
     """
-    probes = keys.select(
+    probes = keys.where(F.col(key).isNotNull()).select(
         key,
         F.explode(
             F.array(

@@ -774,11 +774,14 @@ def source_overlap_matrix(
     text_col: str = "text",
     k: int = 3,
 ) -> DataFrame:
-    """Dataset-level contamination matrix: for every pair of groups
+    """Dataset-level contamination matrix: for EVERY pair of groups
     (sources/datasets), the number of distinct k-shingles they share and
     the containment fraction n_shared / min(|A|, |B|) — the dataset-card
     report that decides whether two corpus slices are near-copies before
-    any doc-level dedup runs.
+    any doc-level dedup runs. Complete by construction: disjoint pairs
+    appear with n_shared = 0 / containment = 0.0 (the group list is
+    cross-paired and the overlap counts left-joined on), so a missing
+    pair can only mean a missing group — never silent omission.
 
     Scale shape: the corpus collapses to DISTINCT (group, shingle)
     FIRST, so each shingle contributes at most n_groups rows to the
@@ -810,7 +813,7 @@ def source_overlap_matrix(
     ).distinct()
     totals = sh.groupBy("g").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
+    overlap = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -819,23 +822,31 @@ def source_overlap_matrix(
         .groupBy(
             F.col("a.g").alias("source_a"), F.col("b.g").alias("source_b")
         )
-        .agg(F.count("*").alias("n_shared"))
+        .agg(F.count("*").alias("_n_shared"))
     )
+    # Complete pair frame: the n_groups-row totals crossed with itself
+    # on `<` (a tiny broadcast nested-loop), carrying both sides' set
+    # sizes, with overlap counts left-joined and zero-filled so
+    # disjoint pairs are rows, not absences. Deriving the frame from
+    # ``totals`` (NOT a pruned group projection) matters for the
+    # single-tokenize guarantee: a bare distinct-g branch would let
+    # Catalyst rewrite its aggregate, splitting it off the shared
+    # (g, shingle) exchange, and the corpus would tokenize twice.
     ta = totals.select(
         F.col("g").alias("source_a"), F.col("n_sh").alias("_na")
     )
     tb = totals.select(
         F.col("g").alias("source_b"), F.col("n_sh").alias("_nb")
     )
-    return (
-        pairs.join(F.broadcast(ta), "source_a")
-        .join(F.broadcast(tb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared",
-            F.round(
-                F.col("n_shared") / F.least("_na", "_nb").cast("double"), 6
-            ).alias("containment"),
-        )
+    all_pairs = F.broadcast(ta).join(
+        F.broadcast(tb), F.col("source_a") < F.col("source_b")
+    )
+    n_shared = F.coalesce(F.col("_n_shared"), F.lit(0)).cast("bigint")
+    return all_pairs.join(overlap, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        n_shared.alias("n_shared"),
+        F.round(n_shared / F.least("_na", "_nb").cast("double"), 6).alias(
+            "containment"
+        ),
     )

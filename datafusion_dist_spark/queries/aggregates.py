@@ -548,13 +548,14 @@ _CMS_DEPTH, _CMS_WIDTH, _CMS_MIN_EST = 3, 256, 75
 
 _CMS_CELLS_SQL = " UNION ALL ".join(
     f"SELECT {h} AS h, {sketch.bucket_oracle('user_id', h, _CMS_WIDTH)} AS b "
-    "FROM events"
+    "FROM events WHERE user_id IS NOT NULL"
     for h in range(_CMS_DEPTH)
 )
 _CMS_PROBES_SQL = " UNION ALL ".join(
     f"SELECT user_id, {h} AS h, "
     f"{sketch.bucket_oracle('user_id', h, _CMS_WIDTH)} AS b "
-    "FROM (SELECT DISTINCT user_id FROM events)"
+    "FROM (SELECT DISTINCT user_id FROM events "
+    "WHERE user_id IS NOT NULL)"
     for h in range(_CMS_DEPTH)
 )
 
@@ -583,8 +584,12 @@ _CMS_PROBES_SQL = " UNION ALL ".join(
     "inflate) — property-tested; the md5 bucket hashes are cross-engine "
     "so the DuckDB oracle reproduces every counter bit-for-bit. The "
     "extension the reference's approx-distinct surface lacks: frequency "
-    "estimation whose state is CONSTANT-size at 100 TB. "
-    "(operators/sketch.py)",
+    "estimation whose STATE is constant-size at 100 TB — the grid, not "
+    "this query: enumerating candidates as distinct(user_id) here is "
+    "for a self-contained deterministic oracle and costs a second scan "
+    "+ a key-space shuffle; production callers pass an external "
+    "candidate set (watchlist, prior round's hitters, sampled keys) "
+    "and pay one scan total. (operators/sketch.py)",
 )
 def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("user_id")

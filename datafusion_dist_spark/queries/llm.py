@@ -3617,22 +3617,31 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  UNNEST(shs) AS s(shingle)
         ),
         totals AS (SELECT g, count(*) AS n_sh FROM sh GROUP BY g),
-        pairs AS (
+        overlap AS (
             SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_shared
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.g < b.g
             GROUP BY 1, 2
+        ),
+        allp AS (
+            SELECT a.g AS source_a, b.g AS source_b
+            FROM totals a JOIN totals b ON a.g < b.g
         )
-        SELECT p.source_a, p.source_b, p.n_shared,
-               round(CAST(p.n_shared AS DOUBLE) / least(ta.n_sh, tb.n_sh), 6)
-                   AS containment
-        FROM pairs p
+        SELECT p.source_a, p.source_b,
+               CAST(coalesce(o.n_shared, 0) AS BIGINT) AS n_shared,
+               round(CAST(coalesce(o.n_shared, 0) AS DOUBLE)
+                     / least(ta.n_sh, tb.n_sh), 6) AS containment
+        FROM allp p
+        LEFT JOIN overlap o
+            ON o.source_a = p.source_a AND o.source_b = p.source_b
         JOIN totals ta ON ta.g = p.source_a
         JOIN totals tb ON tb.g = p.source_b
     """,
     doc="Dataset-level contamination matrix: distinct 3-shingles shared "
-    "between every pair of sources + containment n_shared/min(|A|,|B|) "
+    "between EVERY pair of sources + containment n_shared/min(|A|,|B|) "
     "— the dataset-card report run BEFORE doc-level dedup to spot "
-    "near-copy corpus slices. Collapsing to DISTINCT (source, shingle) "
+    "near-copy corpus slices; disjoint pairs appear as explicit "
+    "n_shared=0 rows (complete matrix, never silent omission). "
+    "Collapsing to DISTINCT (source, shingle) "
     "first bounds the shingle self-join at n_sources rows per shingle, "
     "so the matrix costs O(shingles x sources^2) with sources in the "
     "dozens — no doc x doc term anywhere, no banding or caps needed at "

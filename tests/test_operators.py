@@ -1603,14 +1603,17 @@ def test_countmin_estimate_upper_bounds_exact(spark):
 
 
 def test_source_overlap_matrix_symmetric_and_bounded(spark):
-    """Containment in (0, 1]; every pair appears once with a < b; and
-    the matrix agrees with a brute-force pandas recompute on the tiny SF."""
+    """The matrix is COMPLETE (one row per unordered group pair, with
+    a < b, zero-overlap pairs explicit); containment in [0, 1]; and it
+    agrees with a brute-force pandas recompute on the tiny SF."""
     from datafusion_dist_spark.operators import text as text_ops
 
     docs = load_table(spark, SF_DIR, "documents").select("source", "text")
     m = text_ops.source_overlap_matrix(docs).collect()
+    n_groups = docs.select("source").distinct().count()
+    assert len(m) == n_groups * (n_groups - 1) // 2
     assert all(r["source_a"] < r["source_b"] for r in m)
-    assert all(0 < r["containment"] <= 1.0 for r in m)
+    assert all(0 <= r["containment"] <= 1.0 for r in m)
     import re as _re
 
     pdf = docs.toPandas()
