@@ -391,38 +391,42 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_skew_salted",
     oracle="""
-        SELECT s.s_nationkey, count(*) AS n_items,
-               CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT))
+        SELECT c.c_nationkey, count(*) AS n_orders,
+               CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT))
                     AS DOUBLE)/100.0 AS revenue
-        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
-        GROUP BY s.s_nationkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_nationkey
     """,
     doc="Explicitly SALTED shuffle join: the fact side's join key gets "
-    "a salt in [0,8), the supplier side is replicated 8x with every "
+    "a salt in [0,8), the customer side is replicated 8x with every "
     "salt, and the join runs on (key, salt) — the manual lever for a "
     "hot key that is heavy on BOTH sides, where AQE's skew split (which "
-    "only subdivides the probe side's partitions) cannot help. Salting "
-    "is pure routing: the oracle is the PLAIN join, and the hash-match "
-    "proves result-identity. At 100 TB the cost model is (moderate side "
-    "x 8) shuffle volume bought for straggler-free reducers. "
-    "(operators/joins.py:salted_join; AQE counterpart measured in "
-    "BENCH_SCALE_SKEW — this entry pins the explicit-salt alternative.)",
+    "only subdivides the probe side's partitions) cannot help. The key "
+    "is orders.o_custkey deliberately: that is the key the zipf scale "
+    "rehearsal remaps onto a 64-key hot set (scale.py, #1 key ~4.2% of "
+    "all fact rows), so BENCH_SCALE_SKEW measures this entry against a "
+    "genuine heavy hitter, not a uniform key. Salting is pure routing: "
+    "the oracle is the PLAIN join, and the hash-match proves "
+    "result-identity. At 100 TB the cost model is (moderate side x 8) "
+    "shuffle volume bought for straggler-free reducers. "
+    "(operators/joins.py:salted_join; AQE's automatic counterpart is "
+    "probed separately in the skew rehearsal.)",
 )
 def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice"
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
     )
     # hint forces the shuffle path: at bench SFs Catalyst would broadcast
-    # the replicated supplier side, which is exactly the regime where
+    # the replicated customer side, which is exactly the regime where
     # salting is pointless — the entry demonstrates the big-dim shape.
-    sup = load_table(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_nationkey"
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
     ).hint("shuffle_hash")
-    j = joins.salted_join(li, sup, "l_suppkey", "s_suppkey", salt=8)
-    return j.groupBy("s_nationkey").agg(
-        F.count("*").alias("n_items"),
+    j = joins.salted_join(o, cust, "o_custkey", "c_custkey", salt=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_orders"),
         (
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
             .cast("double") / 100.0
         ).alias("revenue"),
     )
