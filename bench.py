@@ -111,10 +111,13 @@ HEADLINE = [
     "pipeline_dataset_diff",
     "embedding_health_report",
     # r8 additions: salted hot-key join, CMS heavy hitters,
-    # dataset-level contamination matrix
+    # dataset-level contamination matrix, windowed CMS watchlist,
+    # deterministic train/val/test split
     "join_skew_salted",
     "agg_countmin_heavy_hitters",
     "pipeline_contamination_matrix",
+    "events_cms_watchlist",
+    "sample_split_train_val",
 ]
 
 

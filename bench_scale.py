@@ -241,6 +241,13 @@ EXCLUDED: dict[str, str] = {
     "ann_kmeans_converged": "wall time = Lloyd round count, which may "
     "legitimately differ between corpora; ann_kmeans_refine (one "
     "round) is the per-round scaling proxy and IS measured",
+    "events_cms_watchlist": "same cells aggregate as "
+    "agg_countmin_heavy_hitters (which IS measured at both skew and "
+    "uniform x10) plus a ts-only min/max pass and constant-size "
+    "watchlist joins; no scale axis of its own",
+    "sample_split_train_val": "single-scan hash-bucket projection + "
+    "two-phase count agg — the exact plan shape sample_temperature "
+    "already measures",
 }
 
 DEFAULT_BUDGET_PER_FACTOR = 1.2  # 12x at factor 10

@@ -272,3 +272,38 @@ def importance_weights_dsir(
             F.sum("n_occ").alias("n_tok"),
         )
     )
+
+
+def split_thresholds(splits: list[tuple[str, float]]) -> list[tuple[str, int]]:
+    """Cumulative integer bucket thresholds for named splits — the ONE
+    place the float->int rounding happens, shared by ``hash_split`` and
+    any oracle SQL, so both engines draw identical boundaries."""
+    acc, out = 0.0, []
+    for name, frac in splits:
+        acc += frac
+        out.append((name, int(acc * _SPACE)))
+    return out
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    splits: list[tuple[str, float]],
+    seed: int | str = "split",
+) -> DataFrame:
+    """Deterministic named dataset splits (train/val/test): each row's
+    split is a pure function of its key, so the assignment is
+    reproducible across engines, cluster sizes, and reruns, rows never
+    migrate between splits when the corpus grows (monotone hash
+    buckets), and a single scan tags everything — no sampling job per
+    split. Fractions must sum to 1; the last split absorbs the
+    rounding remainder of the 16-bit bucket space."""
+    if abs(sum(f for _, f in splits) - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must sum to 1: {splits}")
+    ths = split_thresholds(splits)
+    b = _bucket(F.col(key), seed)
+    expr = None
+    for name, th in ths[:-1]:
+        expr = F.when(b < th, name) if expr is None else expr.when(b < th, name)
+    expr = expr.otherwise(ths[-1][0]) if expr is not None else F.lit(ths[-1][0])
+    return df.withColumn("split", expr)

@@ -64,17 +64,25 @@ def bucket_oracle(key_expr: str, h: int, width: int) -> str:
 
 
 def countmin_cells(
-    df: DataFrame, key: str, depth: int = 3, width: int = 256
+    df: DataFrame,
+    key: str,
+    depth: int = 3,
+    width: int = 256,
+    group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Build the sketch: (h, b, cnt) for every touched cell.
+    """Build the sketch: (*group_cols, h, b, cnt) for every touched cell.
 
     One scan; the explode-to-depth-rows happens inside the same stage
     as the partial aggregation, so the exchange after it carries cell
-    partials (<= depth*width per task), never the exploded rows.
-    NULL keys are dropped (see module docstring), which also keeps the
-    grid-size bound exact: cells.count() <= depth * width always.
+    partials (<= depth*width per task and group), never the exploded
+    rows. NULL keys are dropped (see module docstring), which also
+    keeps the grid-size bound exact: cells.count() <= depth * width
+    per group. ``group_cols`` builds one independent grid per group —
+    e.g. per time window — at depth*width state per group, the
+    windowed-rate-monitor shape.
     """
     cells = df.where(F.col(key).isNotNull()).select(
+        *group_cols,
         F.explode(
             F.array(
                 *[
@@ -85,11 +93,34 @@ def countmin_cells(
                     for h in range(depth)
                 ]
             )
-        ).alias("cell")
+        ).alias("cell"),
     )
     return cells.groupBy(
-        F.col("cell.h").alias("h"), F.col("cell.b").alias("b")
+        *group_cols, F.col("cell.h").alias("h"), F.col("cell.b").alias("b")
     ).agg(F.count("*").alias("cnt"))
+
+
+def watch_buckets(
+    keys: list, depth: int = 3, width: int = 256
+) -> list[tuple]:
+    """Driver-side probe rows for a LITERAL watchlist: (key, h, b)
+    triples computed with hashlib's md5 — bit-identical to ``_bucket``
+    (same ``wide_hash_window`` packing; parity pinned in
+    tests/test_operators.py). Lets a watchlist query skip the
+    distinct-key enumeration scan entirely: the probes are a tiny
+    inline DataFrame joined against the (broadcast or grouped) cells.
+    """
+    import hashlib
+
+    out = []
+    per_digest = 32 // 4
+    for k in keys:
+        for h in range(depth):
+            group, slot = divmod(h, per_digest)
+            digest = hashlib.md5(f"{group}:{k}".encode()).hexdigest()
+            b = int(digest[slot * 4 : slot * 4 + 4], 16) % width
+            out.append((k, h, b))
+    return out
 
 
 def countmin_lookup(

@@ -3650,3 +3650,39 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pipeline_contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
     return text.source_overlap_matrix(docs)
+
+
+_SPLITS = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+_SPLIT_CASE = " ".join(
+    f"WHEN {sampling.bucket_oracle('doc_id', 'split')} < {th} THEN '{name}'"
+    for name, th in sampling.split_thresholds(_SPLITS)[:-1]
+)
+
+
+@register(
+    "sample_split_train_val",
+    oracle=f"""
+        SELECT CASE {_SPLIT_CASE}
+                    ELSE '{sampling.split_thresholds(_SPLITS)[-1][0]}'
+               END AS split,
+               source, count(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+    doc="Deterministic train/val/test split (80/10/10) audited per "
+    "source: each document's split is a pure hash of doc_id "
+    "(reproducible across engines/cluster sizes/reruns; rows never "
+    "migrate between splits as the corpus grows, so yesterday's test "
+    "set is still held out tomorrow), assigned in ONE scan with no "
+    "per-split sampling jobs. The integer thresholds are computed once "
+    "(operators/sampling.py:split_thresholds) and shared with the "
+    "oracle, so the float->int rounding cannot diverge between "
+    "engines. (operators/sampling.py:hash_split)",
+)
+def sample_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        sampling.hash_split(docs, "doc_id", _SPLITS)
+        .groupBy("split", "source")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -1652,3 +1652,46 @@ def test_countmin_grids_are_sum_mergeable(spark):
         for r in sketch.countmin_cells(ev.select("user_id"), "user_id").collect()
     }
     assert merged == want
+
+
+def test_watch_buckets_match_column_hash(spark):
+    """The driver-side (hashlib) probe buckets must equal the Spark
+    column hash for the same keys — the watchlist join is keyed on
+    these, so a divergence silently probes the wrong counters."""
+    from datafusion_dist_spark.operators import sketch
+
+    keys = [0, 1, 5, 8, -3, 2**61, 123456789]
+    want = {
+        (k, h): b for k, h, b in sketch.watch_buckets(keys, depth=3, width=128)
+    }
+    sdf = spark.createDataFrame([(k,) for k in keys], "k bigint").select(
+        "k",
+        *[
+            __import__(
+                "datafusion_dist_spark.operators.sketch", fromlist=["_bucket"]
+            )._bucket(F.col("k"), h, 128).alias(f"b{h}")
+            for h in range(3)
+        ],
+    )
+    for r in sdf.collect():
+        for h in range(3):
+            assert r[f"b{h}"] == want[(r["k"], h)]
+
+
+def test_hash_split_is_stable_and_total(spark):
+    """Every row gets exactly one split; assignments never migrate when
+    a split fraction grows (monotone thresholds: train@0.7 is a subset
+    of train@0.8); bad fractions raise."""
+    from datafusion_dist_spark.operators import sampling
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id")
+    s80 = sampling.hash_split(docs, "doc_id", [("train", 0.8), ("val", 0.1), ("test", 0.1)])
+    s70 = sampling.hash_split(docs, "doc_id", [("train", 0.7), ("val", 0.2), ("test", 0.1)])
+    n = docs.count()
+    assert s80.where(F.col("split").isNull()).count() == 0
+    assert s80.count() == n
+    t80 = {r["doc_id"] for r in s80.where(F.col("split") == "train").collect()}
+    t70 = {r["doc_id"] for r in s70.where(F.col("split") == "train").collect()}
+    assert t70 <= t80 and len(t70) < len(t80)
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", [("a", 0.5), ("b", 0.1)])

@@ -741,3 +741,23 @@ def test_contamination_matrix_tokenizes_once(spark):
     # dataset count, dozens of rows, broadcast both sides. Any second
     # NLJ would mean shingle or doc rows leaked into a pair loop.
     assert tree.count("BroadcastNestedLoopJoin") <= 1, tree
+
+
+def test_cms_watchlist_single_grid_build(spark):
+    """events_cms_watchlist's EXECUTED plan: the cell grid is built by
+    exactly one explode over one events scan; the only other pass is
+    the ts-only min/max calendar (its Generate is the window sequence,
+    a handful of rows). A second grid build means the calendar branch
+    got pruned back into a recompute (the bug the runtime audit caught
+    in the distinct-windows form)."""
+    import re as _re
+
+    from datafusion_dist_spark.queries.temporal import events_cms_watchlist
+
+    df = events_cms_watchlist(spark, SF_DIR)
+    df.collect()
+    final = formatted_plan(df).split("Initial Plan")[0]
+    tree = _re.split(r"\n\(\d+\) ", final)[0]
+    assert tree.count("Scan parquet") == 2, tree
+    assert tree.count("Generate") == 2, tree
+    assert "CartesianProduct" not in tree

@@ -476,3 +476,40 @@ def test_adaptive_ivf_k_keeps_list_size_bounded(n):
     if n >= 8 * _IVF_LIST_SIZE:
         assert n / k <= _IVF_LIST_SIZE + _IVF_LIST_SIZE / k  # ceil slack
         assert n / k > _IVF_LIST_SIZE / 2
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=12,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_countmin_bucket_parity_on_adversarial_keys(spark, keys):
+    """Every CMS hash row's bucket must agree across engines for ANY
+    key value (negative, huge) — the sketch's counters and estimates
+    are defined by these buckets, so a parity break makes the DuckDB
+    oracle count different cells while both sides still look
+    internally consistent."""
+    from datafusion_dist_spark.operators.sketch import _bucket, bucket_oracle
+
+    pdf = pd.DataFrame({"i": range(len(keys)), "k": keys})
+    sdf = (
+        spark.createDataFrame(pdf)
+        .select(
+            "i", *[_bucket(F.col("k"), h, 256).alias(f"b{h}") for h in range(3)]
+        )
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    with duckdb.connect() as con:
+        con.register("t", pdf)
+        cols = ", ".join(
+            f"{bucket_oracle('k', h, 256)} AS b{h}" for h in range(3)
+        )
+        odf = con.execute(f"SELECT i, {cols} FROM t ORDER BY i").fetchdf()
+    for h in range(3):
+        assert list(sdf[f"b{h}"]) == list(odf[f"b{h}"]), (h, keys)
