@@ -296,14 +296,20 @@ def hash_split(
     reproducible across engines, cluster sizes, and reruns, rows never
     migrate between splits when the corpus grows (monotone hash
     buckets), and a single scan tags everything — no sampling job per
-    split. Fractions must sum to 1; the last split absorbs the
-    rounding remainder of the 16-bit bucket space."""
+    split. Fractions must be positive and sum to 1; the last split
+    absorbs the rounding remainder of the 16-bit bucket space.
+    NULL-keyed rows are dropped (same contract as ``hash_sample`` and
+    the sketches: NULL is not a key — without the filter every NULL
+    row would silently fall through the when-chain into the LAST
+    split, inflating the held-out set)."""
     if abs(sum(f for _, f in splits) - 1.0) > 1e-9:
         raise ValueError(f"split fractions must sum to 1: {splits}")
+    if any(f <= 0 for _, f in splits):
+        raise ValueError(f"split fractions must be positive: {splits}")
     ths = split_thresholds(splits)
     b = _bucket(F.col(key), seed)
     expr = None
     for name, th in ths[:-1]:
         expr = F.when(b < th, name) if expr is None else expr.when(b < th, name)
     expr = expr.otherwise(ths[-1][0]) if expr is not None else F.lit(ths[-1][0])
-    return df.withColumn("split", expr)
+    return df.where(F.col(key).isNotNull()).withColumn("split", expr)

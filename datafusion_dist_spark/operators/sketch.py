@@ -112,13 +112,14 @@ def watch_buckets(
     """
     import hashlib
 
+    from datafusion_dist_spark.functions.hashing import wide_hash_window
+
     out = []
-    per_digest = 32 // 4
     for k in keys:
         for h in range(depth):
-            group, slot = divmod(h, per_digest)
+            group, start = wide_hash_window(h, width=4)  # 1-based offset
             digest = hashlib.md5(f"{group}:{k}".encode()).hexdigest()
-            b = int(digest[slot * 4 : slot * 4 + 4], 16) % width
+            b = int(digest[start - 1 : start - 1 + 4], 16) % width
             out.append((k, h, b))
     return out
 
@@ -132,8 +133,20 @@ def countmin_lookup(
     candidates are scanned once. Unseen-bucket probes read 0 via the
     left join so absent keys get the true CMS estimate instead of
     silently dropping out. NULL candidates are dropped (NULL is not a
-    key; its probe buckets would be NULL and never match).
+    key; its probe buckets would be NULL and never match). ``cells``
+    must be an UNGROUPED grid: joining a per-group grid (built with
+    ``group_cols``) on (h, b) alone would min() counters across groups
+    into a plausible-looking wrong number, so that is rejected here —
+    probe grouped grids with an explicit join on the group keys (see
+    queries/temporal.py:events_cms_watchlist).
     """
+    extra = set(cells.columns) - {"h", "b", "cnt"}
+    if extra:
+        raise ValueError(
+            "countmin_lookup needs an ungrouped cells grid; got extra "
+            f"columns {sorted(extra)} — join grouped grids explicitly "
+            "on their group keys"
+        )
     probes = keys.where(F.col(key).isNotNull()).select(
         key,
         F.explode(

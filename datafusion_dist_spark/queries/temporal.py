@@ -806,21 +806,34 @@ def events_cms_watchlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         _sketch.watch_buckets(_WCMS_WATCH, _WCMS_DEPTH, _WCMS_WIDTH),
         "user_id bigint, h int, b int",
     )
-    # Window calendar from the observed time RANGE (min/max window
-    # start -> sequence), not from distinct traffic: a one-row min/max
-    # aggregate over the ts column is the cheapest possible second
-    # pass (parquet column stats territory — no explode, no grid), it
-    # cannot be silently pruned into a grid recompute (the audit
-    # caught cells.select("win_start").distinct() re-running the
-    # scan+explode), and it makes ZERO-TRAFFIC windows explicit rows
-    # — a rate monitor that skips silent windows is blind exactly
-    # when the signal matters.
-    bounds = e.select(F.to_timestamp("win_start").alias("ws")).agg(
-        F.min("ws").alias("t0"), F.max("ws").alias("t1")
+    # Window calendar from the observed time RANGE (min/max ts ->
+    # truncate the TWO scalars -> sequence), not from distinct
+    # traffic: the second pass is a bare min/max over the raw ts
+    # column — no per-row window struct, formatting, or re-parsing
+    # (min(window(ts).start) == floor6h(min(ts)) since bucketing is
+    # monotone), it cannot be silently pruned into a grid recompute
+    # (the audit caught cells.select("win_start").distinct()
+    # re-running the scan+explode), and it makes ZERO-TRAFFIC windows
+    # explicit rows — a rate monitor that skips silent windows is
+    # blind exactly when the signal matters.
+    def _floor6h(c: "F.Column") -> "F.Column":
+        # Epoch-anchored 6 h bucket start — integer math equivalent of
+        # F.window(c, "6 hours").start (same anchor, session TZ UTC).
+        u = F.unix_timestamp(c)
+        return F.timestamp_seconds(u - F.pmod(u, F.lit(21600)))
+
+    bounds = (
+        load_table(spark, sf_dir, "events")
+        .select("ts")
+        .agg(F.min("ts").alias("t0"), F.max("ts").alias("t1"))
     )
     wins = bounds.select(
         F.explode(
-            F.sequence("t0", "t1", F.expr("interval 6 hours"))
+            F.sequence(
+                _floor6h(F.col("t0")),
+                _floor6h(F.col("t1")),
+                F.expr("interval 6 hours"),
+            )
         ).alias("ws")
     ).select(F.date_format("ws", "yyyy-MM-dd HH:mm:ss").alias("win_start"))
     return (

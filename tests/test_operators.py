@@ -1666,12 +1666,7 @@ def test_watch_buckets_match_column_hash(spark):
     }
     sdf = spark.createDataFrame([(k,) for k in keys], "k bigint").select(
         "k",
-        *[
-            __import__(
-                "datafusion_dist_spark.operators.sketch", fromlist=["_bucket"]
-            )._bucket(F.col("k"), h, 128).alias(f"b{h}")
-            for h in range(3)
-        ],
+        *[sketch._bucket(F.col("k"), h, 128).alias(f"b{h}") for h in range(3)],
     )
     for r in sdf.collect():
         for h in range(3):
@@ -1695,3 +1690,19 @@ def test_hash_split_is_stable_and_total(spark):
     assert t70 <= t80 and len(t70) < len(t80)
     with pytest.raises(ValueError):
         sampling.hash_split(docs, "doc_id", [("a", 0.5), ("b", 0.1)])
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", [("a", 1.1), ("b", -0.1)])
+
+
+def test_countmin_lookup_rejects_grouped_grid(spark):
+    """A per-group grid joined on (h, b) alone would min() counters
+    across groups into a plausible wrong estimate — lookup must refuse
+    it loudly."""
+    from datafusion_dist_spark.operators import sketch
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    grouped = sketch.countmin_cells(
+        ev, "user_id", group_cols=("event_type",)
+    )
+    with pytest.raises(ValueError, match="ungrouped"):
+        sketch.countmin_lookup(ev.select("user_id").distinct(), grouped, "user_id")
