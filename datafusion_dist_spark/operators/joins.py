@@ -14,6 +14,17 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def salt_column(df: DataFrame, salt: int) -> Column:
+    """The retry-stable salt expression ``salted_join`` assigns to the
+    skewed side: ``pmod(xxhash64(<all columns>), salt)`` — a pure
+    function of row content, so every (re)execution of a task deals
+    the same row to the same salt bucket. Exposed separately so tests
+    can pin the per-bucket row counts under injected task retry."""
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)
+    ).cast("int")
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,
@@ -22,10 +33,20 @@ def salted_join(
     salt: int = 8,
     how: str = "inner",
 ) -> DataFrame:
-    """Equi-join with key salting: the (skewed) left side gets a random
-    salt in [0, salt); the right side is replicated ``salt`` times with
-    every salt value. The hot key's rows spread over ``salt`` reducers
-    instead of one straggler task.
+    """Equi-join with key salting: the (skewed) left side gets a salt
+    in [0, salt) derived from a pure hash of the whole row; the right
+    side is replicated ``salt`` times with every salt value. The hot
+    key's rows spread over ``salt`` reducers instead of one straggler
+    task.
+
+    The salt is ``pmod(xxhash64(<all left columns>), salt)`` — a pure
+    function of row content, NOT ``F.rand``: a task retry or an AQE
+    re-coalesce re-deals ``rand`` values (rand is partition-dependent),
+    making intermediate stage row-counts nondeterministic and skew
+    diagnosis noisy. A row-content hash assigns the same salt on every
+    (re)execution, so per-salt bucket sizes are a stable property of
+    the data. Duplicate rows share a salt, which is exactly the
+    co-location a reducer needs anyway.
 
     Cost model: right side shuffle volume × salt — use for a moderate
     right side against a skewed-heavy left. Result is identical to the
@@ -41,9 +62,7 @@ def salted_join(
             f"salted_join: how={how!r} would duplicate unmatched "
             "replicated-side rows; salt the other side instead"
         )
-    salted_left = left.withColumn(
-        "_salt", (F.rand(seed=42) * salt).cast("int")
-    )
+    salted_left = left.withColumn("_salt", salt_column(left, salt))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")
     salted_right = right.select("*", salts)
     joined = salted_left.join(

@@ -780,8 +780,13 @@ def source_overlap_matrix(
     report that decides whether two corpus slices are near-copies before
     any doc-level dedup runs. Complete by construction: disjoint pairs
     appear with n_shared = 0 / containment = 0.0 (the group list is
-    cross-paired and the overlap counts left-joined on), so a missing
-    pair can only mean a missing group — never silent omission.
+    cross-paired and the overlap counts left-joined on), and a group
+    whose documents ALL have fewer than k tokens still appears (empty
+    shingle arrays are padded with a per-group membership sentinel
+    that can never match a real shingle, so a shingle-less group lands
+    in ``totals`` with n_sh = 0 and pairs with containment 0.0 via the
+    zero-safe denominator) — a missing pair can only mean a group
+    absent from the input, never silent omission.
 
     Scale shape: the corpus collapses to DISTINCT (group, shingle)
     FIRST, so each shingle contributes at most n_groups rows to the
@@ -805,13 +810,30 @@ def source_overlap_matrix(
     t = spread(docs).select(
         F.col(group_col).alias("g"), tokens(F.col(text_col)).alias("_toks")
     )
-    sh = t.select(
-        "g",
-        F.explode(F.array_distinct(shingle_array(F.col("_toks"), k))).alias(
-            "shingle"
-        ),
-    ).distinct()
-    totals = sh.groupBy("g").agg(F.count("*").alias("n_sh"))
+    # A doc with < k tokens has an empty shingle array and would vanish
+    # under a plain explode — silently dropping any group made up
+    # entirely of such docs. Empty arrays are padded with a per-group
+    # membership sentinel "#<g>" instead: tokens are [a-z0-9] and
+    # shingles are tokens joined by spaces, so "#..." can never collide
+    # with a real shingle, and two DIFFERENT groups' sentinels can
+    # never equi-join (the pair condition requires a.g < b.g). The
+    # sentinel is excluded from totals below. NOT explode_outer: a
+    # NULL shingle makes the pair join push an isnotnull(shingle)
+    # filter below the shared distinct, splitting the a/b branches off
+    # the totals branch's exchange — the corpus would tokenize twice
+    # (the single-tokenize gate in tests/test_plans.py catches this).
+    # concat_ws (never NULL) keeps the element non-nullable for the
+    # same reason.
+    arr = F.array_distinct(shingle_array(F.col("_toks"), k))
+    padded = F.when(F.size(arr) > 0, arr).otherwise(
+        F.array(F.concat_ws("", F.lit("#"), F.col("g")))
+    )
+    sh = t.select("g", F.explode(padded).alias("shingle")).distinct()
+    totals = sh.groupBy("g").agg(
+        F.count(F.when(F.substring("shingle", 1, 1) != "#", F.lit(1))).alias(
+            "n_sh"
+        )
+    )
     a, b = sh.alias("a"), sh.alias("b")
     overlap = (
         a.join(
@@ -842,11 +864,13 @@ def source_overlap_matrix(
         F.broadcast(tb), F.col("source_a") < F.col("source_b")
     )
     n_shared = F.coalesce(F.col("_n_shared"), F.lit(0)).cast("bigint")
+    denom = F.least("_na", "_nb")
+    # Zero-safe: a shingle-less group has n_sh = 0; its pairs share
+    # nothing by construction, so containment is 0.0, not NaN/NULL.
+    containment = F.when(denom > 0, F.round(n_shared / denom.cast("double"), 6)).otherwise(F.lit(0.0))
     return all_pairs.join(overlap, ["source_a", "source_b"], "left").select(
         "source_a",
         "source_b",
         n_shared.alias("n_shared"),
-        F.round(n_shared / F.least("_na", "_nb").cast("double"), 6).alias(
-            "containment"
-        ),
+        containment.alias("containment"),
     )

@@ -3611,12 +3611,18 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_contamination_matrix",
     oracle=f"""
         WITH sh AS (
+            -- NULL-pad empty/NULL shingle lists so a source whose docs
+            -- all have < k tokens keeps a membership row (mirrors the
+            -- engine's per-group sentinel padding); the NULL shingle
+            -- never equi-joins and count(shingle) below excludes it.
             SELECT DISTINCT source AS g, s.shingle
             FROM (SELECT source, list_distinct({SHINGLES}) AS shs
                   FROM documents) t,
-                 UNNEST(shs) AS s(shingle)
+                 UNNEST(CASE WHEN len(coalesce(shs, [])) = 0
+                             THEN [CAST(NULL AS VARCHAR)]
+                             ELSE shs END) AS s(shingle)
         ),
-        totals AS (SELECT g, count(*) AS n_sh FROM sh GROUP BY g),
+        totals AS (SELECT g, count(shingle) AS n_sh FROM sh GROUP BY g),
         overlap AS (
             SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_shared
             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.g < b.g
@@ -3628,8 +3634,10 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT p.source_a, p.source_b,
                CAST(coalesce(o.n_shared, 0) AS BIGINT) AS n_shared,
-               round(CAST(coalesce(o.n_shared, 0) AS DOUBLE)
-                     / least(ta.n_sh, tb.n_sh), 6) AS containment
+               CASE WHEN least(ta.n_sh, tb.n_sh) > 0
+                    THEN round(CAST(coalesce(o.n_shared, 0) AS DOUBLE)
+                               / least(ta.n_sh, tb.n_sh), 6)
+                    ELSE 0.0 END AS containment
         FROM allp p
         LEFT JOIN overlap o
             ON o.source_a = p.source_a AND o.source_b = p.source_b
@@ -3640,7 +3648,9 @@ def embedding_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "between EVERY pair of sources + containment n_shared/min(|A|,|B|) "
     "— the dataset-card report run BEFORE doc-level dedup to spot "
     "near-copy corpus slices; disjoint pairs appear as explicit "
-    "n_shared=0 rows (complete matrix, never silent omission). "
+    "n_shared=0 rows, and sources whose docs ALL have < k tokens stay "
+    "in the matrix via sentinel padding + a zero-safe containment "
+    "(complete matrix, never silent omission). "
     "Collapsing to DISTINCT (source, shingle) "
     "first bounds the shingle self-join at n_sources rows per shingle, "
     "so the matrix costs O(shingles x sources^2) with sources in the "
@@ -3667,6 +3677,7 @@ _SPLIT_CASE = " ".join(
                END AS split,
                source, count(*) AS n_docs
         FROM documents
+        WHERE doc_id IS NOT NULL
         GROUP BY 1, 2
     """,
     doc="Deterministic train/val/test split (80/10/10) audited per "
@@ -3677,7 +3688,11 @@ _SPLIT_CASE = " ".join(
     "per-split sampling jobs. The integer thresholds are computed once "
     "(operators/sampling.py:split_thresholds) and shared with the "
     "oracle, so the float->int rounding cannot diverge between "
-    "engines. (operators/sampling.py:hash_split)",
+    "engines; NULL doc_id rows are excluded on BOTH sides (hash_split "
+    "drops them, the oracle filters them) so the NULL-is-not-a-key "
+    "contract is shared too — without the oracle filter a NULL key "
+    "would fall through DuckDB's CASE into the last split while the "
+    "engine dropped it. (operators/sampling.py:hash_split)",
 )
 def sample_split_train_val(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")

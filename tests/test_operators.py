@@ -1627,6 +1627,34 @@ def test_source_overlap_matrix_symmetric_and_bounded(spark):
         assert r["n_shared"] == want, (r, want)
 
 
+def test_source_overlap_matrix_keeps_shingleless_groups(spark):
+    """A group whose documents ALL have fewer than k tokens must still
+    appear in the matrix (n_shared=0, containment=0.0) — ADVICE r8: a
+    plain explode drops its rows, silently erasing the group from the
+    dataset-card report. Also pins NULL-text docs (NULL shingle array
+    takes the same padding path)."""
+    from datafusion_dist_spark.operators import text as text_ops
+
+    docs = spark.createDataFrame(
+        [
+            ("web", "alpha beta gamma delta alpha beta"),
+            ("web", "beta gamma delta epsilon"),
+            ("books", "alpha beta gamma zeta"),
+            ("tiny", "one two"),  # < k=3 tokens -> zero shingles
+            ("tiny", "x"),
+            ("nulls", None),  # NULL text -> NULL shingle array
+        ],
+        "source string, text string",
+    )
+    m = {(r["source_a"], r["source_b"]): r for r in
+         text_ops.source_overlap_matrix(docs).collect()}
+    assert len(m) == 4 * 3 // 2, sorted(m)
+    for pair, r in m.items():
+        if "tiny" in pair or "nulls" in pair:
+            assert r["n_shared"] == 0 and r["containment"] == 0.0, r
+    assert m[("books", "web")]["n_shared"] == 1  # "alpha beta gamma"
+
+
 def test_countmin_grids_are_sum_mergeable(spark):
     """CMS grids over disjoint shards merged by cell-wise sum must
     equal the grid over the union — the property that makes the sketch

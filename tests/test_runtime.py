@@ -540,6 +540,35 @@ assert clean_ds and retried_ds == clean_ds, "datasource retry diverged"
 n_ds = len(glob.glob(os.path.join(MARK, "ds-*")))
 assert n_ds >= 1, "no failure was actually injected in the datasource path"
 print(f"RETRY-OK datasource injected={n_ds}", flush=True)
+
+# --- salted_join path: salt assignment stable under task retry -----
+# The salt is pmod(xxhash64(<row>), salt) — a pure function of row
+# content — precisely so a retried task deals every row to the SAME
+# bucket it got on the first attempt (F.rand would re-deal on retry,
+# making per-salt stage row counts nondeterministic). Pin BOTH the
+# join output and the per-salt bucket sizes against a clean run.
+from datafusion_dist_spark.operators import joins
+
+li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+ords = load_table(spark, SF, "orders").select("o_orderkey", "o_totalprice")
+li_flaky = li.withColumn("l_partkey", make_flaky("salt")(F.col("l_partkey")))
+sj = lambda l: sorted(map(tuple, joins.salted_join(
+    l, ords, "l_orderkey", "o_orderkey", salt=4
+).collect()))
+clean_sj = sj(li)
+retried_sj = sj(li_flaky)
+assert clean_sj, "empty salted-join baseline would vacuously pass"
+assert retried_sj == clean_sj, "salted_join retry diverged from clean run"
+buckets = lambda l: sorted(map(tuple, l.withColumn(
+    "_salt", joins.salt_column(l, 4)
+).groupBy("_salt").count().collect()))
+clean_b = buckets(li)
+retried_b = buckets(li_flaky)
+assert len(clean_b) > 1, "salt must actually spread rows over buckets"
+assert retried_b == clean_b, "per-salt stage row counts shifted under retry"
+n_salt = len(glob.glob(os.path.join(MARK, "salt-*")))
+assert n_salt >= 1, "no failure was actually injected in the salted-join path"
+print(f"RETRY-OK salted-join injected={n_salt}", flush=True)
 spark.stop()
 print("ALL-OK")
 """
@@ -579,4 +608,4 @@ def test_task_retry_is_deterministic(tmp_path):
     assert "ALL-OK" in proc.stdout, (
         f"stdout:\n{proc.stdout[-3000:]}\n\nstderr:\n{proc.stderr[-3000:]}"
     )
-    assert proc.stdout.count("RETRY-OK") == 2
+    assert proc.stdout.count("RETRY-OK") == 3
