@@ -410,9 +410,13 @@ def main() -> None:
             f"  speedup x{speedup}{flag}",
             file=sys.stderr,
         )
+    import bench  # host canary: cross-round drift normalization
+
     result = {
         "metric": "strong_scaling",
         "factor": factor,
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
+        "canary": bench.host_canary(),
         "cores": list(cores),
         "runs_per_query": runs,
         "scan_split_bytes": mpb,

@@ -223,6 +223,10 @@ def main() -> None:
         "bucket_min_index_bytes": dedup.BUCKET_MIN_INDEX_BYTES,
         "violations": violations,
         "loadavg": [round(v, 2) for v in os.getloadavg()],
+        # Host throughput probes (bench.host_canary): divide cross-round
+        # wall drift by the canary ratio before reading it as a code
+        # change — VERDICT r8 task 3.
+        "canary": __import__("bench").host_canary(),
     }
     line = json.dumps(result)
     print(line)

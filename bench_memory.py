@@ -204,9 +204,13 @@ def main() -> None:
                 "partition inside the bounded-memory cluster"
             )
     spark.stop()
+    import bench  # host canary: cross-round drift normalization
+
     out = {
         "metric": "memory_rehearsal" + (f"_{skew}" if skew else ""),
         "master": MASTER,
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
+        "canary": bench.host_canary(),
         "factor": factor,
         "skew": skew,
         **({"aqe_skew_join": aqe_probe} if aqe_probe is not None else {}),

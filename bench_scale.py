@@ -491,6 +491,11 @@ def main() -> None:
         "excluded": EXCLUDED,
         "violations": violations,
         "base_data_hashes": manifest["source"],
+        # Host throughput probes (bench.host_canary): divide cross-round
+        # wall drift by the canary ratio before reading it as a code
+        # change — VERDICT r8 task 3.
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
+        "canary": bench.host_canary(),
     }
     line = json.dumps(out)
     print(line)

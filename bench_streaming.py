@@ -35,6 +35,13 @@ index layout (partition the signature table by band bucket and prune
 to the batch's band keys) — the documented next knob, same family as
 the IVF partition-pruned read.
 
+``cms_sketch`` mode (r9) measures the constant-state streaming sketch
+twin (streaming_countmin_cells, complete-mode aggregation) through the
+engine's own progress metrics: stateOperators.numRowsTotal must stay
+<= depth*width at BOTH scales (the constant-state claim as a
+measurement), per-batch wall flat within a run, final grid equal to
+the batch sketch, scaled/base ratio under the same linear budget.
+
 ``append`` mode (r6) closes the loop the static modes leave open: a
 real continuous crawl FOLDS each drop into the index after deduping
 it (``minhash_index_append``), so the index grows batch over batch.
@@ -196,6 +203,98 @@ def measure(spark, sf_dir: str, work_dir: str, n_batches: int) -> dict:
     return out
 
 
+def measure_cms(
+    spark, sf_dir: str, work_dir: str, n_batches: int,
+    depth: int = 3, width: int = 256,
+) -> dict:
+    """Constant-state streaming sketch mode (VERDICT r8 task 6): run
+    the REAL streaming twin (streaming/jobs.streaming_countmin_cells —
+    a complete-mode streaming aggregation) over the events stream,
+    delivered as ``n_batches`` equal drops, and measure what the batch
+    entries' scale tiers cannot: the ENGINE's own state metrics.
+    Recorded per non-empty microbatch from StreamingQueryProgress:
+    ``triggerExecution`` wall and ``stateOperators.numRowsTotal``. The
+    claim under test is that state is depth*width cells FOREVER —
+    bounded at x10 events, flat batch-over-batch — unlike a per-key
+    count whose state grows with distinct keys."""
+    from datafusion_dist_spark.operators import sketch
+    from datafusion_dist_spark.streaming import jobs as sjobs
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    drops = [
+        ev.filter(F.col("event_id") % n_batches == i).select("user_id")
+        for i in range(n_batches)
+    ]
+    in_dir = os.path.join(work_dir, "cms-in")
+    ckpt = os.path.join(work_dir, "cms-ckpt")
+    for d in (in_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+    import re as _re
+
+    sink = "cms_bench_" + _re.sub(r"\W", "_", os.path.basename(work_dir))
+    # The first drop is written BEFORE the readStream is constructed:
+    # the Arrow-dir source infers its schema from a committed file.
+    drops[0].coalesce(1).write.format("ddspark_arrow_dir").option(
+        "path", in_dir
+    ).mode("append").save()
+    stream = (
+        spark.readStream.format("ddspark_arrow_dir")
+        .option("path", in_dir)
+        .load()
+    )
+    q = (
+        sjobs.streaming_countmin_cells(stream, "user_id", depth, width)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    batch_secs: list[float] = []
+    state_rows: list[int] = []
+    try:
+        seen = -1
+        for i in range(n_batches):
+            if i > 0:
+                drops[i].coalesce(1).write.format("ddspark_arrow_dir").option(
+                    "path", in_dir
+                ).mode("append").save()
+            deadline = time.time() + 300
+            got = None
+            while got is None:
+                assert time.time() < deadline, f"cms drop {i} never consumed"
+                for p in q.recentProgress:
+                    if p["batchId"] > seen and p["numInputRows"] > 0:
+                        got = p
+                        seen = p["batchId"]
+                        break
+                if got is None:
+                    time.sleep(0.2)
+            batch_secs.append(got["durationMs"]["triggerExecution"] / 1000.0)
+            state_rows.append(got["stateOperators"][0]["numRowsTotal"])
+        grid = {
+            (r["h"], r["b"]): r["cnt"] for r in spark.table(sink).collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r["h"], r["b"]): r["cnt"]
+        for r in sketch.countmin_cells(
+            ev.select("user_id"), "user_id", depth, width
+        ).collect()
+    }
+    return {
+        "batch_secs": [round(s, 3) for s in batch_secs],
+        "min_batch_sec": round(min(batch_secs), 3),
+        "state_rows": state_rows,
+        "state_bound": depth * width,
+        "state_bounded": all(r <= depth * width for r in state_rows),
+        "matches_batch_oracle": grid == want,
+        "n_events": ev.count(),
+    }
+
+
 def measure_append(
     spark, sf_dir: str, work_dir: str, n_batches: int
 ) -> dict:
@@ -297,6 +396,14 @@ def main() -> None:
 
     base = measure(spark, base_dir, os.path.join(work, "base"), n_batches)
     scaled = measure(spark, scale_dir, os.path.join(work, "scaled"), n_batches)
+    cms_runs = {
+        "base": measure_cms(
+            spark, base_dir, os.path.join(work, "base"), n_batches
+        ),
+        "scaled": measure_cms(
+            spark, scale_dir, os.path.join(work, "scaled"), n_batches
+        ),
+    }
     append_runs = {
         "base": measure_append(
             spark, base_dir, os.path.join(work, "base"), n_append
@@ -361,6 +468,46 @@ def main() -> None:
         **{f"{tag}_{k}": v
            for tag, ap in append_runs.items() for k, v in ap.items()},
     }
+    # CMS streaming-twin gates (VERDICT r8 task 6): the engine-reported
+    # state must be bounded by the depth*width grid at BOTH scales
+    # (exact — the constant-state claim), the final grid must equal the
+    # batch sketch, per-batch wall must stay flat within a run (state
+    # accumulation adds nothing; batch 0 excluded — it pays state-store
+    # init + codegen), and the scaled/base per-batch ratio gets the
+    # same linear budget as the dedup modes (drops are factor-x rows).
+    for tag, cm in cms_runs.items():
+        print(
+            f"cms[{tag}]: {cm['batch_secs']}  state_rows={cm['state_rows']}"
+            f"/{cm['state_bound']}",
+            file=sys.stderr,
+        )
+        if not cm["state_bounded"]:
+            violations.append(
+                f"cms[{tag}]: state {cm['state_rows']} exceeds the "
+                f"depth*width bound {cm['state_bound']}"
+            )
+        if not cm["matches_batch_oracle"]:
+            violations.append(f"cms[{tag}]: grid != batch sketch")
+        later = cm["batch_secs"][1:]
+        if later and max(later) > 3.0 * min(cm["batch_secs"]):
+            violations.append(
+                f"cms[{tag}]: per-batch wall grew within the run "
+                f"{cm['batch_secs']} (flat-state aggregation should not)"
+            )
+    cms_ratio = (
+        round(cms_runs["scaled"]["min_batch_sec"]
+              / cms_runs["base"]["min_batch_sec"], 2)
+        if cms_runs["base"]["min_batch_sec"] > 0 else float("inf")
+    )
+    if cms_ratio > budget:
+        violations.append(f"cms: x{cms_ratio} > budget x{budget:.1f}")
+    modes["cms_sketch"] = {
+        "ratio": cms_ratio,
+        "budget": round(budget, 1),
+        "ok": cms_ratio <= budget,
+        **{f"{tag}_{k}": v
+           for tag, cm in cms_runs.items() for k, v in cm.items()},
+    }
     result = {
         "metric": "streaming_dedup_per_batch",
         "factor": factor,
@@ -377,6 +524,11 @@ def main() -> None:
             else float("inf"),
         },
         "violations": violations,
+        # Host throughput probes (bench.host_canary): divide cross-round
+        # wall drift by the canary ratio before reading it as a code
+        # change — VERDICT r8 task 3.
+        "loadavg": [round(v, 2) for v in os.getloadavg()],
+        "canary": bench.host_canary(),
     }
     line = json.dumps(result)
     print(line)
