@@ -118,6 +118,8 @@ HEADLINE = [
     "pipeline_contamination_matrix",
     "events_cms_watchlist",
     "sample_split_train_val",
+    # r9 addition: HLL cardinality sketch (register build + estimate)
+    "agg_hll_cardinality",
 ]
 
 

@@ -126,6 +126,10 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     "pipeline_contamination_matrix": None,
     "agg_countmin_heavy_hitters": None,
     "join_skew_salted": None,
+    # r9: HLL cardinality — constant 2^p-register state, linear scan
+    # (the exact-distinct control arm shuffles the key space; still
+    # linear).
+    "agg_hll_cardinality": None,
 }
 
 # --skew zipf: the skewed-data rehearsal (r5). Same harness, but the
@@ -222,6 +226,9 @@ SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
     "join_skew_salted": (1.0, 1.5),
     "agg_countmin_heavy_hitters": (1.0, 1.5),
     "pipeline_contamination_matrix": (1.0, 1.5),
+    # r9: a zipf-hot user_id raises at most one register's max — HLL
+    # work is cardinality-shaped, indifferent to frequency skew.
+    "agg_hll_cardinality": (1.0, 1.5),
 }
 
 EXCLUDED: dict[str, str] = {

@@ -1,4 +1,5 @@
-"""Frequency sketches: count-min cells + point lookups (engine extension).
+"""Constant-state sketches: count-min (frequency) + HyperLogLog-style
+registers (cardinality) — engine extensions.
 
 The reference's only sketch-adjacent surface is approximate distinct
 counting; a training-data pipeline also needs frequency estimation over
@@ -40,6 +41,8 @@ from pyspark.sql import functions as F
 from datafusion_dist_spark.functions.hashing import (
     hash_hex_wide,
     hash_hex_wide_oracle,
+    hash_int32,
+    hash_int32_oracle,
 )
 
 
@@ -122,6 +125,128 @@ def watch_buckets(
             b = int(digest[start - 1 : start - 1 + 4], 16) % width
             out.append((k, h, b))
     return out
+
+
+HLL_P = 8  # 2^p registers; p=8 -> 256 registers, ~6.5% rel. error
+
+
+def hll_registers(
+    df: DataFrame,
+    key: str,
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Cardinality-sketch register table: (register, max_rho) — the
+    distinct-count sibling of ``countmin_cells`` (frequency). State is
+    2^p integer registers FOREVER, regardless of rows or distinct keys,
+    and registers are MAX-mergeable across shards/batches (property-
+    tested), which is what makes the sketch a distributed/streaming
+    aggregate the way the CMS grid is.
+
+    Construction (cross-engine exact, no libm): the 32-bit md5 hash
+    splits into ``register = h32 % 2^p`` and a ``(32-p)``-bit remainder
+    ``w``; ``rho(w)`` — the 1-based position of w's leftmost set bit,
+    ``(32-p+1)`` when w = 0 — is computed as ``(32-p+1) - len(bin(w))``
+    (binary-string length, an integer op both engines share), never a
+    float log2. One scan; the explode-free projection keeps the partial
+    max inside the scan stage, so the exchange carries at most 2^p
+    register partials per task. NULL keys are dropped (NULL is not a
+    key — same contract as the CMS build). ``group_cols`` builds one
+    independent register set per group (e.g. distinct users per event
+    type) at 2^p state per group — one scan, never a per-group
+    distinct shuffle of the key space."""
+    m = 1 << p
+    rho_max = 32 - p + 1
+    h32 = hash_int32(F.col(key).cast("string"))
+    w = F.shiftright(h32, p)
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(
+        F.lit(rho_max) - F.length(F.bin(w))
+    )
+    return (
+        df.where(F.col(key).isNotNull())
+        .select(
+            *group_cols,
+            (h32 % m).cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_registers_oracle(
+    key_expr: str,
+    table_sql: str,
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
+) -> str:
+    """DuckDB mirror of ``hll_registers`` (same md5 hash, same integer
+    bit math), for oracle SQL strings."""
+    m = 1 << p
+    rho_max = 32 - p + 1
+    h = hash_int32_oracle(f"CAST({key_expr} AS VARCHAR)")
+    gsel = "".join(f"{g}, " for g in group_cols)
+    return f"""
+        SELECT {gsel}CAST(h32 % {m} AS INTEGER) AS register,
+               CAST(MAX(CASE WHEN (h32 // {m}) = 0 THEN {rho_max}
+                             ELSE {rho_max} - length(bin(h32 // {m}))
+                        END) AS INTEGER) AS max_rho
+        FROM (SELECT {gsel}{h} AS h32 FROM {table_sql}
+              WHERE {key_expr} IS NOT NULL)
+        GROUP BY ALL
+    """
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = HLL_P,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HyperLogLog cardinality estimate from a register table:
+    (*group_cols, est_distinct, zero_registers, touched_registers) —
+    one row per group (one row total when ungrouped; pass the SAME
+    ``group_cols`` the registers were built with, else registers from
+    different groups silently pool into one wrong estimate).
+
+    The harmonic sum stays in exact dyadic arithmetic — ``2^-max_rho``
+    is ``1.0 / (1 << max_rho)`` (integer shift, never pow()), every
+    term a multiple of 2^-(32-p+1) and the total < 2^p, so the double
+    sum is EXACT and the alpha*m^2/S division is one deterministic
+    IEEE op both engines share. Untouched registers contribute 2^0
+    each: S = (m - touched) + sum(2^-max_rho). Linear counting takes
+    over below 2.5*m when zero registers remain (the standard
+    small-range correction; its ln() is the one float op, rounded to
+    4 decimals in outputs)."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    aggs = [
+        F.count("*").alias("touched"),
+        F.sum(
+            # SQL form: the Python shiftleft() wants a literal count.
+            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), max_rho)")
+        ).alias("s_touched"),
+    ]
+    agg = (
+        registers.groupBy(*group_cols).agg(*aggs)
+        if group_cols
+        else registers.agg(*aggs)
+    )
+    zeros = F.lit(m) - F.col("touched")
+    # coalesce: an EMPTY input has no touched registers (sum -> NULL);
+    # S must then be m ones, which routes into linear counting with
+    # V = m and an exact est of m*ln(1) = 0.
+    s = F.coalesce(F.col("s_touched"), F.lit(0.0)) + zeros.cast("double")
+    raw = F.lit(alpha * m * m) / s
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        F.round(est, 4).alias("est_distinct"),
+        zeros.cast("int").alias("zero_registers"),
+        F.col("touched").cast("int").alias("touched_registers"),
+    )
 
 
 def countmin_lookup(

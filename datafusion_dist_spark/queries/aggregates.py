@@ -600,3 +600,140 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.filter(F.col("est") >= _CMS_MIN_EST).select(
         "user_id", F.col("est").cast("bigint").alias("est_count")
     )
+
+
+# -- cardinality sketch -----------------------------------------------------
+
+_HLL_M = 1 << sketch.HLL_P
+_HLL_ALPHA_M2 = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+_HLL_REGS_SQL = sketch.hll_registers_oracle("user_id", "events")
+
+
+@register(
+    "agg_hll_registers",
+    oracle=f"SELECT register, max_rho FROM ({_HLL_REGS_SQL})",
+    doc="HyperLogLog register table over events.user_id — the "
+    "cardinality sibling of the count-min grid, and a transparent "
+    "oracle-checkable twin of the reference's approx-distinct surface "
+    "(DataFusion's approx_distinct IS an HLL; its registers are opaque "
+    f"— ours are {_HLL_M} integer rows hash-checked against DuckDB "
+    "bit-for-bit). One scan; the partial max runs inside the scan "
+    f"stage so the exchange carries at most {_HLL_M} register partials "
+    "per task regardless of input rows or distinct keys, and registers "
+    "are MAX-mergeable across shards/batches (property-tested) — the "
+    "same constant-state contract as the CMS family. rho uses "
+    "binary-string length, never float log2, so both engines share "
+    "exact integer math. (operators/sketch.py:hll_registers)",
+)
+def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    return sketch.hll_registers(ev, "user_id")
+
+
+@register(
+    "agg_hll_cardinality",
+    oracle=f"""
+        WITH regs AS ({_HLL_REGS_SQL}),
+        a AS (
+            SELECT count(*) AS touched,
+                   coalesce(SUM(1.0 / CAST((1::BIGINT << max_rho)
+                                           AS DOUBLE)), 0.0) AS s_touched
+            FROM regs
+        ),
+        c AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events WHERE user_id IS NOT NULL
+        ),
+        e AS (
+            SELECT touched, ({_HLL_M} - touched) AS zeros,
+                   ({_HLL_ALPHA_M2!r}
+                    / (s_touched + ({_HLL_M} - touched))) AS raw
+            FROM a
+        )
+        SELECT round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
+                          THEN {float(_HLL_M)!r}
+                               * ln({float(_HLL_M)!r} / zeros)
+                          ELSE raw END, 4) AS est_distinct,
+               CAST(zeros AS INTEGER) AS zero_registers,
+               CAST(touched AS INTEGER) AS touched_registers,
+               exact_distinct
+        FROM e, c
+    """,
+    doc="HyperLogLog cardinality estimate from the register table, "
+    "beside the exact distinct count it approximates: the one-row "
+    "report a 100 TB pipeline uses to size dedup/join plans without "
+    "paying a key-space shuffle (the sketch's state is "
+    f"{_HLL_M} integers; the exact count here is the self-contained "
+    "oracle's control arm, not the production path). The harmonic sum "
+    "stays in exact dyadic arithmetic (1/(1<<rho), never pow), so the "
+    "estimate is a deterministic function of the data reproduced "
+    "bit-for-bit by DuckDB; linear counting takes over in the "
+    "small range. (operators/sketch.py:hll_estimate)",
+)
+def agg_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    regs = sketch.hll_registers(ev, "user_id")
+    est = sketch.hll_estimate(regs)
+    exact = ev.where(F.col("user_id").isNotNull()).agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_distinct")
+    )
+    return est.crossJoin(exact)
+
+
+_HLL_GROUPED_REGS_SQL = sketch.hll_registers_oracle(
+    "user_id", "events", group_cols=("event_type",)
+)
+
+
+@register(
+    "agg_hll_grouped",
+    oracle=f"""
+        WITH regs AS ({_HLL_GROUPED_REGS_SQL}),
+        a AS (
+            SELECT event_type, count(*) AS touched,
+                   coalesce(SUM(1.0 / CAST((1::BIGINT << max_rho)
+                                           AS DOUBLE)), 0.0) AS s_touched
+            FROM regs GROUP BY 1
+        ),
+        c AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+            FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        ),
+        e AS (
+            SELECT event_type, touched, ({_HLL_M} - touched) AS zeros,
+                   ({_HLL_ALPHA_M2!r}
+                    / (s_touched + ({_HLL_M} - touched))) AS raw
+            FROM a
+        )
+        SELECT e.event_type,
+               round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
+                          THEN {float(_HLL_M)!r}
+                               * ln({float(_HLL_M)!r} / zeros)
+                          ELSE raw END, 4) AS est_distinct,
+               CAST(zeros AS INTEGER) AS zero_registers,
+               CAST(touched AS INTEGER) AS touched_registers,
+               c.exact_distinct
+        FROM e JOIN c ON e.event_type = c.event_type
+    """,
+    doc="Per-group HyperLogLog: distinct users PER EVENT TYPE from one "
+    "scan — the grouped register build keeps 2^p integers of state per "
+    "group instead of shuffling each group's key space (the 'distinct "
+    "X per Y' dashboard at 100 TB: per-source distinct docs, per-shard "
+    "distinct urls). The per-group exact distinct beside it is the "
+    "self-contained oracle's control arm. Same cross-engine integer "
+    "bit math as the ungrouped entry; each group's estimate routes "
+    "independently through raw-vs-linear-counting, so small groups "
+    "exercise the correction while big ones take the harmonic path. "
+    "(operators/sketch.py:hll_registers group_cols)",
+)
+def agg_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = sketch.hll_registers(ev, "user_id", group_cols=("event_type",))
+    est = sketch.hll_estimate(regs, group_cols=("event_type",))
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
+    )
+    return est.join(exact, "event_type")

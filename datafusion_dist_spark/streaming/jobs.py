@@ -359,3 +359,23 @@ def streaming_countmin_cells(
     from datafusion_dist_spark.operators.sketch import countmin_cells
 
     return countmin_cells(events.select(key), key, depth, width)
+
+
+def streaming_hll_registers(
+    events: DataFrame, key: str = "user_id", p: int = 8
+) -> DataFrame:
+    """Streaming HyperLogLog build: the same hash→register→max plan as
+    the batch sketch (operators/sketch.py:hll_registers), run over the
+    unbounded stream in complete mode.
+
+    Like the CMS grid, this is an aggregation that is SAFE without a
+    watermark on an unbounded stream: state is 2^p integer registers
+    FOREVER (max is monotone — late or replayed data can only raise a
+    register, never corrupt it), which is why a crawl-scale pipeline
+    tracks distinct-key cardinality as registers instead of a per-key
+    distinct whose state grows with every new key. Batch-twin equality
+    and the state bound are pinned in tests/test_streaming.py.
+    """
+    from datafusion_dist_spark.operators.sketch import hll_registers
+
+    return hll_registers(events.select(key), key, p)

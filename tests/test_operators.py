@@ -1682,6 +1682,68 @@ def test_countmin_grids_are_sum_mergeable(spark):
     assert merged == want
 
 
+def test_hll_registers_are_max_mergeable(spark):
+    """HLL registers over disjoint shards merged by register-wise MAX
+    must equal the registers over the union — max is monotone, so
+    map-side partials, per-batch streaming updates, cross-shard
+    rollups, AND late/replayed data all reduce to this one merge
+    (replay can only re-assert a max, never corrupt it)."""
+    from datafusion_dist_spark.operators import sketch
+
+    ev = load_table(spark, SF_DIR, "events").select("event_id", "user_id")
+    a = ev.filter(F.col("event_id") % 2 == 0).select("user_id")
+    b = ev.filter(F.col("event_id") % 2 == 1).select("user_id")
+    merged = {
+        r["register"]: r["max_rho"]
+        for r in (
+            sketch.hll_registers(a, "user_id")
+            .unionByName(sketch.hll_registers(b, "user_id"))
+            .groupBy("register")
+            .agg(F.max("max_rho").alias("max_rho"))
+            .collect()
+        )
+    }
+    want = {
+        r["register"]: r["max_rho"]
+        for r in sketch.hll_registers(ev.select("user_id"), "user_id").collect()
+    }
+    assert merged == want
+    # Replay idempotence: duplicating a shard changes nothing.
+    replayed = {
+        r["register"]: r["max_rho"]
+        for r in sketch.hll_registers(
+            ev.select("user_id").unionByName(a), "user_id"
+        ).collect()
+    }
+    assert replayed == want
+
+
+def test_hll_estimate_accuracy_and_bounds(spark):
+    """The register table respects the 2^p state bound, the estimate
+    lands within 4 standard errors (sigma = 1.04/sqrt(m) ~ 6.5% at
+    m=256) of the exact distinct count, and an empty input estimates
+    exactly 0 through the linear-counting branch."""
+    from datafusion_dist_spark.operators import sketch
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    regs = sketch.hll_registers(ev, "user_id")
+    m = 1 << sketch.HLL_P
+    rows = regs.collect()
+    assert 0 < len(rows) <= m
+    assert all(1 <= r["max_rho"] <= 32 - sketch.HLL_P + 1 for r in rows)
+    est = sketch.hll_estimate(regs).collect()[0]
+    exact = ev.where(F.col("user_id").isNotNull()).distinct().count()
+    assert est["touched_registers"] == len(rows)
+    assert est["zero_registers"] == m - len(rows)
+    rel_err = abs(est["est_distinct"] - exact) / exact
+    assert rel_err <= 4 * 1.04 / (m ** 0.5), (est["est_distinct"], exact)
+    empty = sketch.hll_estimate(
+        sketch.hll_registers(ev.limit(0), "user_id")
+    ).collect()[0]
+    assert empty["est_distinct"] == 0.0
+    assert empty["zero_registers"] == m and empty["touched_registers"] == 0
+
+
 def test_watch_buckets_match_column_hash(spark):
     """The driver-side (hashlib) probe buckets must equal the Spark
     column hash for the same keys — the watchlist join is keyed on

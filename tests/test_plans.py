@@ -719,6 +719,32 @@ def test_countmin_constant_shuffle_and_broadcast_lookup(spark):
     assert facts["n_exchanges"] == 2, formatted_plan(df)
 
 
+def test_hll_registers_constant_shuffle(spark):
+    """The HLL register build's exchange carries register partials
+    (<= 2^p per task, the partial max runs inside the scan stage):
+    exactly one exchange, no join anywhere. The cardinality entry adds
+    only 1-row aggregates crossed via broadcast — any shuffle join
+    would mean the sketch stopped being a pure aggregate."""
+    from datafusion_dist_spark.queries.aggregates import (
+        agg_hll_cardinality,
+        agg_hll_registers,
+    )
+
+    regs = agg_hll_registers(spark, SF_DIR)
+    facts = plan_facts(regs)
+    assert facts["n_exchanges"] == 1, formatted_plan(regs)
+    assert (
+        facts["n_broadcast_joins"]
+        + facts["n_shuffledhash_joins"]
+        + facts["n_sortmerge_joins"]
+    ) == 0
+    card = agg_hll_cardinality(spark, SF_DIR)
+    cfacts = plan_facts(card)
+    assert cfacts["n_shuffledhash_joins"] + cfacts["n_sortmerge_joins"] == 0, (
+        formatted_plan(card)
+    )
+
+
 def test_contamination_matrix_tokenizes_once(spark):
     """source_overlap_matrix's distinct-shingle subtree feeds four plan
     branches; all four must collapse to ONE scan + ONE tokenize via

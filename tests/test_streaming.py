@@ -496,3 +496,29 @@ def test_streaming_countmin_grid_matches_batch(spark):
     }
     assert got == want
     assert len(got) <= 3 * 256
+
+
+def test_streaming_hll_registers_match_batch(spark):
+    """The streaming HLL register table after consuming the whole
+    stream must be bit-identical to the batch registers — and its
+    state is constant-size (<= 2^p rows) however long the stream runs
+    (max is monotone, so replay/late data cannot corrupt it)."""
+    from datafusion_dist_spark.catalog import load_table
+    from datafusion_dist_spark.operators import sketch
+    from datafusion_dist_spark.streaming import jobs
+
+    stream = jobs.read_events_stream(spark, SF_DIR)
+    jobs.run_stream_to_memory(
+        jobs.streaming_hll_registers(stream), "hll_stream"
+    )
+    got = {
+        r["register"]: r["max_rho"]
+        for r in spark.table("hll_stream").collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").select("user_id")
+    want = {
+        r["register"]: r["max_rho"]
+        for r in sketch.hll_registers(ev, "user_id").collect()
+    }
+    assert got == want
+    assert len(got) <= 1 << sketch.HLL_P
