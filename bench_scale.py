@@ -255,6 +255,17 @@ EXCLUDED: dict[str, str] = {
     "sample_split_train_val": "single-scan hash-bucket projection + "
     "two-phase count agg — the exact plan shape sample_temperature "
     "already measures",
+    "agg_hll_registers": "the register build inside "
+    "agg_hll_cardinality (which IS measured at both skew and uniform "
+    "x10); no axis of its own",
+    "agg_hll_grouped": "same scan-dominated register build as "
+    "agg_hll_cardinality plus per-group state at groups x 2^p rows — "
+    "the grouped exact-distinct control arm is the only extra work "
+    "and it is the plan shape agg_count_distinct already measures",
+    "agg_hll_overlap_matrix": "two scans (both the shape "
+    "agg_hll_cardinality measures) + set algebra over <= pairs x 2^p "
+    "register rows — constant-size work by construction, no scale "
+    "axis of its own",
 }
 
 DEFAULT_BUDGET_PER_FACTOR = 1.2  # 12x at factor 10

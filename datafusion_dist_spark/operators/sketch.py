@@ -217,36 +217,54 @@ def hll_estimate(
     over below 2.5*m when zero registers remain (the standard
     small-range correction; its ln() is the one float op, rounded to
     4 decimals in outputs)."""
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
     aggs = [
         F.count("*").alias("touched"),
-        F.sum(
-            # SQL form: the Python shiftleft() wants a literal count.
-            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), max_rho)")
-        ).alias("s_touched"),
+        F.sum(rho_inverse_pow2("max_rho")).alias("s_touched"),
     ]
     agg = (
         registers.groupBy(*group_cols).agg(*aggs)
         if group_cols
         else registers.agg(*aggs)
     )
-    zeros = F.lit(m) - F.col("touched")
+    zeros = F.lit(1 << p) - F.col("touched")
+    return agg.select(
+        *group_cols,
+        hll_estimate_expr(F.col("touched"), F.col("s_touched"), p).alias(
+            "est_distinct"
+        ),
+        zeros.cast("int").alias("zero_registers"),
+        F.col("touched").cast("int").alias("touched_registers"),
+    )
+
+
+def rho_inverse_pow2(col_name: str = "max_rho") -> Column:
+    """``2^-<col>`` as exact dyadic arithmetic: ``1.0 / (1 << rho)``
+    via the SQL shiftleft (the Python shiftleft() wants a literal
+    count, hence the column NAME argument), never pow()."""
+    return F.lit(1.0) / F.expr(f"shiftleft(CAST(1 AS BIGINT), {col_name})")
+
+
+def hll_estimate_expr(
+    touched: Column, s_touched: Column, p: int = HLL_P
+) -> Column:
+    """The round-4 HLL estimate as a column expression over register
+    summary columns (``touched`` register count, ``s_touched`` =
+    sum of 2^-max_rho over touched registers) — shared by the plain /
+    grouped estimates and the set-algebra entries so the estimator
+    math exists exactly once on the Spark side."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    zeros = F.lit(m) - touched
     # coalesce: an EMPTY input has no touched registers (sum -> NULL);
     # S must then be m ones, which routes into linear counting with
     # V = m and an exact est of m*ln(1) = 0.
-    s = F.coalesce(F.col("s_touched"), F.lit(0.0)) + zeros.cast("double")
+    s = F.coalesce(s_touched, F.lit(0.0)) + zeros.cast("double")
     raw = F.lit(alpha * m * m) / s
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
-    return agg.select(
-        *group_cols,
-        F.round(est, 4).alias("est_distinct"),
-        zeros.cast("int").alias("zero_registers"),
-        F.col("touched").cast("int").alias("touched_registers"),
-    )
+    return F.round(est, 4)
 
 
 def countmin_lookup(

@@ -737,3 +737,127 @@ def agg_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
     )
     return est.join(exact, "event_type")
+
+
+def _hll_est_sql(rel: str) -> str:
+    """The round-4 HLL estimate as a DuckDB expression over a relation
+    exposing ``touched`` / ``s_touched`` (prefix ``rel`` like 'a.'),
+    mirroring operators/sketch.py:hll_estimate exactly."""
+    zeros = f"({_HLL_M} - {rel}touched)"
+    raw = f"({_HLL_ALPHA_M2!r} / ({rel}s_touched + {zeros}))"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND {zeros} > 0 "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / {zeros}) "
+        f"ELSE {raw} END, 4)"
+    )
+
+
+_HLL_SUM_SQL = (
+    "count(*) AS touched, "
+    "coalesce(SUM(1.0 / CAST((1::BIGINT << max_rho) AS DOUBLE)), 0.0) "
+    "AS s_touched"
+)
+
+
+@register(
+    "agg_hll_overlap_matrix",
+    oracle=f"""
+        WITH regs AS ({_HLL_GROUPED_REGS_SQL}),
+        a AS (SELECT event_type, {_HLL_SUM_SQL} FROM regs GROUP BY 1),
+        e AS (SELECT event_type, {_hll_est_sql('')} AS est FROM a),
+        p AS (
+            SELECT x.event_type AS type_a, x.est AS est_a,
+                   y.event_type AS type_b, y.est AS est_b
+            FROM e x JOIN e y ON x.event_type < y.event_type
+        ),
+        u AS (
+            SELECT p.type_a, p.type_b, r.register,
+                   MAX(r.max_rho) AS max_rho
+            FROM regs r JOIN p
+              ON r.event_type = p.type_a OR r.event_type = p.type_b
+            GROUP BY 1, 2, 3
+        ),
+        ua AS (SELECT type_a, type_b, {_HLL_SUM_SQL}
+               FROM u GROUP BY 1, 2),
+        ue AS (SELECT type_a, type_b, {_hll_est_sql('')} AS est_union
+               FROM ua)
+        SELECT p.type_a, p.type_b, ue.est_union,
+               round(greatest(0.0, p.est_a + p.est_b - ue.est_union), 4)
+                   AS est_intersection,
+               round(greatest(0.0, p.est_a + p.est_b - ue.est_union)
+                     / ue.est_union, 4) AS est_jaccard
+        FROM ue
+        JOIN p ON p.type_a = ue.type_a AND p.type_b = ue.type_b
+    """,
+    doc="HLL set algebra: estimated distinct-user UNION, INTERSECTION "
+    "(inclusion-exclusion) and Jaccard for EVERY pair of event types, "
+    "computed entirely from the per-group register tables — union "
+    "registers are the pairwise MAX-merge, so N groups' audience "
+    "overlap matrix costs N constant-size sketches + an O(pairs x 2^p) "
+    "merge, never a per-pair distinct-count job over the key space "
+    "(the cardinality-level sibling of pipeline_contamination_matrix: "
+    "at 100 TB you answer 'how much do these sources' user bases "
+    "overlap' without rescanning either). Exactly two scans, plan-"
+    "gated: the register build plus a column-pruned distinct-type "
+    "scan for the pair frame; per-side AND union sums are conditional "
+    "aggregates over the one pair-replicated register branch (a "
+    "per-type estimate branch would let Catalyst fuse onto a coarser "
+    "exchange and re-scan — the broadcast-recompute trap), and every "
+    "estimate is the same cross-engine-exact register math as "
+    "agg_hll_cardinality. "
+    "(operators/sketch.py:hll_registers/hll_estimate_expr)",
+)
+def agg_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Plan shape (gated in tests/test_plans.py): exactly TWO scans —
+    # the register build and a column-pruned distinct-type scan for
+    # the pair frame. A per-type estimate branch over `regs` would NOT
+    # reuse the register exchange: Catalyst fuses aggregate-over-
+    # aggregate onto one coarser event_type exchange (a better plan
+    # standalone, a canonically different subtree when shared), so the
+    # per-SIDE sums are conditional aggregates over the pair-replicated
+    # register rows instead — every sketch number flows from the one
+    # register branch. A type whose users are all NULL has no
+    # registers and drops out entirely (NULL is not a key — the same
+    # contract as the build; the oracle's pair frame is registers-
+    # derived so both engines exclude it).
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    regs = sketch.hll_registers(ev, "user_id", group_cols=("event_type",))
+    types = ev.select("event_type").distinct()
+    ta = types.select(F.col("event_type").alias("type_a"))
+    tb = types.select(F.col("event_type").alias("type_b"))
+    pairs = F.broadcast(ta).join(
+        F.broadcast(tb), F.col("type_a") < F.col("type_b")
+    )
+    u = regs.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("type_a"))
+        | (F.col("event_type") == F.col("type_b")),
+    )
+    inv = sketch.rho_inverse_pow2("max_rho")
+    is_a = F.col("event_type") == F.col("type_a")
+    sides = u.groupBy("type_a", "type_b").agg(
+        F.count(F.when(is_a, 1)).alias("touched_a"),
+        F.sum(F.when(is_a, inv)).alias("s_a"),
+        F.count(F.when(~is_a, 1)).alias("touched_b"),
+        F.sum(F.when(~is_a, inv)).alias("s_b"),
+    )
+    union_sums = (
+        u.groupBy("type_a", "type_b", "register")
+        .agg(F.max("max_rho").alias("max_rho"))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("touched_u"),
+            F.sum(inv).alias("s_u"),
+        )
+    )
+    est_a = sketch.hll_estimate_expr(F.col("touched_a"), F.col("s_a"))
+    est_b = sketch.hll_estimate_expr(F.col("touched_b"), F.col("s_b"))
+    est_u = sketch.hll_estimate_expr(F.col("touched_u"), F.col("s_u"))
+    g = F.greatest(F.lit(0.0), est_a + est_b - est_u)
+    return sides.join(union_sums, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        est_u.alias("est_union"),
+        F.round(g, 4).alias("est_intersection"),
+        F.round(g / est_u, 4).alias("est_jaccard"),
+    )

@@ -1744,6 +1744,43 @@ def test_hll_estimate_accuracy_and_bounds(spark):
     assert empty["zero_registers"] == m and empty["touched_registers"] == 0
 
 
+def test_hll_overlap_matrix_tracks_exact_overlap(spark):
+    """The inclusion-exclusion intersection estimate must track the
+    exact pairwise user overlap: every pair within ~4 combined
+    standard errors (3 estimates at sigma = 1.04/sqrt(256) each), and
+    union >= max side / intersection <= min side structurally."""
+    from datafusion_dist_spark.queries.aggregates import (
+        agg_hll_overlap_matrix,
+    )
+
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in agg_hll_overlap_matrix(spark, SF_DIR).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("event_type", "user_id")
+        .where(F.col("user_id").isNotNull())
+        .distinct()
+        .collect()
+    )
+    users: dict[str, set] = {}
+    for r in ev:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(users)
+    assert len(out) == len(types) * (len(types) - 1) // 2
+    sigma = 1.04 / (256 ** 0.5)
+    for (a, b), r in out.items():
+        exact_union = len(users[a] | users[b])
+        exact_inter = len(users[a] & users[b])
+        assert abs(r["est_union"] - exact_union) <= 4 * sigma * exact_union + 2
+        tol = 4 * sigma * (3 ** 0.5) * exact_union + 2
+        assert abs(r["est_intersection"] - exact_inter) <= tol, (
+            (a, b), r["est_intersection"], exact_inter, tol
+        )
+        assert 0.0 <= r["est_jaccard"] <= 1.0 + 1e-9
+
+
 def test_watch_buckets_match_column_hash(spark):
     """The driver-side (hashlib) probe buckets must equal the Spark
     column hash for the same keys — the watchlist join is keyed on

@@ -745,6 +745,32 @@ def test_hll_registers_constant_shuffle(spark):
     )
 
 
+def test_hll_overlap_matrix_scans_twice(spark):
+    """agg_hll_overlap_matrix's EXECUTED plan: exactly TWO events
+    scans — the register build and the column-pruned distinct-type
+    pair frame — with the shared register branch's exchange reused
+    between the per-side and union aggregates. A third scan means a
+    sketch branch split off the shared exchange (the broadcast-
+    recompute / aggregate-fusion trap this entry's structure exists
+    to avoid)."""
+    import re as _re
+
+    from datafusion_dist_spark.queries.aggregates import (
+        agg_hll_overlap_matrix,
+    )
+
+    df = agg_hll_overlap_matrix(spark, SF_DIR)
+    df.collect()
+    final = formatted_plan(df).split("Initial Plan")[0]
+    tree = _re.split(r"\n\(\d+\) ", final)[0]
+    assert tree.count("Scan parquet") == 2, tree
+    assert "ReusedExchange" in tree, tree
+    # The pair-frame scan must be column-pruned to event_type alone.
+    details = formatted_plan(df)
+    schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", details)
+    assert any(s.strip() == "event_type:string" for s in schemas), schemas
+
+
 def test_contamination_matrix_tokenizes_once(spark):
     """source_overlap_matrix's distinct-shingle subtree feeds four plan
     branches; all four must collapse to ONE scan + ONE tokenize via
