@@ -513,3 +513,42 @@ def test_countmin_bucket_parity_on_adversarial_keys(spark, keys):
         odf = con.execute(f"SELECT i, {cols} FROM t ORDER BY i").fetchdf()
     for h in range(3):
         assert list(sdf[f"b{h}"]) == list(odf[f"b{h}"]), (h, keys)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(2**62), max_value=2**62),
+        min_size=12,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_hll_register_parity_on_adversarial_keys(spark, keys):
+    """Every key's (register, rho) pair must agree across engines for
+    ANY key value — register placement AND the leading-zero count
+    define the sketch, so a parity break yields internally-consistent
+    but cross-engine-divergent estimates. Pins the full integer bit
+    path: 32-bit md5 window, modulo register, shiftright remainder,
+    binary-string-length rho, and the w=0 saturation case."""
+    import hashlib
+
+    from datafusion_dist_spark.operators.sketch import HLL_P, hll_registers
+
+    m = 1 << HLL_P
+    rho_max = 32 - HLL_P + 1
+    pdf = pd.DataFrame({"k": keys})
+    got = {
+        r["register"]: r["max_rho"]
+        for r in hll_registers(
+            spark.createDataFrame(pdf), "k"
+        ).collect()
+    }
+    want: dict[int, int] = {}
+    for k in keys:
+        h32 = int(hashlib.md5(f"0:{k}".encode()).hexdigest()[:8], 16)
+        w = h32 >> HLL_P
+        rho = rho_max if w == 0 else rho_max - w.bit_length()
+        reg = h32 % m
+        want[reg] = max(want.get(reg, 0), rho)
+    assert got == want, keys
