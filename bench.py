@@ -118,8 +118,11 @@ HEADLINE = [
     "pipeline_contamination_matrix",
     "events_cms_watchlist",
     "sample_split_train_val",
-    # r9 addition: HLL cardinality sketch (register build + estimate)
+    # r9 additions: HLL cardinality sketch family (register build +
+    # estimate, per-group form, pairwise set-algebra overlap matrix)
     "agg_hll_cardinality",
+    "agg_hll_grouped",
+    "agg_hll_overlap_matrix",
 ]
 
 
