@@ -220,9 +220,18 @@ def measure_cms(
     from datafusion_dist_spark.operators import sketch
     from datafusion_dist_spark.streaming import jobs as sjobs
 
-    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    # pmod (not %) so negative event_ids still land in [0, n); NULL
+    # event_ids are excluded from BOTH the drops and the batch oracle
+    # below, else the streamed union would silently miss rows the
+    # oracle counts and the grid comparison would fail spuriously.
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id")
+        .where(F.col("event_id").isNotNull())
+    )
     drops = [
-        ev.filter(F.col("event_id") % n_batches == i).select("user_id")
+        ev.filter(F.pmod(F.col("event_id"), F.lit(n_batches)) == i)
+        .select("user_id")
         for i in range(n_batches)
     ]
     in_dir = os.path.join(work_dir, "cms-in")

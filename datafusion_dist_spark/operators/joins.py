@@ -16,12 +16,27 @@ from pyspark.sql import functions as F
 
 def salt_column(df: DataFrame, salt: int) -> Column:
     """The retry-stable salt expression ``salted_join`` assigns to the
-    skewed side: ``pmod(xxhash64(<all columns>), salt)`` — a pure
-    function of row content, so every (re)execution of a task deals
-    the same row to the same salt bucket. Exposed separately so tests
-    can pin the per-bucket row counts under injected task retry."""
+    skewed side: ``pmod(xxhash64(<all hashable columns>), salt)`` — a
+    pure function of row content, so every (re)execution of a task
+    deals the same row to the same salt bucket. Exposed separately so
+    tests can pin the per-bucket row counts under injected task retry.
+
+    Map-typed columns are excluded (Spark's hash expressions reject
+    MapType); EXACT duplicate rows necessarily share a bucket, so a
+    hot key whose rows are byte-identical still lands on one reducer
+    — carry any unique-ish column (an id, a timestamp) on the salted
+    side for full spread. Content-determinism is the deliberate
+    trade: a rand() salt spreads duplicates but re-deals buckets on
+    task retry / AQE re-planning, making stage row counts
+    nondeterministic."""
+    hashable = [c for c, t in df.dtypes if not t.startswith("map<")]
+    if not hashable:
+        raise ValueError(
+            "salt_column: no hashable (non-map) columns to derive a "
+            "deterministic salt from"
+        )
     return F.pmod(
-        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt)
+        F.xxhash64(*[F.col(c) for c in hashable]), F.lit(salt)
     ).cast("int")
 
 
@@ -39,14 +54,19 @@ def salted_join(
     key's rows spread over ``salt`` reducers instead of one straggler
     task.
 
-    The salt is ``pmod(xxhash64(<all left columns>), salt)`` — a pure
-    function of row content, NOT ``F.rand``: a task retry or an AQE
-    re-coalesce re-deals ``rand`` values (rand is partition-dependent),
-    making intermediate stage row-counts nondeterministic and skew
-    diagnosis noisy. A row-content hash assigns the same salt on every
-    (re)execution, so per-salt bucket sizes are a stable property of
-    the data. Duplicate rows share a salt, which is exactly the
-    co-location a reducer needs anyway.
+    The salt is ``pmod(xxhash64(<all hashable left columns>), salt)``
+    — a pure function of row content, NOT ``F.rand``: a task retry or
+    an AQE re-coalesce re-deals ``rand`` values (rand is
+    partition-dependent), making intermediate stage row-counts
+    nondeterministic and skew diagnosis noisy. A row-content hash
+    assigns the same salt on every (re)execution, so per-salt bucket
+    sizes are a stable property of the data. The trade: EXACT
+    duplicate rows share a bucket, so the left side must carry some
+    per-row-distinct column (an id, a timestamp — anything beyond the
+    bare join key) for the hot key to actually spread; a left side
+    projected down to the join key alone would make the salt a pure
+    key function (salting silently becomes a no-op while still paying
+    the replicated right side), so that call shape is rejected.
 
     Cost model: right side shuffle volume × salt — use for a moderate
     right side against a skewed-heavy left. Result is identical to the
@@ -61,6 +81,17 @@ def salted_join(
         raise ValueError(
             f"salted_join: how={how!r} would duplicate unmatched "
             "replicated-side rows; salt the other side instead"
+        )
+    non_key = [
+        c for c, t in left.dtypes
+        if c != left_key and not t.startswith("map<")
+    ]
+    if not non_key:
+        raise ValueError(
+            "salted_join: the left side carries only the join key, so "
+            "a content-derived salt would be a pure key function and "
+            "every hot-key row would share one bucket (salting as a "
+            "no-op); keep a per-row-distinct column on the salted side"
         )
     salted_left = left.withColumn("_salt", salt_column(left, salt))
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1))).alias("_salt")

@@ -609,6 +609,27 @@ _HLL_ALPHA_M2 = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
 _HLL_REGS_SQL = sketch.hll_registers_oracle("user_id", "events")
 
 
+def _hll_est_sql(rel: str) -> str:
+    """The round-4 HLL estimate as a DuckDB expression over a relation
+    exposing ``touched`` / ``s_touched`` (prefix ``rel`` like 'a.'),
+    mirroring operators/sketch.py:hll_estimate_expr exactly — the ONE
+    place the estimator math exists on the oracle side."""
+    zeros = f"({_HLL_M} - {rel}touched)"
+    raw = f"({_HLL_ALPHA_M2!r} / ({rel}s_touched + {zeros}))"
+    return (
+        f"round(CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND {zeros} > 0 "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / {zeros}) "
+        f"ELSE {raw} END, 4)"
+    )
+
+
+_HLL_SUM_SQL = (
+    "count(*) AS touched, "
+    "coalesce(SUM(1.0 / CAST((1::BIGINT << max_rho) AS DOUBLE)), 0.0) "
+    "AS s_touched"
+)
+
+
 @register(
     "agg_hll_registers",
     oracle=f"SELECT register, max_rho FROM ({_HLL_REGS_SQL})",
@@ -634,30 +655,16 @@ def agg_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_hll_cardinality",
     oracle=f"""
         WITH regs AS ({_HLL_REGS_SQL}),
-        a AS (
-            SELECT count(*) AS touched,
-                   coalesce(SUM(1.0 / CAST((1::BIGINT << max_rho)
-                                           AS DOUBLE)), 0.0) AS s_touched
-            FROM regs
-        ),
+        a AS (SELECT {_HLL_SUM_SQL} FROM regs),
         c AS (
             SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
             FROM events WHERE user_id IS NOT NULL
-        ),
-        e AS (
-            SELECT touched, ({_HLL_M} - touched) AS zeros,
-                   ({_HLL_ALPHA_M2!r}
-                    / (s_touched + ({_HLL_M} - touched))) AS raw
-            FROM a
         )
-        SELECT round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
-                          THEN {float(_HLL_M)!r}
-                               * ln({float(_HLL_M)!r} / zeros)
-                          ELSE raw END, 4) AS est_distinct,
-               CAST(zeros AS INTEGER) AS zero_registers,
+        SELECT {_hll_est_sql('')} AS est_distinct,
+               CAST({_HLL_M} - touched AS INTEGER) AS zero_registers,
                CAST(touched AS INTEGER) AS touched_registers,
                exact_distinct
-        FROM e, c
+        FROM a, c
     """,
     doc="HyperLogLog cardinality estimate from the register table, "
     "beside the exact distinct count it approximates: the one-row "
@@ -689,32 +696,18 @@ _HLL_GROUPED_REGS_SQL = sketch.hll_registers_oracle(
     "agg_hll_grouped",
     oracle=f"""
         WITH regs AS ({_HLL_GROUPED_REGS_SQL}),
-        a AS (
-            SELECT event_type, count(*) AS touched,
-                   coalesce(SUM(1.0 / CAST((1::BIGINT << max_rho)
-                                           AS DOUBLE)), 0.0) AS s_touched
-            FROM regs GROUP BY 1
-        ),
+        a AS (SELECT event_type, {_HLL_SUM_SQL} FROM regs GROUP BY 1),
         c AS (
             SELECT event_type,
                    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
             FROM events WHERE user_id IS NOT NULL GROUP BY 1
-        ),
-        e AS (
-            SELECT event_type, touched, ({_HLL_M} - touched) AS zeros,
-                   ({_HLL_ALPHA_M2!r}
-                    / (s_touched + ({_HLL_M} - touched))) AS raw
-            FROM a
         )
-        SELECT e.event_type,
-               round(CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
-                          THEN {float(_HLL_M)!r}
-                               * ln({float(_HLL_M)!r} / zeros)
-                          ELSE raw END, 4) AS est_distinct,
-               CAST(zeros AS INTEGER) AS zero_registers,
-               CAST(touched AS INTEGER) AS touched_registers,
+        SELECT a.event_type,
+               {_hll_est_sql('a.')} AS est_distinct,
+               CAST({_HLL_M} - a.touched AS INTEGER) AS zero_registers,
+               CAST(a.touched AS INTEGER) AS touched_registers,
                c.exact_distinct
-        FROM e JOIN c ON e.event_type = c.event_type
+        FROM a JOIN c ON a.event_type = c.event_type
     """,
     doc="Per-group HyperLogLog: distinct users PER EVENT TYPE from one "
     "scan — the grouped register build keeps 2^p integers of state per "
@@ -737,26 +730,6 @@ def agg_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").cast("bigint").alias("exact_distinct"))
     )
     return est.join(exact, "event_type")
-
-
-def _hll_est_sql(rel: str) -> str:
-    """The round-4 HLL estimate as a DuckDB expression over a relation
-    exposing ``touched`` / ``s_touched`` (prefix ``rel`` like 'a.'),
-    mirroring operators/sketch.py:hll_estimate exactly."""
-    zeros = f"({_HLL_M} - {rel}touched)"
-    raw = f"({_HLL_ALPHA_M2!r} / ({rel}s_touched + {zeros}))"
-    return (
-        f"round(CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND {zeros} > 0 "
-        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / {zeros}) "
-        f"ELSE {raw} END, 4)"
-    )
-
-
-_HLL_SUM_SQL = (
-    "count(*) AS touched, "
-    "coalesce(SUM(1.0 / CAST((1::BIGINT << max_rho) AS DOUBLE)), 0.0) "
-    "AS s_touched"
-)
 
 
 @register(
@@ -816,13 +789,18 @@ def agg_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # standalone, a canonically different subtree when shared), so the
     # per-SIDE sums are conditional aggregates over the pair-replicated
     # register rows instead — every sketch number flows from the one
-    # register branch. A type whose users are all NULL has no
-    # registers and drops out entirely (NULL is not a key — the same
-    # contract as the build; the oracle's pair frame is registers-
-    # derived so both engines exclude it).
+    # register branch. A type whose users are ALL NULL has no
+    # registers; the pair frame filters to non-NULL-user rows so such
+    # a type drops out on BOTH engines (the oracle's pair frame is
+    # registers-derived — without this filter the Spark side would
+    # emit an extra all-zero pair row the oracle omits).
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     regs = sketch.hll_registers(ev, "user_id", group_cols=("event_type",))
-    types = ev.select("event_type").distinct()
+    types = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type")
+        .distinct()
+    )
     ta = types.select(F.col("event_type").alias("type_a"))
     tb = types.select(F.col("event_type").alias("type_b"))
     pairs = F.broadcast(ta).join(

@@ -23,7 +23,7 @@ def test_salted_join_equals_plain_join(spark):
 
 
 def test_salted_join_left_outer(spark):
-    c = load_table(spark, SF_DIR, "customer").select("c_custkey")
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey", "c_nationkey")
     o = (
         load_table(spark, SF_DIR, "orders")
         .filter(F.col("o_totalprice") > 400000)
@@ -38,6 +38,17 @@ def test_salted_join_left_outer(spark):
     assert sorted(
         map(tuple, salted.collect()), key=str
     ) == sorted(map(tuple, plain.collect()), key=str)
+
+
+def test_salted_join_rejects_key_only_left(spark):
+    """A left side projected to the bare join key makes the content
+    salt a pure key function — every hot-key row in ONE bucket, i.e.
+    salting as a silent no-op that still pays the replicated right
+    side. Must refuse loudly (review finding r9)."""
+    c = load_table(spark, SF_DIR, "customer").select("c_custkey")
+    o = load_table(spark, SF_DIR, "orders").select("o_custkey")
+    with pytest.raises(ValueError, match="per-row-distinct"):
+        joins.salted_join(c, o, "c_custkey", "o_custkey", salt=4)
 
 
 def test_skew_stats(spark):

@@ -765,10 +765,14 @@ def test_hll_overlap_matrix_scans_twice(spark):
     tree = _re.split(r"\n\(\d+\) ", final)[0]
     assert tree.count("Scan parquet") == 2, tree
     assert "ReusedExchange" in tree, tree
-    # The pair-frame scan must be column-pruned to event_type alone.
+    # Both scans must stay pruned to the two working columns (the
+    # pair-frame scan carries user_id only for its NULL filter).
     details = formatted_plan(df)
     schemas = _re.findall(r"ReadSchema: struct<([^>]*)>", details)
-    assert any(s.strip() == "event_type:string" for s in schemas), schemas
+    assert schemas, details[:2000]
+    for s in schemas:
+        cols = {c.split(":")[0] for c in s.split(",") if c}
+        assert cols <= {"event_type", "user_id"}, schemas
 
 
 def test_contamination_matrix_tokenizes_once(spark):

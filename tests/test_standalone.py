@@ -42,6 +42,13 @@ from tools_standalone import StandaloneCluster, free_port, session_env
 
 SF = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
+# Plan-shape anchors that ALWAYS run regardless of the ledger slice:
+# a shuffle join and a banded-LSH dedup (Python workers + multi-stage
+# shuffles) — the two standalone-deployment paths a slice of
+# single-scan aggregates would leave untested.
+ANCHORS = ["join_inner_shuffle", "dedup_minhash_lsh_capped"]
+
+
 def _ledger_slice(n: int = 5) -> list[str]:
     """Registry slice for the standalone rehearsal, drawn from the
     never-externally-sampled ledger (VERDICT r8 task 5) so the
@@ -66,7 +73,7 @@ def _ledger_slice(n: int = 5) -> list[str]:
     fams: set[str] = set()
     for nm in pool:
         fam = nm.split("_", 1)[0]
-        if fam in fams:
+        if fam in fams or nm in ANCHORS:
             continue
         fams.add(fam)
         out.append(nm)
@@ -75,7 +82,7 @@ def _ledger_slice(n: int = 5) -> list[str]:
     return out
 
 
-ENTRIES = _ledger_slice()
+ENTRIES = ANCHORS + _ledger_slice()
 
 _QUERY_SCRIPT = r"""
 import os, sys
