@@ -88,6 +88,23 @@ def hash_int32_oracle(value_expr: str, seed: int | str = 0) -> str:
     return f"CAST(('0x' || {hash_hex_oracle(value_expr, seed)}) AS BIGINT)"
 
 
+def hash_int60(value: Column, seed: int | str = 0) -> Column:
+    """Stable 60-bit unsigned int: 15 hex chars of the md5 — the widest
+    hex window whose value stays inside SIGNED BIGINT range on both
+    engines (16 chars can exceed 2^63-1 and overflow the cast). The
+    wide-cardinality hash for sketches whose accuracy must survive
+    billions of distinct keys: a 32-bit hash starts losing distinct
+    values to collisions around 10^8 (VERDICT r9), a 60-bit one at
+    ~10^17."""
+    return F.conv(hash_hex(value, seed, 15), 16, 10).cast("bigint")
+
+
+def hash_int60_oracle(value_expr: str, seed: int | str = 0) -> str:
+    return (
+        f"CAST(('0x' || {hash_hex_oracle(value_expr, seed, 15)}) AS BIGINT)"
+    )
+
+
 def shingle_array(toks: Column, k: int = 3) -> Column:
     """array of word k-shingles: tokens joined by single spaces.
 

@@ -21,15 +21,17 @@ def salt_column(df: DataFrame, salt: int) -> Column:
     deals the same row to the same salt bucket. Exposed separately so
     tests can pin the per-bucket row counts under injected task retry.
 
-    Map-typed columns are excluded (Spark's hash expressions reject
-    MapType); EXACT duplicate rows necessarily share a bucket, so a
+    Map-bearing columns are excluded — at ANY nesting depth
+    (array<map<...>>, struct fields), since Spark's hash expressions
+    reject MapType wherever it appears; EXACT duplicate rows
+    necessarily share a bucket, so a
     hot key whose rows are byte-identical still lands on one reducer
     — carry any unique-ish column (an id, a timestamp) on the salted
     side for full spread. Content-determinism is the deliberate
     trade: a rand() salt spreads duplicates but re-deals buckets on
     task retry / AQE re-planning, making stage row counts
     nondeterministic."""
-    hashable = [c for c, t in df.dtypes if not t.startswith("map<")]
+    hashable = [c for c, t in df.dtypes if "map<" not in t]
     if not hashable:
         raise ValueError(
             "salt_column: no hashable (non-map) columns to derive a "
@@ -84,7 +86,7 @@ def salted_join(
         )
     non_key = [
         c for c, t in left.dtypes
-        if c != left_key and not t.startswith("map<")
+        if c != left_key and "map<" not in t
     ]
     if not non_key:
         raise ValueError(

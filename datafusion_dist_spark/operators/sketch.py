@@ -41,8 +41,8 @@ from pyspark.sql import functions as F
 from datafusion_dist_spark.functions.hashing import (
     hash_hex_wide,
     hash_hex_wide_oracle,
-    hash_int32,
-    hash_int32_oracle,
+    hash_int60,
+    hash_int60_oracle,
 )
 
 
@@ -128,6 +128,19 @@ def watch_buckets(
 
 
 HLL_P = 8  # 2^p registers; p=8 -> 256 registers, ~6.5% rel. error
+# Register hash width. 60 bits (15 md5 hex chars — the widest window
+# that stays inside signed BIGINT on BOTH engines) pushes the
+# collision ceiling from the r9 32-bit design's ~1.4e8 distinct keys
+# (E > 2^32/30 biases low — VERDICT r9 task 2) to ~3.8e16: at 100 TB
+# crawl scale (billions of distinct users/urls) the estimator stays
+# inside its rsd, property-tested at a planted 2^31 cardinality in
+# tests/test_properties.py.
+HLL_HASH_BITS = 60
+
+
+def hll_rho_max(p: int = HLL_P) -> int:
+    """Saturation value of rho: remainder width + 1."""
+    return HLL_HASH_BITS - p + 1
 
 
 def hll_registers(
@@ -143,10 +156,10 @@ def hll_registers(
     tested), which is what makes the sketch a distributed/streaming
     aggregate the way the CMS grid is.
 
-    Construction (cross-engine exact, no libm): the 32-bit md5 hash
-    splits into ``register = h32 % 2^p`` and a ``(32-p)``-bit remainder
+    Construction (cross-engine exact, no libm): the 60-bit md5 hash
+    splits into ``register = h % 2^p`` and a ``(60-p)``-bit remainder
     ``w``; ``rho(w)`` — the 1-based position of w's leftmost set bit,
-    ``(32-p+1)`` when w = 0 — is computed as ``(32-p+1) - len(bin(w))``
+    ``(60-p+1)`` when w = 0 — is computed as ``(60-p+1) - len(bin(w))``
     (binary-string length, an integer op both engines share), never a
     float log2. One scan; the explode-free projection keeps the partial
     max inside the scan stage, so the exchange carries at most 2^p
@@ -156,9 +169,9 @@ def hll_registers(
     type) at 2^p state per group — one scan, never a per-group
     distinct shuffle of the key space."""
     m = 1 << p
-    rho_max = 32 - p + 1
-    h32 = hash_int32(F.col(key).cast("string"))
-    w = F.shiftright(h32, p)
+    rho_max = hll_rho_max(p)
+    h = hash_int60(F.col(key).cast("string"))
+    w = F.shiftright(h, p)
     rho = F.when(w == 0, F.lit(rho_max)).otherwise(
         F.lit(rho_max) - F.length(F.bin(w))
     )
@@ -166,7 +179,7 @@ def hll_registers(
         df.where(F.col(key).isNotNull())
         .select(
             *group_cols,
-            (h32 % m).cast("int").alias("register"),
+            (h % m).cast("int").alias("register"),
             rho.cast("int").alias("rho"),
         )
         .groupBy(*group_cols, "register")
@@ -183,15 +196,15 @@ def hll_registers_oracle(
     """DuckDB mirror of ``hll_registers`` (same md5 hash, same integer
     bit math), for oracle SQL strings."""
     m = 1 << p
-    rho_max = 32 - p + 1
-    h = hash_int32_oracle(f"CAST({key_expr} AS VARCHAR)")
+    rho_max = hll_rho_max(p)
+    h = hash_int60_oracle(f"CAST({key_expr} AS VARCHAR)")
     gsel = "".join(f"{g}, " for g in group_cols)
     return f"""
-        SELECT {gsel}CAST(h32 % {m} AS INTEGER) AS register,
-               CAST(MAX(CASE WHEN (h32 // {m}) = 0 THEN {rho_max}
-                             ELSE {rho_max} - length(bin(h32 // {m}))
+        SELECT {gsel}CAST(h % {m} AS INTEGER) AS register,
+               CAST(MAX(CASE WHEN (h // {m}) = 0 THEN {rho_max}
+                             ELSE {rho_max} - length(bin(h // {m}))
                         END) AS INTEGER) AS max_rho
-        FROM (SELECT {gsel}{h} AS h32 FROM {table_sql}
+        FROM (SELECT {gsel}{h} AS h FROM {table_sql}
               WHERE {key_expr} IS NOT NULL)
         GROUP BY ALL
     """
@@ -208,18 +221,22 @@ def hll_estimate(
     ``group_cols`` the registers were built with, else registers from
     different groups silently pool into one wrong estimate).
 
-    The harmonic sum stays in exact dyadic arithmetic — ``2^-max_rho``
-    is ``1.0 / (1 << max_rho)`` (integer shift, never pow()), every
-    term a multiple of 2^-(32-p+1) and the total < 2^p, so the double
-    sum is EXACT and the alpha*m^2/S division is one deterministic
-    IEEE op both engines share. Untouched registers contribute 2^0
-    each: S = (m - touched) + sum(2^-max_rho). Linear counting takes
-    over below 2.5*m when zero registers remain (the standard
-    small-range correction; its ln() is the one float op, rounded to
-    4 decimals in outputs)."""
+    The harmonic sum stays EXACT and order-independent by summing the
+    integer weights ``2^(rho_max - max_rho)`` (``rho_weight_scaled``)
+    — i.e. S scaled by 2^rho_max — in BIGINT: with the 60-bit hash
+    rho reaches 53, so the old double-term sum (multiples of 2^-53
+    totalling up to 2^p = 61 significant bits) would round
+    order-dependently; the scaled-integer sum cannot. The scaled total
+    converts to double ONCE (deterministic IEEE round-to-nearest on
+    both engines) and divides by the exact power-of-two scale.
+    Untouched registers contribute 2^0 each: S = (m - touched) +
+    sum(2^-max_rho). Linear counting takes over below 2.5*m when zero
+    registers remain (the standard small-range correction; its ln()
+    is the one transcendental op, rounded to 4 decimals in
+    outputs)."""
     aggs = [
         F.count("*").alias("touched"),
-        F.sum(rho_inverse_pow2("max_rho")).alias("s_touched"),
+        F.sum(rho_weight_scaled("max_rho", p)).alias("s_touched"),
     ]
     agg = (
         registers.groupBy(*group_cols).agg(*aggs)
@@ -237,34 +254,74 @@ def hll_estimate(
     )
 
 
-def rho_inverse_pow2(col_name: str = "max_rho") -> Column:
-    """``2^-<col>`` as exact dyadic arithmetic: ``1.0 / (1 << rho)``
-    via the SQL shiftleft (the Python shiftleft() wants a literal
-    count, hence the column NAME argument), never pow()."""
-    return F.lit(1.0) / F.expr(f"shiftleft(CAST(1 AS BIGINT), {col_name})")
+def rho_weight_scaled(col_name: str = "max_rho", p: int = HLL_P) -> Column:
+    """Integer harmonic-sum weight ``2^(rho_max - <col>)`` — the
+    2^rho_max-scaled form of 2^-rho, a BIGINT shift (max 2^(rho_max-1)
+    per register, so even 2^p of them stay far inside BIGINT). The
+    SQL shiftleft takes the column NAME because the Python shiftleft()
+    wants a literal count. Summing these instead of double 2^-rho
+    terms keeps the harmonic sum exact and order-independent at the
+    60-bit hash width (see ``hll_estimate``)."""
+    rho_max = hll_rho_max(p)
+    return F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {rho_max} - {col_name})"
+    )
 
 
 def hll_estimate_expr(
     touched: Column, s_touched: Column, p: int = HLL_P
 ) -> Column:
-    """The round-4 HLL estimate as a column expression over register
-    summary columns (``touched`` register count, ``s_touched`` =
-    sum of 2^-max_rho over touched registers) — shared by the plain /
-    grouped estimates and the set-algebra entries so the estimator
-    math exists exactly once on the Spark side."""
+    """The HLL estimate as a column expression over register summary
+    columns (``touched`` register count, ``s_touched`` = BIGINT sum of
+    ``rho_weight_scaled`` over touched registers) — shared by the
+    plain / grouped estimates and the set-algebra entries so the
+    estimator math exists exactly once on the Spark side."""
     m = 1 << p
+    rho_max = hll_rho_max(p)
+    scale = float(1 << rho_max)  # power of two: exact double, exact /
     alpha = 0.7213 / (1 + 1.079 / m)
     zeros = F.lit(m) - touched
     # coalesce: an EMPTY input has no touched registers (sum -> NULL);
     # S must then be m ones, which routes into linear counting with
     # V = m and an exact est of m*ln(1) = 0.
-    s = F.coalesce(s_touched, F.lit(0.0)) + zeros.cast("double")
+    total = F.coalesce(s_touched, F.lit(0)).cast("bigint") + (
+        zeros.cast("bigint") * F.lit(1 << rho_max)
+    )
+    s = total.cast("double") / F.lit(scale)
     raw = F.lit(alpha * m * m) / s
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
     ).otherwise(raw)
     return F.round(est, 4)
+
+
+# The pairwise set-algebra entries (HLL overlap matrix, KMV/theta
+# intersections) do O(groups^2) work by construction — sound at the
+# dozens-of-sources scale they exist for (audience overlap between
+# crawl sources / event types), quadratic in the group count like any
+# all-pairs matrix. Fenced the same way the dedup pins are: past this
+# bound the right tool is the per-group sketch (agg_hll_grouped's
+# shape — linear state, no pair frame) plus an explicit shortlist of
+# group pairs worth comparing.
+OVERLAP_MAX_GROUPS = 64
+
+
+def overlap_pair_guard(n_groups: int, what: str) -> None:
+    """Raise when an all-pairs sketch-algebra matrix is asked for more
+    groups than the quadratic pair frame is designed to carry.
+    ``n_groups`` may be a ``limit(OVERLAP_MAX_GROUPS + 1).count()``
+    probe — only the threshold crossing matters, not the exact
+    count."""
+    if n_groups > OVERLAP_MAX_GROUPS:
+        raise ValueError(
+            f"{what} builds an all-pairs matrix over {n_groups}+ groups "
+            f"(> {OVERLAP_MAX_GROUPS}): pair work is quadratic in the "
+            "group count by construction. Compute per-group sketches "
+            "instead (hll_registers with group_cols / "
+            "agg_hll_grouped) and join an explicit shortlist of group "
+            "pairs against them."
+        )
 
 
 def countmin_lookup(

@@ -606,16 +606,23 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _HLL_M = 1 << sketch.HLL_P
 _HLL_ALPHA_M2 = (0.7213 / (1 + 1.079 / _HLL_M)) * _HLL_M * _HLL_M
+_HLL_RHO_MAX = sketch.hll_rho_max()
+_HLL_SCALE = float(1 << _HLL_RHO_MAX)
 _HLL_REGS_SQL = sketch.hll_registers_oracle("user_id", "events")
 
 
 def _hll_est_sql(rel: str) -> str:
-    """The round-4 HLL estimate as a DuckDB expression over a relation
-    exposing ``touched`` / ``s_touched`` (prefix ``rel`` like 'a.'),
-    mirroring operators/sketch.py:hll_estimate_expr exactly — the ONE
-    place the estimator math exists on the oracle side."""
+    """The HLL estimate as a DuckDB expression over a relation exposing
+    ``touched`` / ``s_touched`` (prefix ``rel`` like 'a.'), mirroring
+    operators/sketch.py:hll_estimate_expr exactly — the ONE place the
+    estimator math exists on the oracle side. ``s_touched`` is the
+    2^rho_max-SCALED integer harmonic sum (rho_weight_scaled): exact
+    BIGINT arithmetic until one deterministic cast-to-double + an
+    exact power-of-two division, same op order as the Spark side."""
     zeros = f"({_HLL_M} - {rel}touched)"
-    raw = f"({_HLL_ALPHA_M2!r} / ({rel}s_touched + {zeros}))"
+    total = f"({rel}s_touched + {zeros} * (1::BIGINT << {_HLL_RHO_MAX}))"
+    s = f"(CAST({total} AS DOUBLE) / {_HLL_SCALE!r})"
+    raw = f"({_HLL_ALPHA_M2!r} / {s})"
     return (
         f"round(CASE WHEN {raw} <= {2.5 * _HLL_M!r} AND {zeros} > 0 "
         f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / {zeros}) "
@@ -625,7 +632,7 @@ def _hll_est_sql(rel: str) -> str:
 
 _HLL_SUM_SQL = (
     "count(*) AS touched, "
-    "coalesce(SUM(1.0 / CAST((1::BIGINT << max_rho) AS DOUBLE)), 0.0) "
+    f"coalesce(SUM(1::BIGINT << ({_HLL_RHO_MAX} - max_rho)), 0) "
     "AS s_touched"
 )
 
@@ -770,7 +777,9 @@ def agg_hll_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     "merge, never a per-pair distinct-count job over the key space "
     "(the cardinality-level sibling of pipeline_contamination_matrix: "
     "at 100 TB you answer 'how much do these sources' user bases "
-    "overlap' without rescanning either). Exactly two scans, plan-"
+    "overlap' without rescanning either). Quadratic in the GROUP "
+    "count by construction, so fenced at OVERLAP_MAX_GROUPS with the "
+    "per-group sketch named as the fallback. Exactly two scans, plan-"
     "gated: the register build plus a column-pruned distinct-type "
     "scan for the pair frame; per-side AND union sums are conditional "
     "aggregates over the one pair-replicated register branch (a "
@@ -801,6 +810,13 @@ def agg_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type")
         .distinct()
     )
+    # Quadratic-in-groups fence (VERDICT r9 task 4): the pair frame is
+    # O(T^2); probe only whether T crossed the bound (limit+count —
+    # a column-pruned bounded scan), never the exact group count.
+    sketch.overlap_pair_guard(
+        types.limit(sketch.OVERLAP_MAX_GROUPS + 1).count(),
+        "agg_hll_overlap_matrix",
+    )
     ta = types.select(F.col("event_type").alias("type_a"))
     tb = types.select(F.col("event_type").alias("type_b"))
     pairs = F.broadcast(ta).join(
@@ -811,7 +827,7 @@ def agg_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_type") == F.col("type_a"))
         | (F.col("event_type") == F.col("type_b")),
     )
-    inv = sketch.rho_inverse_pow2("max_rho")
+    inv = sketch.rho_weight_scaled("max_rho")
     is_a = F.col("event_type") == F.col("type_a")
     sides = u.groupBy("type_a", "type_b").agg(
         F.count(F.when(is_a, 1)).alias("touched_a"),

@@ -131,14 +131,14 @@ def test_driver_sample_window_is_never_sampled_first():
     blind epoch rotation decayed to ~14 fresh entries per round, so the
     order is now ledger-driven — every entry the driver has never
     hash-checked (absent from the committed union in
-    ``EXTERNALLY_SAMPLED_THROUGH_R8``) comes FIRST, family-interleaved,
+    ``EXTERNALLY_SAMPLED``) comes FIRST, family-interleaved,
     so the fixed-size sample window is spent entirely on fresh entries
     until external coverage is total."""
     from datafusion_dist_spark import registry
 
     names = list(registry.all_specs())
     assert len(names) == len(set(names))
-    ledger = registry.EXTERNALLY_SAMPLED_THROUGH_R8
+    ledger = registry.EXTERNALLY_SAMPLED
     # The ledger must reference real registry entries (a renamed entry
     # would silently count as never-sampled forever — harmless — but a
     # stale ledger name means the union bookkeeping drifted).

@@ -51,6 +51,24 @@ def test_salted_join_rejects_key_only_left(spark):
         joins.salted_join(c, o, "c_custkey", "o_custkey", salt=4)
 
 
+def test_salt_column_excludes_nested_maps(spark):
+    """Map types are unhashable to Spark's hash expressions at ANY
+    nesting depth — a map buried in array<map<...>> or a struct field
+    must be excluded from the content salt exactly like a top-level
+    map, not passed through to an opaque xxhash64 analysis error
+    (review finding r9). The salt stays a valid expression derived
+    from the remaining columns."""
+    df = spark.sql(
+        "SELECT 1 AS id, map('a', 1) AS m, "
+        "array(map('b', 2)) AS am, "
+        "named_struct('inner', map('c', 3)) AS sm"
+    )
+    col = joins.salt_column(df, 4)
+    assert df.select(col.alias("s")).collect()[0]["s"] in range(4)
+    with pytest.raises(ValueError, match="no hashable"):
+        joins.salt_column(df.select("m", "am", "sm"), 4)
+
+
 def test_skew_stats(spark):
     e = load_table(spark, SF_DIR, "events")
     top = joins.skew_stats(e, "event_type", top=3).collect()
@@ -1741,7 +1759,7 @@ def test_hll_estimate_accuracy_and_bounds(spark):
     m = 1 << sketch.HLL_P
     rows = regs.collect()
     assert 0 < len(rows) <= m
-    assert all(1 <= r["max_rho"] <= 32 - sketch.HLL_P + 1 for r in rows)
+    assert all(1 <= r["max_rho"] <= sketch.hll_rho_max() for r in rows)
     est = sketch.hll_estimate(regs).collect()[0]
     exact = ev.where(F.col("user_id").isNotNull()).distinct().count()
     assert est["touched_registers"] == len(rows)
@@ -1753,6 +1771,28 @@ def test_hll_estimate_accuracy_and_bounds(spark):
     ).collect()[0]
     assert empty["est_distinct"] == 0.0
     assert empty["zero_registers"] == m and empty["touched_registers"] == 0
+
+
+def test_overlap_pair_guard_fences_many_groups(spark):
+    """The all-pairs sketch matrix is quadratic in the group count by
+    construction (VERDICT r9 task 4): past OVERLAP_MAX_GROUPS the
+    guard must refuse loudly, naming the linear-state per-group
+    fallback, while the in-bound path stays untouched. The entry wires
+    the guard through a bounded limit+count probe, so a synthetic
+    1k-group table never reaches the pair frame."""
+    from datafusion_dist_spark.operators import sketch
+
+    sketch.overlap_pair_guard(sketch.OVERLAP_MAX_GROUPS, "x")  # in bound
+    with pytest.raises(ValueError, match="agg_hll_grouped"):
+        sketch.overlap_pair_guard(1000, "x")
+    # the probe shape the entry uses: limit(bound+1).count() on a
+    # planted 1000-group frame crosses the threshold
+    many = spark.range(1000).select(
+        F.col("id").cast("string").alias("event_type")
+    )
+    probe = many.limit(sketch.OVERLAP_MAX_GROUPS + 1).count()
+    with pytest.raises(ValueError, match="quadratic"):
+        sketch.overlap_pair_guard(probe, "x")
 
 
 def test_hll_overlap_matrix_tracks_exact_overlap(spark):

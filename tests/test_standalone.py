@@ -63,7 +63,7 @@ def _ledger_slice(n: int = 5) -> list[str]:
 
     specs = registry.all_specs()
     names = list(specs)
-    ledger = registry.EXTERNALLY_SAMPLED_THROUGH_R8
+    ledger = registry.EXTERNALLY_SAMPLED
     pool = [
         nm
         for nm in names[50:] + names[:50]
