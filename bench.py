@@ -123,6 +123,9 @@ HEADLINE = [
     "agg_hll_cardinality",
     "agg_hll_grouped",
     "agg_hll_overlap_matrix",
+    # r10 addition: KMV/theta distinct-intersection matrix (direct
+    # intersection sampling beside the HLL inclusion-exclusion)
+    "agg_theta_intersection_matrix",
 ]
 
 

@@ -130,6 +130,9 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     # (the exact-distinct control arm shuffles the key space; still
     # linear).
     "agg_hll_cardinality": None,
+    # r10: KMV/theta matrix — one distinct-key exchange (linear) +
+    # bounded per-group selection + k-row broadcast algebra.
+    "agg_theta_intersection_matrix": None,
 }
 
 # --skew zipf: the skewed-data rehearsal (r5). Same harness, but the
@@ -229,6 +232,9 @@ SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
     # r9: a zipf-hot user_id raises at most one register's max — HLL
     # work is cardinality-shaped, indifferent to frequency skew.
     "agg_hll_cardinality": (1.0, 1.5),
+    # r10: a zipf-hot user_id is ONE distinct hash — KMV work is
+    # cardinality-shaped too; the distinct exchange absorbs the skew.
+    "agg_theta_intersection_matrix": (1.0, 1.5),
 }
 
 EXCLUDED: dict[str, str] = {

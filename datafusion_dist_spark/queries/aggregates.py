@@ -855,3 +855,87 @@ def agg_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(g, 4).alias("est_intersection"),
         F.round(g / est_u, 4).alias("est_jaccard"),
     )
+
+
+_KMV_SK_SQL = sketch.kmv_sketch_oracle("user_id", "events", "event_type")
+_KMV_K = sketch.KMV_K
+_KMV_HS = sketch.KMV_HASH_SPACE
+_KMV_HS_F = repr(float(sketch.KMV_HASH_SPACE))
+
+
+@register(
+    "agg_theta_intersection_matrix",
+    oracle=f"""
+        WITH sk AS ({_KMV_SK_SQL}),
+        st AS (
+            SELECT event_type,
+                   MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS kth,
+                   count(*) AS n_sk
+            FROM sk GROUP BY 1
+        ),
+        p AS (
+            SELECT x.event_type AS type_a, y.event_type AS type_b,
+                   least(
+                     CASE WHEN x.n_sk = {_KMV_K} THEN x.kth
+                          ELSE {_KMV_HS} END,
+                     CASE WHEN y.n_sk = {_KMV_K} THEN y.kth
+                          ELSE {_KMV_HS} END) AS theta_cut
+            FROM st x JOIN st y ON x.event_type < y.event_type
+        ),
+        r AS (
+            SELECT p.type_a, p.type_b, p.theta_cut, sk.h,
+                   count(*) AS n_sides
+            FROM sk JOIN p
+              ON (sk.event_type = p.type_a OR sk.event_type = p.type_b)
+             AND sk.h < p.theta_cut
+            GROUP BY 1, 2, 3, 4
+        ),
+        agg AS (
+            SELECT type_a, type_b, theta_cut,
+                   count(*) AS n_union_ret,
+                   count(CASE WHEN n_sides = 2 THEN 1 END) AS n_common
+            FROM r GROUP BY 1, 2, 3
+        )
+        SELECT type_a, type_b, CAST(n_common AS BIGINT) AS n_common,
+               round(CAST(n_common AS DOUBLE) * {_KMV_HS_F}
+                     / CAST(theta_cut AS DOUBLE), 4) AS est_intersection,
+               round(CAST(n_union_ret AS DOUBLE) * {_KMV_HS_F}
+                     / CAST(theta_cut AS DOUBLE), 4) AS est_union,
+               round(CASE WHEN n_union_ret = 0 THEN 0.0
+                          ELSE CAST(n_common AS DOUBLE)
+                               / CAST(n_union_ret AS DOUBLE) END, 4)
+                   AS est_jaccard
+        FROM agg
+    """,
+    doc="Theta/KMV distinct-intersection matrix: per event-type pair, "
+    "the estimated distinct-user INTERSECTION, UNION and Jaccard from "
+    f"k={_KMV_K}-minimum-value sketches — the direct-sampling "
+    "complement to agg_hll_overlap_matrix, whose inclusion-exclusion "
+    "variance is worst exactly where intersections are small (VERDICT "
+    "r9 task 7); here small intersections are counted from ACTUAL "
+    "matching hash samples below the pair's theta threshold, with "
+    "n_common exposed so the evidence count is visible beside each "
+    "estimate. Build = one distinct-key exchange (what an exact "
+    "count-distinct pays) + bounded per-group selection; the matrix "
+    "itself is k-row broadcast algebra that never re-touches the base "
+    "table (one scan, plan-gated), quadratic in the GROUP count and "
+    "fenced at OVERLAP_MAX_GROUPS like its HLL sibling. Groups under "
+    "k distinct keys are EXACT (theta=1); estimates are "
+    "multiply-then-divide in one shared op order, so DuckDB "
+    "reproduces them bit-for-bit. "
+    "(operators/sketch.py:kmv_sketch/kmv_intersection_matrix)",
+)
+def agg_theta_intersection_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sketch.overlap_pair_guard(
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type")
+        .distinct()
+        .limit(sketch.OVERLAP_MAX_GROUPS + 1)
+        .count(),
+        "agg_theta_intersection_matrix",
+    )
+    sk = sketch.kmv_sketch(ev, "user_id", "event_type")
+    return sketch.kmv_intersection_matrix(sk, "event_type")

@@ -1773,6 +1773,118 @@ def test_hll_estimate_accuracy_and_bounds(spark):
     assert empty["zero_registers"] == m and empty["touched_registers"] == 0
 
 
+def test_kmv_exact_mode_under_k_distinct(spark):
+    """Groups with fewer than k distinct keys keep ALL their hashes
+    (theta = 1), so the whole matrix degenerates to EXACT set algebra:
+    planted 40/30-member groups sharing 20 users must come out as
+    intersection 20, union 50, jaccard 0.4 — literally, not
+    approximately."""
+    from datafusion_dist_spark.operators import sketch
+
+    rows = [("a", f"u{i}") for i in range(40)] + [
+        ("b", f"u{i}") for i in range(20, 50)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "uid"])
+    sk = sketch.kmv_sketch(df, "uid", "grp")
+    assert sk.count() == 70  # every distinct hash retained
+    out = sketch.kmv_intersection_matrix(sk, "grp").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"]) == ("a", "b")
+    assert r["n_common"] == 20
+    assert r["est_intersection"] == 20.0
+    assert r["est_union"] == 50.0
+    assert r["est_jaccard"] == 0.4
+
+
+def test_kmv_sketch_merge_equals_rebuild(spark):
+    """KMV sketches are mergeable the way HLL registers are max-
+    mergeable: the k smallest distinct hashes of A ∪ B equal the
+    re-ranked k smallest of (sketch(A) ∪ sketch(B)) — the property
+    that makes the sketch a distributed/streaming aggregate (shards
+    sketch independently; a k-row merge reproduces the global
+    sketch). Split events by user hash parity and verify the merge
+    against the full-corpus build bit-for-bit."""
+    from pyspark.sql import Window
+
+    from datafusion_dist_spark.operators import sketch
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
+    half_a = ev.where(F.pmod(F.col("user_id"), F.lit(2)) == 0)
+    half_b = ev.where(F.pmod(F.col("user_id"), F.lit(2)) == 1)
+    merged = (
+        sketch.kmv_sketch(half_a, "user_id", "event_type")
+        .select("event_type", "h")
+        .unionByName(
+            sketch.kmv_sketch(half_b, "user_id", "event_type").select(
+                "event_type", "h"
+            )
+        )
+        .distinct()
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("event_type").orderBy("h")
+            ),
+        )
+        .where(F.col("rn") <= sketch.KMV_K)
+    )
+    full = sketch.kmv_sketch(ev, "user_id", "event_type")
+    want = {(r["event_type"], r["h"], r["rn"]) for r in full.collect()}
+    got = {(r["event_type"], r["h"], r["rn"]) for r in merged.collect()}
+    assert got == want
+
+
+def test_theta_intersection_tracks_exact_overlap(spark):
+    """The theta estimates must track the exact pairwise overlap on
+    real data in SKETCH mode (events has >k distinct users per type,
+    so theta < 1 and the estimator actually extrapolates): every
+    pair's intersection/union within ~4 standard errors
+    (sd ~ exact_union/sqrt(k-1)), and the ratio jaccard within the
+    same band of the exact jaccard."""
+    from datafusion_dist_spark.operators import sketch
+    from datafusion_dist_spark.queries.aggregates import (
+        agg_theta_intersection_matrix,
+    )
+
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in agg_theta_intersection_matrix(spark, SF_DIR).collect()
+    }
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    a = ev.select(F.col("event_type").alias("ta"), "user_id")
+    b = ev.select(F.col("event_type").alias("tb"), "user_id")
+    exact = {
+        (r["ta"], r["tb"]): r["n_inter"]
+        for r in a.join(b, "user_id")
+        .where(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("user_id").alias("n_inter"))
+        .collect()
+    }
+    sizes = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert len(out) == 10  # 5 types -> all pairs present
+    se_k = 4.0 / (sketch.KMV_K - 1) ** 0.5
+    for (ta, tb), r in out.items():
+        n_inter = exact.get((ta, tb), 0)
+        n_union = sizes[ta] + sizes[tb] - n_inter
+        tol = se_k * n_union
+        assert abs(r["est_intersection"] - n_inter) <= tol, (ta, tb, r)
+        assert abs(r["est_union"] - n_union) <= tol, (ta, tb, r)
+        assert abs(r["est_jaccard"] - n_inter / n_union) <= se_k, (ta, tb, r)
+        assert r["n_common"] > 0  # evidence, not inferred-from-zero
+
+
 def test_overlap_pair_guard_fences_many_groups(spark):
     """The all-pairs sketch matrix is quadratic in the group count by
     construction (VERDICT r9 task 4): past OVERLAP_MAX_GROUPS the

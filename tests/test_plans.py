@@ -775,6 +775,32 @@ def test_hll_overlap_matrix_scans_twice(spark):
         assert cols <= {"event_type", "user_id"}, schemas
 
 
+def test_theta_matrix_single_scan_over_cached_sketch(spark):
+    """agg_theta_intersection_matrix's EXECUTED plan: ONE events scan
+    feeding the persisted KMV sketch; every pair-algebra branch (side
+    thetas, pair frame, replicate join) reads the InMemoryRelation.
+    A second parquet scan means a sketch-derived broadcast branch
+    recomputed the distinct-key exchange from source — the r8
+    broadcast-recompute trap the persist exists to close. No shuffle
+    join anywhere: the pair frames stay broadcast-only."""
+    import re as _re
+
+    from datafusion_dist_spark.queries.aggregates import (
+        agg_theta_intersection_matrix,
+    )
+
+    df = agg_theta_intersection_matrix(spark, SF_DIR)
+    df.collect()
+    final = formatted_plan(df).split("Initial Plan")[0]
+    tree = _re.split(r"\n\(\d+\) ", final)[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "InMemoryRelation" in tree, tree
+    facts = plan_facts(df)
+    assert facts["n_shuffledhash_joins"] + facts["n_sortmerge_joins"] == 0, (
+        formatted_plan(df)
+    )
+
+
 def test_contamination_matrix_tokenizes_once(spark):
     """source_overlap_matrix's distinct-shingle subtree feeds four plan
     branches; all four must collapse to ONE scan + ONE tokenize via
