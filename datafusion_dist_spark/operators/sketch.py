@@ -382,21 +382,49 @@ def kmv_intersection_matrix(
 
     Work: pair frame and per-side thetas are tiny broadcast frames
     (<= OVERLAP_MAX_GROUPS rows — quadratic in groups by
-    construction, fenced by ``overlap_pair_guard`` at call sites);
-    the replicate join streams <= groups*k sketch rows against the
-    broadcast pairs. The sketch is PERSISTED first (single-entry
-    cache, bounded at groups*k rows by construction): the pair frame
-    is a broadcast branch, which materializes as its own job where
-    exchange reuse cannot see the main plan's shuffles (the r8
-    broadcast-recompute trap) — without the persist the build's
-    distinct-key exchange, the one expensive thing here, would run
-    TWICE (observed in the executed plan). With it, nothing below the
-    sketch re-executes: the matrix is pure sketch-side algebra over
-    the in-memory table (plan-gated: one source scan)."""
+    construction, fenced by ``overlap_pair_guard`` HERE, from the
+    cached sketch, so the fence costs a scan of <= groups*k cached
+    rows and never an extra pass over the base table); the replicate
+    join streams <= groups*k sketch rows against the broadcast pairs.
+    The sketch is PERSISTED first (single-entry cache, bounded at
+    groups*k rows by construction): the pair frame is a broadcast
+    branch, which materializes as its own job where exchange reuse
+    cannot see the main plan's shuffles (the r8 broadcast-recompute
+    trap) — without the persist the build's distinct-key exchange,
+    the one expensive thing here, would run TWICE (observed in the
+    executed plan). With it, nothing below the sketch re-executes:
+    the matrix is pure sketch-side algebra over the in-memory table
+    (plan-gated: one source scan). The persist is safe to pay before
+    the guard fires — the sketch build is linear; the guard fences
+    only the quadratic pair frame.
+
+    ``k`` must be the k the sketch was BUILT with: theta detection
+    keys on ``n_sk == k`` exactly, so a sketch built with a LARGER k
+    would silently misread saturated groups as exact (estimates then
+    degenerate to raw retained counts). That direction is detectable
+    — any ``rn > k`` row proves the mismatch — and rejected below. A
+    sketch built with a SMALLER k is indistinguishable from genuinely
+    under-filled (exact) groups and cannot be caught here; pass k
+    explicitly wherever the build did."""
     global _CACHED_KMV_SK
     from datafusion_dist_spark.operators.common import single_entry_cache
 
     sk, _CACHED_KMV_SK = single_entry_cache(sk, _CACHED_KMV_SK)
+    # One tiny job over the cached sketch serves both guards: the
+    # quadratic-in-groups fence and the k-mismatch check.
+    probe = sk.agg(
+        F.countDistinct(group_col).alias("n_groups"),
+        F.max("rn").alias("max_rn"),
+    ).first()
+    if probe["max_rn"] is not None and probe["max_rn"] > k:
+        raise ValueError(
+            f"kmv_intersection_matrix(k={k}) got a sketch holding "
+            f"rn={probe['max_rn']} rows — built with a larger k. "
+            "Theta detection keys on n_sk == k, so this call would "
+            "silently misread saturated groups as exact; pass the "
+            "build-time k."
+        )
+    overlap_pair_guard(probe["n_groups"] or 0, "kmv_intersection_matrix")
     hs = float(KMV_HASH_SPACE)
     stats = sk.groupBy(group_col).agg(
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),

@@ -45,6 +45,71 @@ def plan_facts(df: DataFrame) -> dict:
     }
 
 
+def executed_scan_facts(df: DataFrame) -> dict:
+    """Runtime-truth node accounting for an EXECUTED plan, robust to
+    nested cached relations — plan-TEXT trees truncate at an inner
+    ``AdaptiveSparkPlan`` (an InMemoryRelation's build plan renders
+    mid-tree and cuts off every later branch, r10), so text counting
+    silently under-reports. This walks the JVM executedPlan instead:
+    descends into AQE final plans and query stages, walks each
+    DISTINCT cached relation's build plan exactly once (a cache HIT
+    does not re-scan source at runtime; its one-time build cost is
+    what gets counted), dedupes query-stage objects, and counts the
+    node classes the scale gates care about.
+
+    Returns: ``source_scans`` (FileSourceScan occurrences — parquet
+    passes actually paid), ``inmemory_scans`` (cache reads),
+    ``reused_exchanges``, ``shuffle_joins`` (SMJ+SHJ), ``bnl_joins``,
+    ``broadcast_joins``."""
+    jvm = df.sparkSession._jvm  # type: ignore[attr-defined]
+    seen: set[int] = set()
+    counts = {
+        "source_scans": 0,
+        "inmemory_scans": 0,
+        "reused_exchanges": 0,
+        "shuffle_joins": 0,
+        "bnl_joins": 0,
+        "broadcast_joins": 0,
+    }
+
+    def walk(node) -> None:
+        cls = node.getClass().getSimpleName()
+        if cls == "AdaptiveSparkPlanExec":
+            walk(node.executedPlan())
+            return
+        if cls == "InMemoryTableScanExec":
+            counts["inmemory_scans"] += 1
+            rel = node.relation()
+            rid = jvm.System.identityHashCode(rel)
+            if rid not in seen:
+                seen.add(rid)
+                walk(rel.cachedPlan())
+            return
+        if cls.endswith("QueryStageExec"):
+            sid = jvm.System.identityHashCode(node)
+            if sid in seen:
+                return
+            seen.add(sid)
+            walk(node.plan())
+            return
+        if cls == "FileSourceScanExec":
+            counts["source_scans"] += 1
+        elif cls == "ReusedExchangeExec":
+            counts["reused_exchanges"] += 1
+        elif cls in ("SortMergeJoinExec", "ShuffledHashJoinExec"):
+            counts["shuffle_joins"] += 1
+        elif cls == "BroadcastNestedLoopJoinExec":
+            counts["bnl_joins"] += 1
+        elif cls == "BroadcastHashJoinExec":
+            counts["broadcast_joins"] += 1
+        ch = node.children()
+        for i in range(ch.size()):
+            walk(ch.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())  # type: ignore[attr-defined]
+    return counts
+
+
 def assert_pushed_filter(df: DataFrame, fragment: str) -> None:
     facts = plan_facts(df)
     joined = "; ".join(facts["pushed_filters"])

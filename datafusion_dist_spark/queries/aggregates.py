@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 
 from datafusion_dist_spark.catalog import load_table
 from datafusion_dist_spark.operators import sketch
+from datafusion_dist_spark.operators.common import (
+    single_entry_cache as _single_entry_cache,
+)
 from datafusion_dist_spark.registry import register, register_sql
+
+# Single-entry persist slot for the overlap matrix's distinct-type
+# frame (guard probe + pair frame share one source pass).
+_CACHED_HLL_TYPES: DataFrame | None = None
 
 
 def cents(col: str) -> F.Column:
@@ -803,6 +810,7 @@ def agg_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a type drops out on BOTH engines (the oracle's pair frame is
     # registers-derived — without this filter the Spark side would
     # emit an extra all-zero pair row the oracle omits).
+    global _CACHED_HLL_TYPES
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     regs = sketch.hll_registers(ev, "user_id", group_cols=("event_type",))
     types = (
@@ -811,12 +819,12 @@ def agg_hll_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # Quadratic-in-groups fence (VERDICT r9 task 4): the pair frame is
-    # O(T^2); probe only whether T crossed the bound (limit+count —
-    # a column-pruned bounded scan), never the exact group count.
-    sketch.overlap_pair_guard(
-        types.limit(sketch.OVERLAP_MAX_GROUPS + 1).count(),
-        "agg_hll_overlap_matrix",
-    )
+    # O(T^2). The types frame is persisted and the guard counts the
+    # CACHE, so fence + pair frame share ONE column-pruned source pass
+    # (review r10: a limit-above-distinct probe cannot early-stop its
+    # map stage — the old probe paid a full extra scan per call).
+    types, _CACHED_HLL_TYPES = _single_entry_cache(types, _CACHED_HLL_TYPES)
+    sketch.overlap_pair_guard(types.count(), "agg_hll_overlap_matrix")
     ta = types.select(F.col("event_type").alias("type_a"))
     tb = types.select(F.col("event_type").alias("type_b"))
     pairs = F.broadcast(ta).join(
@@ -928,14 +936,10 @@ _KMV_HS_F = repr(float(sketch.KMV_HASH_SPACE))
 def agg_theta_intersection_matrix(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # The quadratic-in-groups fence runs INSIDE the matrix, against
+    # the persisted sketch — no extra pass over events (review r10:
+    # a limit-above-distinct probe cannot early-stop its map stage,
+    # so the old entry-level probe paid a full source scan per call).
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    sketch.overlap_pair_guard(
-        ev.where(F.col("user_id").isNotNull())
-        .select("event_type")
-        .distinct()
-        .limit(sketch.OVERLAP_MAX_GROUPS + 1)
-        .count(),
-        "agg_theta_intersection_matrix",
-    )
     sk = sketch.kmv_sketch(ev, "user_id", "event_type")
     return sketch.kmv_intersection_matrix(sk, "event_type")

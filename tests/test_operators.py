@@ -1836,53 +1836,54 @@ def test_kmv_sketch_merge_equals_rebuild(spark):
 
 
 def test_theta_intersection_tracks_exact_overlap(spark):
-    """The theta estimates must track the exact pairwise overlap on
-    real data in SKETCH mode (events has >k distinct users per type,
-    so theta < 1 and the estimator actually extrapolates): every
-    pair's intersection/union within ~4 standard errors
+    """The theta estimates must track the exact pairwise overlap in
+    SKETCH mode — a planted corpus with >k distinct keys per group
+    forces theta < 1 so the estimator actually extrapolates (the
+    sf0.001 test events have only 15 distinct users/type, which would
+    silently take the exact branch; the real-data sketch branch is
+    hash-checked by the oracle sweeps at sf0.01/sf0.1 where types
+    hold 150/1500 distinct users vs k=64): every pair's
+    intersection/union within ~4 standard errors
     (sd ~ exact_union/sqrt(k-1)), and the ratio jaccard within the
     same band of the exact jaccard."""
     from datafusion_dist_spark.operators import sketch
-    from datafusion_dist_spark.queries.aggregates import (
-        agg_theta_intersection_matrix,
-    )
 
+    # a: 0..499, b: 250..749 (inter 250, union 750, jac 1/3),
+    # c: 0..99 (subset of a; a∩c=100, b∩c=0)
+    df = (
+        spark.range(500).select(F.lit("a").alias("grp"), F.col("id"))
+        .unionByName(
+            spark.range(250, 750).select(
+                F.lit("b").alias("grp"), F.col("id")
+            )
+        )
+        .unionByName(
+            spark.range(100).select(F.lit("c").alias("grp"), F.col("id"))
+        )
+        .select("grp", F.col("id").cast("string").alias("uid"))
+    )
+    sk = sketch.kmv_sketch(df, "uid", "grp")
     out = {
         (r["type_a"], r["type_b"]): r
-        for r in agg_theta_intersection_matrix(spark, SF_DIR).collect()
+        for r in sketch.kmv_intersection_matrix(sk, "grp").collect()
     }
-    ev = (
-        load_table(spark, SF_DIR, "events")
-        .where(F.col("user_id").isNotNull())
-        .select("event_type", "user_id")
-        .distinct()
-    )
-    a = ev.select(F.col("event_type").alias("ta"), "user_id")
-    b = ev.select(F.col("event_type").alias("tb"), "user_id")
     exact = {
-        (r["ta"], r["tb"]): r["n_inter"]
-        for r in a.join(b, "user_id")
-        .where(F.col("ta") < F.col("tb"))
-        .groupBy("ta", "tb")
-        .agg(F.countDistinct("user_id").alias("n_inter"))
-        .collect()
+        ("a", "b"): (250, 750),
+        ("a", "c"): (100, 500),
+        ("b", "c"): (0, 600),
     }
-    sizes = {
-        r["event_type"]: r["n"]
-        for r in ev.groupBy("event_type")
-        .agg(F.countDistinct("user_id").alias("n"))
-        .collect()
-    }
-    assert len(out) == 10  # 5 types -> all pairs present
+    assert set(out) == set(exact)
     se_k = 4.0 / (sketch.KMV_K - 1) ** 0.5
-    for (ta, tb), r in out.items():
-        n_inter = exact.get((ta, tb), 0)
-        n_union = sizes[ta] + sizes[tb] - n_inter
+    for pair, (n_inter, n_union) in exact.items():
+        r = out[pair]
         tol = se_k * n_union
-        assert abs(r["est_intersection"] - n_inter) <= tol, (ta, tb, r)
-        assert abs(r["est_union"] - n_union) <= tol, (ta, tb, r)
-        assert abs(r["est_jaccard"] - n_inter / n_union) <= se_k, (ta, tb, r)
-        assert r["n_common"] > 0  # evidence, not inferred-from-zero
+        assert abs(r["est_intersection"] - n_inter) <= tol, (pair, r)
+        assert abs(r["est_union"] - n_union) <= tol, (pair, r)
+        assert abs(r["est_jaccard"] - n_inter / n_union) <= se_k, (pair, r)
+    # evidence counts, not inferred-from-zero, where overlap exists
+    assert out[("a", "b")]["n_common"] > 0
+    assert out[("a", "c")]["n_common"] > 0
+    assert out[("b", "c")]["n_common"] == 0  # disjoint stays zero
 
 
 def test_overlap_pair_guard_fences_many_groups(spark):
@@ -1897,14 +1898,32 @@ def test_overlap_pair_guard_fences_many_groups(spark):
     sketch.overlap_pair_guard(sketch.OVERLAP_MAX_GROUPS, "x")  # in bound
     with pytest.raises(ValueError, match="agg_hll_grouped"):
         sketch.overlap_pair_guard(1000, "x")
-    # the probe shape the entry uses: limit(bound+1).count() on a
-    # planted 1000-group frame crosses the threshold
+    # end-to-end: a planted >bound-group sketch must be refused by the
+    # matrix itself (the guard runs inside, against the cached sketch,
+    # so the fence costs no extra source pass)
     many = spark.range(1000).select(
-        F.col("id").cast("string").alias("event_type")
+        F.col("id").cast("string").alias("grp"),
+        F.col("id").cast("string").alias("uid"),
     )
-    probe = many.limit(sketch.OVERLAP_MAX_GROUPS + 1).count()
+    sk = sketch.kmv_sketch(many, "uid", "grp")
     with pytest.raises(ValueError, match="quadratic"):
-        sketch.overlap_pair_guard(probe, "x")
+        sketch.kmv_intersection_matrix(sk, "grp")
+
+
+def test_kmv_matrix_rejects_mismatched_k(spark):
+    """A sketch built with a larger k than the matrix is told about
+    would silently misread saturated groups as exact (theta detection
+    keys on n_sk == k) — estimates degenerate to raw retained counts.
+    The detectable direction (rn > k rows present) must refuse loudly
+    (review finding r10)."""
+    from datafusion_dist_spark.operators import sketch
+
+    df = spark.range(400).select(
+        F.lit("a").alias("grp"), F.col("id").cast("string").alias("uid")
+    )
+    sk_big = sketch.kmv_sketch(df, "uid", "grp", k=128)
+    with pytest.raises(ValueError, match="built with a larger k"):
+        sketch.kmv_intersection_matrix(sk_big, "grp")  # k=64
 
 
 def test_hll_overlap_matrix_tracks_exact_overlap(spark):

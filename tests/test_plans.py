@@ -748,23 +748,26 @@ def test_hll_registers_constant_shuffle(spark):
 def test_hll_overlap_matrix_scans_twice(spark):
     """agg_hll_overlap_matrix's EXECUTED plan: exactly TWO events
     scans — the register build and the column-pruned distinct-type
-    pair frame — with the shared register branch's exchange reused
-    between the per-side and union aggregates. A third scan means a
-    sketch branch split off the shared exchange (the broadcast-
-    recompute / aggregate-fusion trap this entry's structure exists
-    to avoid)."""
+    pair frame (persisted: guard probe + pair frame share that one
+    pass) — with the shared register branch's exchange reused between
+    the per-side and union aggregates. A third scan means a sketch
+    branch split off the shared exchange (the broadcast-recompute /
+    aggregate-fusion trap this entry's structure exists to avoid).
+    Counted on the JVM executedPlan (executed_scan_facts), not plan
+    text — a nested InMemoryRelation truncates the printed tree."""
     import re as _re
 
+    from datafusion_dist_spark.plans import executed_scan_facts
     from datafusion_dist_spark.queries.aggregates import (
         agg_hll_overlap_matrix,
     )
 
     df = agg_hll_overlap_matrix(spark, SF_DIR)
     df.collect()
-    final = formatted_plan(df).split("Initial Plan")[0]
-    tree = _re.split(r"\n\(\d+\) ", final)[0]
-    assert tree.count("Scan parquet") == 2, tree
-    assert "ReusedExchange" in tree, tree
+    facts = executed_scan_facts(df)
+    assert facts["source_scans"] == 2, facts
+    assert facts["reused_exchanges"] >= 1, facts
+    assert facts["shuffle_joins"] == 0, facts
     # Both scans must stay pruned to the two working columns (the
     # pair-frame scan carries user_id only for its NULL filter).
     details = formatted_plan(df)
@@ -782,23 +785,22 @@ def test_theta_matrix_single_scan_over_cached_sketch(spark):
     A second parquet scan means a sketch-derived broadcast branch
     recomputed the distinct-key exchange from source — the r8
     broadcast-recompute trap the persist exists to close. No shuffle
-    join anywhere: the pair frames stay broadcast-only."""
-    import re as _re
-
+    join anywhere: the pair frames stay broadcast-only. Counted on
+    the JVM executedPlan (executed_scan_facts) because the nested
+    cached plan truncates the printed tree; runtime REST metrics
+    cross-checked once by hand (one 100k-row parquet scan, three
+    320-row cache reads)."""
+    from datafusion_dist_spark.plans import executed_scan_facts
     from datafusion_dist_spark.queries.aggregates import (
         agg_theta_intersection_matrix,
     )
 
     df = agg_theta_intersection_matrix(spark, SF_DIR)
     df.collect()
-    final = formatted_plan(df).split("Initial Plan")[0]
-    tree = _re.split(r"\n\(\d+\) ", final)[0]
-    assert tree.count("Scan parquet") == 1, tree
-    assert "InMemoryRelation" in tree, tree
-    facts = plan_facts(df)
-    assert facts["n_shuffledhash_joins"] + facts["n_sortmerge_joins"] == 0, (
-        formatted_plan(df)
-    )
+    facts = executed_scan_facts(df)
+    assert facts["source_scans"] == 1, facts
+    assert facts["inmemory_scans"] >= 2, facts
+    assert facts["shuffle_joins"] == 0, facts
 
 
 def test_contamination_matrix_tokenizes_once(spark):
