@@ -342,6 +342,29 @@ def kmv_sketch(
     )
 
 
+def kmv_merge(sketches: DataFrame, group_col: str, k: int = KMV_K) -> DataFrame:
+    """Merge KMV sketch tables (the distributed/streaming aggregate
+    step): the k smallest distinct hashes of A ∪ B are exactly the
+    re-ranked k smallest of sketch(A) ∪ sketch(B), so shards/batches
+    sketch independently and a bounded k-row merge reproduces the
+    global sketch bit-for-bit (property-tested merge-equals-rebuild;
+    measured as a bounded-state streaming mode in bench_streaming).
+    ``sketches``: a union of ``kmv_sketch`` outputs (``rn`` columns,
+    if present, are recomputed — a hash retained by one shard may be
+    displaced in the merged ranking). Input hashes are already below
+    each shard's theta, so the merge never needs the raw keys; state
+    is ≤ groups*k rows forever."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        sketches.select(group_col, "h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
 def kmv_sketch_oracle(
     key_expr: str, table_sql: str, group_col: str, k: int = KMV_K
 ) -> str:
@@ -366,7 +389,21 @@ def kmv_intersection_matrix(
 ) -> DataFrame:
     """Theta-sketch set algebra over a ``kmv_sketch`` table: for every
     group pair (a < b), ``(type_a, type_b, n_common, est_intersection,
-    est_union, est_jaccard)``.
+    est_union, est_jaccard, est_rse)``.
+
+    ``est_rse`` makes each estimate's evidence quality visible beside
+    it (VERDICT r10 task 6): every retained common hash is an
+    independent Bernoulli witness of the intersection at sampling rate
+    theta_cut/2^60, so the intersection estimate's relative standard
+    error is bounded by 1/sqrt(n_common) (the standard KMV bound
+    sqrt((1-theta)/n) <= 1/sqrt(n); at theta << 1 — the regime the
+    sketch exists for — the bound is tight). An exact pair (both
+    groups under k distinct keys, theta_cut = 2^60) reports 0.0; a
+    pair with NO retained common hashes reports NULL — its
+    est_intersection of 0 rests on zero evidence and only says the
+    intersection is below ~2^60/theta_cut, which is NOT a measurement
+    (the min-evidence floor a consumer should apply: treat NULL/large
+    est_rse pairs as "unresolved at this k", not "disjoint").
 
     Estimator (standard theta semantics): per group, theta_g = the
     k-th smallest hash when the group holds k (else 2^60 — the group
@@ -411,20 +448,31 @@ def kmv_intersection_matrix(
 
     sk, _CACHED_KMV_SK = single_entry_cache(sk, _CACHED_KMV_SK)
     # One tiny job over the cached sketch serves both guards: the
-    # quadratic-in-groups fence and the k-mismatch check.
-    probe = sk.agg(
-        F.countDistinct(group_col).alias("n_groups"),
-        F.max("rn").alias("max_rn"),
-    ).first()
-    if probe["max_rn"] is not None and probe["max_rn"] > k:
-        raise ValueError(
-            f"kmv_intersection_matrix(k={k}) got a sketch holding "
-            f"rn={probe['max_rn']} rows — built with a larger k. "
-            "Theta detection keys on n_sk == k, so this call would "
-            "silently misread saturated groups as exact; pass the "
-            "build-time k."
-        )
-    overlap_pair_guard(probe["n_groups"] or 0, "kmv_intersection_matrix")
+    # quadratic-in-groups fence and the k-mismatch check. A REJECTED
+    # sketch must not keep the single cache slot (ADVICE r10): without
+    # the unpersist a failed call would pin the bad sketch in executor
+    # memory until a semantically different call evicted it.
+    try:
+        probe = sk.agg(
+            F.countDistinct(group_col).alias("n_groups"),
+            F.max("rn").alias("max_rn"),
+        ).first()
+        if probe["max_rn"] is not None and probe["max_rn"] > k:
+            raise ValueError(
+                f"kmv_intersection_matrix(k={k}) got a sketch holding "
+                f"rn={probe['max_rn']} rows — built with a larger k. "
+                "Theta detection keys on n_sk == k, so this call would "
+                "silently misread saturated groups as exact; pass the "
+                "build-time k."
+            )
+        overlap_pair_guard(probe["n_groups"] or 0, "kmv_intersection_matrix")
+    except Exception:
+        _CACHED_KMV_SK = None
+        try:
+            sk.unpersist()
+        except Exception:
+            pass
+        raise
     hs = float(KMV_HASH_SPACE)
     stats = sk.groupBy(group_col).agg(
         F.max(F.when(F.col("rn") == k, F.col("h"))).alias("kth"),
@@ -470,6 +518,17 @@ def kmv_intersection_matrix(
         F.col("n_common").cast("double")
         / F.col("n_union_ret").cast("double")
     )
+    # Evidence quality: exact pairs (theta = 1) have zero error; zero
+    # retained common hashes is NO evidence (NULL, not 0 — the
+    # estimate 0 is an upper-bound statement, not a measurement);
+    # otherwise the 1/sqrt(n) Bernoulli-witness bound. sqrt and the
+    # one divide are IEEE-correctly-rounded on both engines, so the
+    # DuckDB oracle reproduces the column bit-for-bit.
+    rse = F.when(
+        F.col("theta_cut") == KMV_HASH_SPACE, F.lit(0.0)
+    ).when(F.col("n_common") == 0, F.lit(None).cast("double")).otherwise(
+        F.round(F.lit(1.0) / F.sqrt(F.col("n_common").cast("double")), 4)
+    )
     return agg.select(
         "type_a",
         "type_b",
@@ -477,6 +536,7 @@ def kmv_intersection_matrix(
         F.round(est_i, 4).alias("est_intersection"),
         F.round(est_u, 4).alias("est_union"),
         F.round(jac, 4).alias("est_jaccard"),
+        rse.alias("est_rse"),
     )
 
 
@@ -494,9 +554,12 @@ OVERLAP_MAX_GROUPS = 64
 def overlap_pair_guard(n_groups: int, what: str) -> None:
     """Raise when an all-pairs sketch-algebra matrix is asked for more
     groups than the quadratic pair frame is designed to carry.
-    ``n_groups`` may be a ``limit(OVERLAP_MAX_GROUPS + 1).count()``
-    probe — only the threshold crossing matters, not the exact
-    count."""
+    Both call sites pass EXACT group counts probed from an
+    already-persisted frame (the KMV sketch / the HLL distinct-type
+    frame), so the fence costs a scan of bounded cached rows, never an
+    extra pass over the base table (the r10 review removed the old
+    limit-above-distinct probes, which could not early-stop their map
+    stage and paid a full source scan per call)."""
     if n_groups > OVERLAP_MAX_GROUPS:
         raise ValueError(
             f"{what} builds an all-pairs matrix over {n_groups}+ groups "

@@ -45,31 +45,40 @@ def plan_facts(df: DataFrame) -> dict:
     }
 
 
-def executed_scan_facts(df: DataFrame) -> dict:
+def executed_scan_facts(df: DataFrame, descend_cached: bool = True) -> dict:
     """Runtime-truth node accounting for an EXECUTED plan, robust to
     nested cached relations — plan-TEXT trees truncate at an inner
     ``AdaptiveSparkPlan`` (an InMemoryRelation's build plan renders
     mid-tree and cuts off every later branch, r10), so text counting
-    silently under-reports. This walks the JVM executedPlan instead:
-    descends into AQE final plans and query stages, walks each
-    DISTINCT cached relation's build plan exactly once (a cache HIT
-    does not re-scan source at runtime; its one-time build cost is
-    what gets counted), dedupes query-stage objects, and counts the
-    node classes the scale gates care about.
+    silently under-reports, which makes text ABSENCE assertions and
+    upper-bound counts on any cache-involving plan vacuous (VERDICT
+    r10 task 3). This walks the JVM executedPlan instead: descends
+    into AQE final plans and query stages, walks each DISTINCT cached
+    relation's build plan exactly once (a cache HIT does not re-scan
+    source at runtime; its one-time build cost is what gets counted),
+    dedupes query-stage objects, and counts the node classes the
+    scale gates care about.
+
+    ``descend_cached=False`` stops at cache reads instead — for gates
+    whose budget is the work ON TOP of an already-materialized cached
+    table (the cache's own build is gated where it is built).
 
     Returns: ``source_scans`` (FileSourceScan occurrences — parquet
     passes actually paid), ``inmemory_scans`` (cache reads),
-    ``reused_exchanges``, ``shuffle_joins`` (SMJ+SHJ), ``bnl_joins``,
-    ``broadcast_joins``."""
+    ``reused_exchanges``, ``exchanges`` (distinct shuffle exchanges
+    actually planned), ``shuffle_joins`` (SMJ+SHJ), ``bnl_joins``,
+    ``broadcast_joins``, ``cartesian_products``."""
     jvm = df.sparkSession._jvm  # type: ignore[attr-defined]
     seen: set[int] = set()
     counts = {
         "source_scans": 0,
         "inmemory_scans": 0,
         "reused_exchanges": 0,
+        "exchanges": 0,
         "shuffle_joins": 0,
         "bnl_joins": 0,
         "broadcast_joins": 0,
+        "cartesian_products": 0,
     }
 
     def walk(node) -> None:
@@ -81,7 +90,7 @@ def executed_scan_facts(df: DataFrame) -> dict:
             counts["inmemory_scans"] += 1
             rel = node.relation()
             rid = jvm.System.identityHashCode(rel)
-            if rid not in seen:
+            if descend_cached and rid not in seen:
                 seen.add(rid)
                 walk(rel.cachedPlan())
             return
@@ -96,12 +105,16 @@ def executed_scan_facts(df: DataFrame) -> dict:
             counts["source_scans"] += 1
         elif cls == "ReusedExchangeExec":
             counts["reused_exchanges"] += 1
+        elif cls == "ShuffleExchangeExec":
+            counts["exchanges"] += 1
         elif cls in ("SortMergeJoinExec", "ShuffledHashJoinExec"):
             counts["shuffle_joins"] += 1
         elif cls == "BroadcastNestedLoopJoinExec":
             counts["bnl_joins"] += 1
         elif cls == "BroadcastHashJoinExec":
             counts["broadcast_joins"] += 1
+        elif cls == "CartesianProductExec":
+            counts["cartesian_products"] += 1
         ch = node.children()
         for i in range(ch.size()):
             walk(ch.apply(i))

@@ -912,7 +912,11 @@ _KMV_HS_F = repr(float(sketch.KMV_HASH_SPACE))
                round(CASE WHEN n_union_ret = 0 THEN 0.0
                           ELSE CAST(n_common AS DOUBLE)
                                / CAST(n_union_ret AS DOUBLE) END, 4)
-                   AS est_jaccard
+                   AS est_jaccard,
+               CASE WHEN theta_cut = {_KMV_HS} THEN 0.0
+                    WHEN n_common = 0 THEN NULL
+                    ELSE round(1.0 / sqrt(CAST(n_common AS DOUBLE)), 4)
+               END AS est_rse
         FROM agg
     """,
     doc="Theta/KMV distinct-intersection matrix: per event-type pair, "
@@ -923,7 +927,10 @@ _KMV_HS_F = repr(float(sketch.KMV_HASH_SPACE))
     "r9 task 7); here small intersections are counted from ACTUAL "
     "matching hash samples below the pair's theta threshold, with "
     "n_common exposed so the evidence count is visible beside each "
-    "estimate. Build = one distinct-key exchange (what an exact "
+    "estimate and est_rse (the 1/sqrt(n_common) Bernoulli-witness "
+    "bound; 0.0 for exact pairs, NULL when zero common hashes were "
+    "retained — an estimate resting on no evidence is flagged, not "
+    "dressed as precise). Build = one distinct-key exchange (what an exact "
     "count-distinct pays) + bounded per-group selection; the matrix "
     "itself is k-row broadcast algebra that never re-touches the base "
     "table (one scan, plan-gated), quadratic in the GROUP count and "

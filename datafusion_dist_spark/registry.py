@@ -99,7 +99,7 @@ def _load_all() -> None:
 # cover every family), and rotate both the family order and each
 # family's internal order by this epoch so successive rounds sample a
 # growing union. Bump by 1 each round.
-ROTATION_EPOCH = 10
+ROTATION_EPOCH = 11
 
 # Ledger of entries the EXTERNAL driver oracle has hash-checked at least
 # once (union of keys across the committed CORRECTNESS_r01..r{N}.json).
@@ -160,6 +160,27 @@ EXTERNALLY_SAMPLED: frozenset[str] = frozenset({
     "unpivot_measures", "values_inline", "window_analytics",
     "window_dense_ntile", "window_frames_rows", "window_ignore_nulls",
     "window_range_frame", "window_rank_top1",
+    # r10 driver sample (CORRECTNESS_r10.json, 50 keys — external
+    # union now 201/219; the 18 still-fresh entries order first so
+    # the r11 sample completes external coverage):
+    "agg_hll_grouped", "agg_theta_intersection_matrix",
+    "ann_kmeans_converged", "ann_lsh_topk", "ann_topk_bruteforce",
+    "dedup_exact", "dedup_incremental", "dedup_lsh_quality",
+    "dedup_minhash_lsh", "dedup_minhash_lsh_capped",
+    "dedup_semantic_adaptive", "dedup_semantic_capped", "dedup_simhash",
+    "events_anomaly_mad", "events_sessionize", "events_window_tumble",
+    "fn_array_setops", "fn_calendar", "fn_posexplode", "fn_trig",
+    "fn_try_arithmetic", "fn_url", "join_anti", "join_inner_broadcast",
+    "join_inner_shuffle", "join_left_outer", "join_right_outer",
+    "join_self_alias", "join_theta", "pipeline_contamination_matrix",
+    "pipeline_dataset_card", "pipeline_dataset_diff",
+    "pipeline_multisignal_dedup", "pipeline_quality_buckets",
+    "sample_temperature", "text_bm25_topk", "text_boilerplate_score",
+    "text_fingerprint", "text_redact", "text_rule_filters",
+    "text_top_ngrams", "tpch_q11_full", "tpch_q11_shape",
+    "tpch_q16_full", "tpch_q16_shape", "tpch_q20_full",
+    "tpch_q20_shape", "tpch_q2_full", "tpch_q2_shape",
+    "window_cume_percent",
 })
 
 

@@ -1795,6 +1795,7 @@ def test_kmv_exact_mode_under_k_distinct(spark):
     assert r["est_intersection"] == 20.0
     assert r["est_union"] == 50.0
     assert r["est_jaccard"] == 0.4
+    assert r["est_rse"] == 0.0  # exact pair: zero sampling error
 
 
 def test_kmv_sketch_merge_equals_rebuild(spark):
@@ -1804,30 +1805,19 @@ def test_kmv_sketch_merge_equals_rebuild(spark):
     that makes the sketch a distributed/streaming aggregate (shards
     sketch independently; a k-row merge reproduces the global
     sketch). Split events by user hash parity and verify the merge
-    against the full-corpus build bit-for-bit."""
-    from pyspark.sql import Window
-
+    against the full-corpus build bit-for-bit — through the SHIPPED
+    merge step (kmv_merge, the same fold the streaming mode applies
+    per batch), not a test-local reimplementation."""
     from datafusion_dist_spark.operators import sketch
 
     ev = load_table(spark, SF_DIR, "events").select("event_type", "user_id")
     half_a = ev.where(F.pmod(F.col("user_id"), F.lit(2)) == 0)
     half_b = ev.where(F.pmod(F.col("user_id"), F.lit(2)) == 1)
-    merged = (
-        sketch.kmv_sketch(half_a, "user_id", "event_type")
-        .select("event_type", "h")
-        .unionByName(
-            sketch.kmv_sketch(half_b, "user_id", "event_type").select(
-                "event_type", "h"
-            )
-        )
-        .distinct()
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("event_type").orderBy("h")
-            ),
-        )
-        .where(F.col("rn") <= sketch.KMV_K)
+    merged = sketch.kmv_merge(
+        sketch.kmv_sketch(half_a, "user_id", "event_type").unionByName(
+            sketch.kmv_sketch(half_b, "user_id", "event_type")
+        ),
+        "event_type",
     )
     full = sketch.kmv_sketch(ev, "user_id", "event_type")
     want = {(r["event_type"], r["h"], r["rn"]) for r in full.collect()}
@@ -1884,6 +1874,14 @@ def test_theta_intersection_tracks_exact_overlap(spark):
     assert out[("a", "b")]["n_common"] > 0
     assert out[("a", "c")]["n_common"] > 0
     assert out[("b", "c")]["n_common"] == 0  # disjoint stays zero
+    # est_rse: the 1/sqrt(n_common) evidence bound where evidence
+    # exists; NULL (not 0.0) where the estimate rests on NO retained
+    # common hashes — zero evidence must be flagged, not dressed as a
+    # precise zero (VERDICT r10 task 6).
+    for pair in (("a", "b"), ("a", "c")):
+        r = out[pair]
+        assert r["est_rse"] == round(1.0 / r["n_common"] ** 0.5, 4), r
+    assert out[("b", "c")]["est_rse"] is None
 
 
 def test_overlap_pair_guard_fences_many_groups(spark):
@@ -1908,6 +1906,10 @@ def test_overlap_pair_guard_fences_many_groups(spark):
     sk = sketch.kmv_sketch(many, "uid", "grp")
     with pytest.raises(ValueError, match="quadratic"):
         sketch.kmv_intersection_matrix(sk, "grp")
+    # ADVICE r10: a REJECTED sketch must not keep the single-entry
+    # cache slot — the guard-raise path unpersists and resets it.
+    assert sketch._CACHED_KMV_SK is None
+    assert not sk.storageLevel.useMemory
 
 
 def test_kmv_matrix_rejects_mismatched_k(spark):
@@ -1924,6 +1926,9 @@ def test_kmv_matrix_rejects_mismatched_k(spark):
     sk_big = sketch.kmv_sketch(df, "uid", "grp", k=128)
     with pytest.raises(ValueError, match="built with a larger k"):
         sketch.kmv_intersection_matrix(sk_big, "grp")  # k=64
+    # the rejected sketch must not occupy the cache slot (ADVICE r10)
+    assert sketch._CACHED_KMV_SK is None
+    assert not sk_big.storageLevel.useMemory
 
 
 def test_hll_overlap_matrix_tracks_exact_overlap(spark):
