@@ -42,6 +42,13 @@ engine's own progress metrics: stateOperators.numRowsTotal must stay
 measurement), per-batch wall flat within a run, final grid equal to
 the batch sketch, scaled/base ratio under the same linear budget.
 
+``kmv_sketch`` mode (r11) measures the KMV/theta sketch's streaming
+fold: the build is distinct+window (not a streaming aggregation), so
+per batch the drop is sketched alone and ``kmv_merge``-folded into the
+accumulated state — asserted bounded at groups*k rows after EVERY
+batch at both scales, and the final merged sketch bit-equal to the
+one-shot batch build (the mergeability property as a measurement).
+
 ``append`` mode (r6) closes the loop the static modes leave open: a
 real continuous crawl FOLDS each drop into the index after deduping
 it (``minhash_index_append``), so the index grows batch over batch.
@@ -304,6 +311,81 @@ def measure_cms(
     }
 
 
+def measure_kmv(
+    spark, sf_dir: str, work_dir: str, n_batches: int
+) -> dict:
+    """Bounded-state streaming KMV mode (VERDICT r10 task 4): the KMV
+    build is distinct+window — not a streaming-supported aggregation
+    like the CMS/HLL grids — so its streaming twin is the foreachBatch
+    MERGE FOLD the sketch's mergeability was property-tested for
+    (merge-equals-rebuild, tests/test_operators.py): per drop, sketch
+    ONLY the drop, then ``kmv_merge`` it into the accumulated state
+    table. What the CMS mode measures through engine state metrics is
+    measured here on the fold's own state: rows after EVERY batch must
+    stay ≤ groups*k (the merge discards everything past rank k — the
+    bounded-state claim as a number, at x1 AND x10 events), and the
+    final merged sketch must equal the one-shot batch build
+    BIT-FOR-BIT (so a pipeline can sketch a stream incrementally and
+    answer the same intersection matrix the batch entry answers)."""
+    from datafusion_dist_spark.operators import sketch
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "user_id")
+        .where(F.col("event_id").isNotNull())
+    )
+    drops = [
+        ev.filter(F.pmod(F.col("event_id"), F.lit(n_batches)) == i)
+        .select("event_type", "user_id")
+        for i in range(n_batches)
+    ]
+    n_groups = ev.select("event_type").distinct().count()
+    bound = n_groups * sketch.KMV_K
+    in_dir = os.path.join(work_dir, "kmv-in")
+    ckpt = os.path.join(work_dir, "kmv-ckpt")
+    for d in (in_dir, ckpt):
+        shutil.rmtree(d, ignore_errors=True)
+
+    lat: list[float] = []
+    state_rows: list[int] = []
+    holder: dict = {"rows": None, "schema": None}
+
+    def fold_batch(batch_df, batch_id):
+        t = time.perf_counter()
+        sk = sketch.kmv_sketch(batch_df, "user_id", "event_type")
+        if holder["rows"]:
+            prev = spark.createDataFrame(holder["rows"], holder["schema"])
+            sk = sketch.kmv_merge(sk.unionByName(prev), "event_type")
+        rows = sk.collect()
+        holder["rows"] = rows
+        holder["schema"] = sk.schema
+        lat.append(time.perf_counter() - t)
+        state_rows.append(len(rows))
+
+    for drop in drops:
+        drop.coalesce(1).write.format("ddspark_arrow_dir").option(
+            "path", in_dir
+        ).mode("append").save()
+        _run_stream(spark, in_dir, ckpt, fold_batch)
+    assert len(lat) == n_batches, f"kmv: {len(lat)} microbatches"
+    want = {
+        (r["event_type"], r["h"], r["rn"])
+        for r in sketch.kmv_sketch(ev, "user_id", "event_type").collect()
+    }
+    got = {
+        (r["event_type"], r["h"], r["rn"]) for r in holder["rows"]
+    }
+    return {
+        "batch_secs": [round(s, 3) for s in lat],
+        "min_batch_sec": round(min(lat), 3),
+        "state_rows": state_rows,
+        "state_bound": bound,
+        "state_bounded": all(r <= bound for r in state_rows),
+        "matches_batch_oracle": got == want,
+        "n_groups": n_groups,
+    }
+
+
 def measure_append(
     spark, sf_dir: str, work_dir: str, n_batches: int
 ) -> dict:
@@ -413,6 +495,14 @@ def main() -> None:
             spark, scale_dir, os.path.join(work, "scaled"), n_batches
         ),
     }
+    kmv_runs = {
+        "base": measure_kmv(
+            spark, base_dir, os.path.join(work, "base"), n_batches
+        ),
+        "scaled": measure_kmv(
+            spark, scale_dir, os.path.join(work, "scaled"), n_batches
+        ),
+    }
     append_runs = {
         "base": measure_append(
             spark, base_dir, os.path.join(work, "base"), n_append
@@ -516,6 +606,45 @@ def main() -> None:
         "ok": cms_ratio <= budget,
         **{f"{tag}_{k}": v
            for tag, cm in cms_runs.items() for k, v in cm.items()},
+    }
+    # KMV streaming-fold gates (VERDICT r10 task 4): state bounded at
+    # groups*k after EVERY batch at both scales, final merged sketch
+    # bit-equal to the one-shot batch build, per-batch wall flat
+    # within a run (the fold's input is one drop + a bounded state
+    # table — growth would mean the state table leaked), scaled/base
+    # ratio under the same linear budget as the other modes.
+    for tag, km in kmv_runs.items():
+        print(
+            f"kmv[{tag}]: {km['batch_secs']}  state_rows={km['state_rows']}"
+            f"/{km['state_bound']}",
+            file=sys.stderr,
+        )
+        if not km["state_bounded"]:
+            violations.append(
+                f"kmv[{tag}]: state {km['state_rows']} exceeds the "
+                f"groups*k bound {km['state_bound']}"
+            )
+        if not km["matches_batch_oracle"]:
+            violations.append(f"kmv[{tag}]: merged sketch != batch build")
+        later = km["batch_secs"][1:]
+        if later and max(later) > 3.0 * min(km["batch_secs"]):
+            violations.append(
+                f"kmv[{tag}]: per-batch wall grew within the run "
+                f"{km['batch_secs']} (bounded-state fold should not)"
+            )
+    kmv_ratio = (
+        round(kmv_runs["scaled"]["min_batch_sec"]
+              / kmv_runs["base"]["min_batch_sec"], 2)
+        if kmv_runs["base"]["min_batch_sec"] > 0 else float("inf")
+    )
+    if kmv_ratio > budget:
+        violations.append(f"kmv: x{kmv_ratio} > budget x{budget:.1f}")
+    modes["kmv_sketch"] = {
+        "ratio": kmv_ratio,
+        "budget": round(budget, 1),
+        "ok": kmv_ratio <= budget,
+        **{f"{tag}_{k}": v
+           for tag, km in kmv_runs.items() for k, v in km.items()},
     }
     result = {
         "metric": "streaming_dedup_per_batch",
