@@ -126,6 +126,9 @@ HEADLINE = [
     # r10 addition: KMV/theta distinct-intersection matrix (direct
     # intersection sampling beside the HLL inclusion-exclusion)
     "agg_theta_intersection_matrix",
+    # r11 addition: per-band HLL compaction driving measured
+    # bucket_cap selection for the minhash index
+    "dedup_band_stats",
 ]
 
 

@@ -161,6 +161,18 @@ def main() -> None:
             n_docs * BANDS * dedup.EST_BANDED_ROW_BYTES
             >= dedup.BUCKET_MIN_INDEX_BYTES
         )
+        # Band-stats sidecar compaction cost (VERDICT r10 task 5): the
+        # per-band HLL register pass minhash_index_build pays at
+        # ingest, measured over the index's own columnar files (the
+        # 2-column pruned scan the builder uses). Bounded two ways,
+        # both gated: STATE is ≤ bands x 2^p rows regardless of index
+        # size, and WALL must stay under the ingest it rides on (it is
+        # one linear aggregate over bytes the build just wrote).
+        t0 = time.time()
+        stats_rows = dedup._band_stats_rows(
+            dedup.band_register_table(spark.read.parquet(flat_path))
+        )
+        band_stats_sec = round(time.time() - t0, 3)
         row = {
             "docs": n_docs,
             "build_sec": build_sec,
@@ -170,7 +182,14 @@ def main() -> None:
             "pruned_sec": lookup_wall(bucketed_path, prune=True),
             "auto_prunes": auto_prunes,
             "auto_buckets": auto_buckets,
+            "band_stats_sec": band_stats_sec,
+            "band_stats_rows": len(stats_rows),
         }
+        if len(stats_rows) > BANDS * 256:
+            violations.append(
+                {"docs": n_docs, "band_stats_rows": len(stats_rows),
+                 "bound": BANDS * 256}
+            )
         scales.append(row)
         if crossover is None and row["pruned_sec"] < row["flat_sec"]:
             crossover = n_docs
@@ -210,6 +229,19 @@ def main() -> None:
         print(f"  docs={n_docs} {row}", file=sys.stderr, flush=True)
         if not args.keep:
             shutil.rmtree(flat_path, ignore_errors=True)
+
+    # Sidecar WALL bound: one linear aggregate — its growth across the
+    # measured scales must stay within the linear budget (1.5x the
+    # docs ratio, the same coefficient the scale rehearsals use).
+    if len(scales) >= 2:
+        s0, s1 = scales[0], scales[-1]
+        growth = s1["band_stats_sec"] / max(s0["band_stats_sec"], 1e-9)
+        budget = 1.5 * (s1["docs"] / s0["docs"])
+        if growth > budget:
+            violations.append(
+                {"band_stats_growth": round(growth, 2),
+                 "budget": round(budget, 2)}
+            )
 
     result = {
         "metric": "index_point_lookup",

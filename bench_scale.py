@@ -133,6 +133,9 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     # r10: KMV/theta matrix — one distinct-key exchange (linear) +
     # bounded per-group selection + k-row broadcast algebra.
     "agg_theta_intersection_matrix": None,
+    # r11: band-cardinality stats — one register aggregate over the
+    # banded frame (linear scan, bands x 2^p state).
+    "dedup_band_stats": None,
 }
 
 # --skew zipf: the skewed-data rehearsal (r5). Same harness, but the
@@ -182,6 +185,10 @@ SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
     "graph_triangle_count": (1.0, 1.5),
     # the skew-proof aggregation itself
     "agg_salted_twophase": (1.0, 1.5),
+    # r11: the template cluster inflates ONE band bucket's postings —
+    # the register compaction that measures it stays a linear
+    # aggregate (hot buckets raise n_post values, never row counts).
+    "dedup_band_stats": (1.0, 1.5),
     # relational / TPC-H tier (r6): the reference's canonical showcase
     # is the partitioned multi-join + two-phase agg shape
     # (README.md:23-56, planner.rs tests:99-161) — never before

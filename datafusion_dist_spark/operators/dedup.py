@@ -274,7 +274,7 @@ def minhash_dedup_pairs(
     rows_per_band: int = 4,
     threshold: float = 0.5,
     split_id: int | None = None,
-    bucket_cap: int | None = _UNSET,  # type: ignore[assignment]
+    bucket_cap: int | None | str = _UNSET,  # type: ignore[assignment]
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: shingle → signature → band
     join → estimate Jaccard as matching-signature-component fraction;
@@ -330,9 +330,23 @@ def minhash_dedup_pairs(
     oracle pin). In incremental mode (``split_id`` set) the default
     stays None so the inline path remains bit-identical to
     ``minhash_dedup_pairs_prebuilt``, which cannot rank globally.
+
+    ``bucket_cap="measured"`` selects the cap from the corpus's OWN
+    band-bucket cardinality (one bounded register pass — see
+    ``band_stats_from_registers``) instead of the static default: a
+    corpus whose typical bucket legitimately holds more than
+    DEFAULT_BUCKET_CAP members keeps its recall (headroom x the
+    measured mean), while per-bucket work stays bounded by
+    MAX_BUCKET_CAP². Equal by construction to the zero-cost
+    ``select_bucket_cap`` read of an index's ingest-time sidecar.
     """
     if bucket_cap is _UNSET:
         bucket_cap = DEFAULT_BUCKET_CAP if split_id is None else None
+    if isinstance(bucket_cap, str) and bucket_cap != "measured":
+        raise ValueError(
+            f"bucket_cap must be an int, None, or 'measured'; got "
+            f"{bucket_cap!r}"
+        )
     if bucket_cap is None and split_id is None:
         # Explicitly-uncapped SELF dedup: the all-pairs listing whose
         # hot-bucket output is m² (the registry's dedup_minhash_lsh
@@ -349,6 +363,20 @@ def minhash_dedup_pairs(
     num_hashes = bands * rows_per_band
     sigs = minhash_signatures(doc_shingles(docs, text_col, k), num_hashes)
     banded = _banded(sigs, bands, rows_per_band)
+    if bucket_cap == "measured":
+        # Measured-cardinality cap selection (VERDICT r10 task 5): one
+        # bounded register pass over the banded frame (bands x 2^p
+        # rows to the driver), the same selection select_bucket_cap
+        # reads at zero cost from an index's ingest-time sidecar —
+        # tested equal. Headroom x the measured mean bucket size,
+        # clamped to [DEFAULT_BUCKET_CAP, MAX_BUCKET_CAP].
+        caps = [
+            r["bucket_cap"]
+            for r in band_stats_from_registers(
+                band_register_table(banded)
+            ).collect()
+        ]
+        bucket_cap = int(max(caps)) if caps else DEFAULT_BUCKET_CAP
     if bucket_cap is None:
         a, b = banded.alias("a").hint("shuffle_hash"), banded.alias("b")
         return _band_pair_estimates(a, b, num_hashes, threshold, split_id)
@@ -552,6 +580,21 @@ def minhash_index_build(
             "band_buckets": band_buckets,
         },
     )
+    # Band-cardinality compaction (VERDICT r10 task 5): per-band HLL
+    # registers + posting counts beside the posting lists, read back
+    # from the JUST-WRITTEN columnar files (a 2-column pruned scan —
+    # cheaper than re-running the shingle pipeline) so bucket_cap can
+    # be selected from measured cardinality at serving time
+    # (select_bucket_cap). Bounded: bands x 2^p integer rows.
+    from datafusion_dist_spark.operators import sketch as _sk
+
+    regs = band_register_table(docs.sparkSession.read.parquet(path))
+    write_json_sidecar(
+        docs.sparkSession,
+        path,
+        BAND_STATS_SIDECAR,
+        {"p": _sk.HLL_P, "registers": _band_stats_rows(regs)},
+    )
     _INDEX_SCALE_CACHE.pop(path, None)
     return path
 
@@ -610,8 +653,168 @@ def minhash_index_append(
         ).parquet(path)
     else:
         banded.write.mode("append").parquet(path)
+    # Fold the batch's band registers into the stats sidecar: max_rho
+    # max-merges, n_post sum-merges, so the stored compaction equals a
+    # full rebuild's (property-tested) without rescanning the index.
+    # The batch-sized register pass recomputes only the BATCH's banded
+    # frame. An index predating the sidecar stays stats-less (merging
+    # batch-only registers over a missing base would undercount;
+    # select_bucket_cap names the rebuild remedy).
+    stored_stats = read_json_sidecar(spark, path, BAND_STATS_SIDECAR)
+    if stored_stats is not None:
+        from datafusion_dist_spark.sources.sidecar import write_json_sidecar
+
+        batch_rows = _band_stats_rows(band_register_table(banded))
+        write_json_sidecar(
+            spark,
+            path,
+            BAND_STATS_SIDECAR,
+            {
+                "p": stored_stats["p"],
+                "registers": _merge_band_stats(
+                    stored_stats["registers"], batch_rows
+                ),
+            },
+        )
     _INDEX_SCALE_CACHE.pop(path, None)
     return path
+
+
+# -- band-cardinality sidecar (VERDICT r10 task 5) --------------------------
+#
+# The hot-bucket cap's one tunable was static (DEFAULT_BUCKET_CAP).
+# What the right cap IS depends on a measurable corpus property: how
+# many postings share a band bucket. The index build now compacts a
+# per-band HLL register table (registers beside the posting lists —
+# bands x 2^p integers, constant regardless of corpus size) into the
+# `_band_stats.json` sidecar, so "how many distinct buckets / postings
+# per bucket does band b hold" is answered at ingest and the cap can
+# be SELECTED from measured cardinality: headroom x the measured mean
+# bucket size, floored at the static default (normal corpora — mean
+# ~1 — keep cap 16 and the guard bites only pathological buckets),
+# ceilinged at MAX_BUCKET_CAP (per-bucket pair work stays <= cap^2
+# regardless of what the corpus claims). max_rho max-merges and
+# n_post sum-merges, so appends fold their batch's registers into the
+# sidecar without rescanning the index.
+BAND_STATS_SIDECAR = "_band_stats.json"
+MAX_BUCKET_CAP = 256
+BUCKET_CAP_HEADROOM = 4
+
+
+def band_register_table(banded: DataFrame) -> DataFrame:
+    """Per-(band_id, register) HLL compaction of the banded signature
+    table: (band_id, register, max_rho, n_post). One aggregate over
+    one pass; bands x 2^p rows of state regardless of corpus size.
+    max_rho estimates DISTINCT band keys (bucket count); n_post counts
+    posting rows — their ratio is the mean bucket size, the quantity
+    that drives bucket_cap selection."""
+    from datafusion_dist_spark.operators import sketch
+
+    return sketch.hll_registers(
+        banded.select("band_id", "band_key"),
+        "band_key",
+        group_cols=("band_id",),
+        with_counts=True,
+    )
+
+
+def band_stats_from_registers(regs: DataFrame) -> DataFrame:
+    """Per-band ingest stats from a ``band_register_table``:
+    ``(band_id, n_postings, est_distinct_buckets, mean_bucket,
+    bucket_cap)``. est comes from the shared HLL estimator
+    (cross-engine-exact register math); mean_bucket = postings /
+    estimated distinct buckets; bucket_cap is the measured-cardinality
+    selection ``clamp(DEFAULT_BUCKET_CAP, HEADROOM * ceil(mean),
+    MAX_BUCKET_CAP)`` — integer ladder on the rounded mean, identical
+    textual op order in the DuckDB oracle."""
+    from datafusion_dist_spark.operators import sketch
+
+    agg = regs.groupBy("band_id").agg(
+        F.count("*").alias("touched"),
+        F.sum(sketch.rho_weight_scaled("max_rho")).alias("s_touched"),
+        F.sum("n_post").cast("bigint").alias("n_postings"),
+    )
+    est = sketch.hll_estimate_expr(F.col("touched"), F.col("s_touched"))
+    mean = F.round(F.col("n_postings").cast("double") / est, 4)
+    cap = F.least(
+        F.lit(MAX_BUCKET_CAP),
+        F.greatest(
+            F.lit(DEFAULT_BUCKET_CAP),
+            (F.lit(BUCKET_CAP_HEADROOM) * F.ceil(mean)).cast("int"),
+        ),
+    )
+    return agg.select(
+        "band_id",
+        "n_postings",
+        est.alias("est_distinct_buckets"),
+        mean.alias("mean_bucket"),
+        cap.cast("int").alias("bucket_cap"),
+    )
+
+
+def _band_stats_rows(regs: DataFrame) -> list[list[int]]:
+    """Collect a register table into the sidecar's JSON shape —
+    sorted [band_id, register, max_rho, n_post] rows (bands x 2^p
+    max, a bounded driver-side list by construction)."""
+    return sorted(
+        [int(r["band_id"]), int(r["register"]), int(r["max_rho"]),
+         int(r["n_post"])]
+        for r in regs.collect()
+    )
+
+
+def _merge_band_stats(
+    old: list[list[int]], new: list[list[int]]
+) -> list[list[int]]:
+    """Fold appended-batch registers into stored ones: max_rho
+    MAX-merges (HLL register property), n_post SUM-merges — the merged
+    sidecar equals a full rebuild's (property-tested)."""
+    acc: dict[tuple[int, int], list[int]] = {
+        (b, reg): [rho, n] for b, reg, rho, n in old
+    }
+    for b, reg, rho, n in new:
+        cur = acc.get((b, reg))
+        if cur is None:
+            acc[(b, reg)] = [rho, n]
+        else:
+            cur[0] = max(cur[0], rho)
+            cur[1] += n
+    return sorted([b, reg, rho, n] for (b, reg), (rho, n) in acc.items())
+
+
+def _stats_df_from_rows(spark, rows: list[list[int]]) -> DataFrame:
+    return spark.createDataFrame(
+        [tuple(r) for r in rows],
+        "band_id int, register int, max_rho int, n_post bigint",
+    )
+
+
+def select_bucket_cap(spark, index_path: str) -> int:
+    """The measured-cardinality bucket cap for a corpus whose minhash
+    index carries a ``_band_stats.json`` sidecar: the MAX of the
+    per-band selections (the cap must cover the hottest band). Answers
+    at ingest-time cost zero — the registers were compacted when the
+    index was built/appended; this reads bands x 2^p integers and runs
+    the estimator over them. Raises on a stats-less index (built
+    before the sidecar existed): silently falling back to the static
+    default would defeat the caller's explicit ask for the measured
+    selection."""
+    from datafusion_dist_spark.sources.sidecar import read_json_sidecar
+
+    stored = read_json_sidecar(spark, index_path, BAND_STATS_SIDECAR)
+    if stored is None:
+        raise ValueError(
+            f"minhash index at {index_path} has no {BAND_STATS_SIDECAR} "
+            "sidecar — rebuild (or append once) with the current build "
+            "to compact band registers, or pass an explicit bucket_cap"
+        )
+    caps = [
+        r["bucket_cap"]
+        for r in band_stats_from_registers(
+            _stats_df_from_rows(spark, stored["registers"])
+        ).collect()
+    ]
+    return int(max(caps)) if caps else DEFAULT_BUCKET_CAP
 
 
 def minhash_dedup_pairs_prebuilt(

@@ -148,6 +148,7 @@ def hll_registers(
     key: str,
     p: int = HLL_P,
     group_cols: tuple[str, ...] = (),
+    with_counts: bool = False,
 ) -> DataFrame:
     """Cardinality-sketch register table: (register, max_rho) — the
     distinct-count sibling of ``countmin_cells`` (frequency). State is
@@ -167,7 +168,12 @@ def hll_registers(
     key — same contract as the CMS build). ``group_cols`` builds one
     independent register set per group (e.g. distinct users per event
     type) at 2^p state per group — one scan, never a per-group
-    distinct shuffle of the key space."""
+    distinct shuffle of the key space. ``with_counts`` adds ``n_post``
+    (ROW count per register — duplicates included, unlike max_rho
+    which only sees distincts) from the same single aggregate; the
+    (rows, distinct) ratio is what the minhash index's band-stats
+    sidecar compacts at ingest (max_rho max-merges, n_post
+    sum-merges, so appended batches fold in without a rescan)."""
     m = 1 << p
     rho_max = hll_rho_max(p)
     h = hash_int60(F.col(key).cast("string"))
@@ -175,6 +181,9 @@ def hll_registers(
     rho = F.when(w == 0, F.lit(rho_max)).otherwise(
         F.lit(rho_max) - F.length(F.bin(w))
     )
+    aggs = [F.max("rho").alias("max_rho")]
+    if with_counts:
+        aggs.append(F.count("*").cast("bigint").alias("n_post"))
     return (
         df.where(F.col(key).isNotNull())
         .select(
@@ -183,7 +192,7 @@ def hll_registers(
             rho.cast("int").alias("rho"),
         )
         .groupBy(*group_cols, "register")
-        .agg(F.max("rho").alias("max_rho"))
+        .agg(*aggs)
     )
 
 
@@ -192,6 +201,7 @@ def hll_registers_oracle(
     table_sql: str,
     p: int = HLL_P,
     group_cols: tuple[str, ...] = (),
+    with_counts: bool = False,
 ) -> str:
     """DuckDB mirror of ``hll_registers`` (same md5 hash, same integer
     bit math), for oracle SQL strings."""
@@ -199,11 +209,16 @@ def hll_registers_oracle(
     rho_max = hll_rho_max(p)
     h = hash_int60_oracle(f"CAST({key_expr} AS VARCHAR)")
     gsel = "".join(f"{g}, " for g in group_cols)
+    counts = (
+        ",\n               CAST(count(*) AS BIGINT) AS n_post"
+        if with_counts
+        else ""
+    )
     return f"""
         SELECT {gsel}CAST(h % {m} AS INTEGER) AS register,
                CAST(MAX(CASE WHEN (h // {m}) = 0 THEN {rho_max}
                              ELSE {rho_max} - length(bin(h // {m}))
-                        END) AS INTEGER) AS max_rho
+                        END) AS INTEGER) AS max_rho{counts}
         FROM (SELECT {gsel}{h} AS h FROM {table_sql}
               WHERE {key_expr} IS NOT NULL)
         GROUP BY ALL

@@ -233,10 +233,17 @@ def _minhash_pairs_cte(threshold: float = 0.5) -> str:
 
 
 def _band_cte() -> str:
+    # Key parts are the DECIMAL text of the hash integers — the exact
+    # band_key bytes the Spark side builds (sig components are BIGINTs
+    # there; the sigs CTE holds hex strings, an injective monotone
+    # re-encoding that joins identically). The pair entries only need
+    # within-engine join consistency, but dedup_band_stats HASHES
+    # band_key cross-engine, so the text must match byte-for-byte.
     selects = []
     for b in range(BANDS):
         key = " || '|' || ".join(
-            f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            f"CAST(('0x' || mh{b * ROWS_PER_BAND + r}) AS BIGINT)"
+            for r in range(ROWS_PER_BAND)
         )
         selects.append(
             f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sigs"
@@ -361,6 +368,77 @@ def dedup_minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         bucket_cap=_BUCKET_CAP,
     )
+
+
+def _band_stats_oracle() -> str:
+    """DuckDB mirror of the band-cardinality stats: the same shingle →
+    signature → band pipeline as the minhash entries, then the shared
+    HLL register compaction per band and the measured bucket_cap
+    ladder — identical integer/round op order as
+    dedup.band_stats_from_registers."""
+    from datafusion_dist_spark.operators import sketch
+    from datafusion_dist_spark.queries.aggregates import _hll_est_sql
+
+    regs = sketch.hll_registers_oracle(
+        "band_key", "banded", group_cols=("band_id",), with_counts=True
+    )
+    rho_max = sketch.hll_rho_max()
+    est = _hll_est_sql("")
+    mean = f"round(CAST(n_postings AS DOUBLE) / {est}, 4)"
+    cap = (
+        f"CAST(LEAST({dedup.MAX_BUCKET_CAP}, GREATEST("
+        f"{dedup.DEFAULT_BUCKET_CAP}, CAST("
+        f"{dedup.BUCKET_CAP_HEADROOM} * CEIL({mean}) AS INTEGER)))"
+        " AS INTEGER)"
+    )
+    return f"""
+        WITH {CORPUS_CTE},
+        {_shingle_cte()},
+        {_sig_cte()},
+        {_band_cte()},
+        regs AS ({regs}),
+        a AS (
+            SELECT band_id, count(*) AS touched,
+                   coalesce(SUM(1::BIGINT << ({rho_max} - max_rho)), 0)
+                       AS s_touched,
+                   CAST(SUM(n_post) AS BIGINT) AS n_postings
+            FROM regs GROUP BY 1
+        )
+        SELECT band_id, n_postings,
+               {est} AS est_distinct_buckets,
+               {mean} AS mean_bucket,
+               {cap} AS bucket_cap
+        FROM a
+    """
+
+
+@register(
+    "dedup_band_stats",
+    oracle=_band_stats_oracle(),
+    doc="Ingest-time band-cardinality stats for the minhash index "
+    "(VERDICT r10 task 5): per band, posting count, HLL-estimated "
+    "distinct band buckets, mean bucket size, and the "
+    "measured-cardinality bucket_cap selection (headroom x ceil(mean) "
+    "clamped to [DEFAULT_BUCKET_CAP, MAX_BUCKET_CAP]) — the compaction "
+    "minhash_index_build persists beside the posting lists "
+    "(_band_stats.json, bands x 2^p integers; max_rho max-merges and "
+    "n_post sum-merges on append, so the sidecar equals a rebuild's) "
+    "and select_bucket_cap reads at zero cost. One register aggregate "
+    "over one pass of the banded frame; state bands x 2^p regardless "
+    "of corpus size. (operators/dedup.py:band_register_table/"
+    "band_stats_from_registers; ref: the reference has no sketch "
+    "surface — this extends its dedup story the way the HLL/CMS "
+    "entries extend approx_distinct)",
+)
+def dedup_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    banded = dedup._banded(
+        dedup.minhash_signatures(
+            dedup.doc_shingles(_corpus(spark, sf_dir)), NUM_HASHES
+        ),
+        BANDS,
+        ROWS_PER_BAND,
+    )
+    return dedup.band_stats_from_registers(dedup.band_register_table(banded))
 
 
 _SIMHASH_BITS = 16

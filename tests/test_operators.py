@@ -940,6 +940,82 @@ def test_minhash_index_append_matches_inline(spark, tmp_path):
         dedup.minhash_index_append(spark, drops[0], path)
 
 
+def test_band_stats_sidecar_merge_equals_rebuild(spark, tmp_path):
+    """The _band_stats.json compaction is a true distributed aggregate:
+    build over half the corpus + append the other half must leave the
+    SAME register rows as one full build (max_rho max-merges, n_post
+    sum-merges) — so a continuously-appended index answers bucket-
+    cardinality questions as if it had been rebuilt, without ever
+    rescanning itself."""
+    from datafusion_dist_spark.sources.sidecar import read_json_sidecar
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    half_a = docs.filter(F.col("doc_id") % 2 == 0)
+    half_b = docs.filter(F.col("doc_id") % 2 == 1)
+    inc_path = str(tmp_path / "mh-inc")
+    full_path = str(tmp_path / "mh-full")
+    dedup.minhash_index_build(half_a, inc_path)
+    dedup.minhash_index_append(spark, half_b, inc_path)
+    dedup.minhash_index_build(docs, full_path)
+    inc = read_json_sidecar(spark, inc_path, dedup.BAND_STATS_SIDECAR)
+    full = read_json_sidecar(spark, full_path, dedup.BAND_STATS_SIDECAR)
+    assert inc["registers"] == full["registers"]
+    assert inc["registers"], "sidecar must hold register rows"
+
+
+def test_measured_bucket_cap_selection(spark, tmp_path):
+    """bucket_cap selection from measured cardinality (VERDICT r10
+    task 5): a planted template cluster (one text repeated 400x — the
+    hot-bucket shape the cap guards) raises the selected cap above the
+    static default (recall headroom where buckets are legitimately
+    big) but never past MAX_BUCKET_CAP; a healthy corpus keeps the
+    default. The zero-cost sidecar read (select_bucket_cap), the
+    inline 'measured' selection, and the pair output under an explicit
+    equal cap all agree; a stats-less index refuses instead of
+    silently falling back."""
+    import os as _os
+
+    import pytest as _pytest
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 40)
+    template = spark.range(400).select(
+        (F.col("id") + 500_000).alias("doc_id"),
+        F.lit(
+            "identical template boilerplate page body repeated verbatim "
+            "across the synthetic crawl for the hot bucket test"
+        ).alias("text"),
+    )
+    corpus = base.unionByName(template)
+    path = str(tmp_path / "mh-hot")
+    dedup.minhash_index_build(corpus, path)
+    cap = dedup.select_bucket_cap(spark, path)
+    assert dedup.DEFAULT_BUCKET_CAP < cap <= dedup.MAX_BUCKET_CAP, cap
+    # Inline measured selection over the same corpus agrees.
+    banded = dedup._banded(
+        dedup.minhash_signatures(dedup.doc_shingles(corpus), 16), 4, 4
+    )
+    stats = dedup.band_stats_from_registers(
+        dedup.band_register_table(banded)
+    ).collect()
+    assert cap == max(r["bucket_cap"] for r in stats)
+    # bucket_cap='measured' == the explicit equal cap, bit for bit.
+    got = dedup.minhash_dedup_pairs(corpus, bucket_cap="measured").collect()
+    want = dedup.minhash_dedup_pairs(corpus, bucket_cap=cap).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got, "template cluster must pair"
+    # Healthy corpus: mean bucket ~1 -> the static default stands.
+    healthy_path = str(tmp_path / "mh-healthy")
+    dedup.minhash_index_build(docs.filter(F.col("doc_id") < 80), healthy_path)
+    assert dedup.select_bucket_cap(spark, healthy_path) == dedup.DEFAULT_BUCKET_CAP
+    # A stats-less index (predates the sidecar) refuses loudly.
+    _os.remove(_os.path.join(path, dedup.BAND_STATS_SIDECAR))
+    with _pytest.raises(ValueError, match="no _band_stats.json"):
+        dedup.select_bucket_cap(spark, path)
+    with _pytest.raises(ValueError, match="bucket_cap"):
+        dedup.minhash_dedup_pairs(corpus, bucket_cap="typo")
+
+
 def test_minhash_index_build_auto_layout(spark, tmp_path, monkeypatch):
     """band_buckets='auto' picks the layout from the estimated banded
     bytes: a small corpus writes FLAT (the measured faster serving

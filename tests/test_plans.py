@@ -576,6 +576,27 @@ def test_tfidf_bm25_tokenize_once(spark):
         )
 
 
+def test_band_stats_aggregate_only_no_joins(spark):
+    """dedup_band_stats is pure aggregation over one pass of the
+    banded frame: no join of any kind (a join here would mean the
+    register compaction re-derived something instead of folding it
+    map-side), two-phase aggregates, and at most the pipeline's four
+    exchanges (spread round-robin + signature agg + fine register agg
+    + per-band agg)."""
+    from datafusion_dist_spark.queries.llm import dedup_band_stats
+
+    facts = plan_facts(dedup_band_stats(spark, SF_DIR))
+    n_joins = (
+        facts["n_broadcast_joins"]
+        + facts["n_bnl_joins"]
+        + facts["n_sortmerge_joins"]
+        + facts["n_shuffledhash_joins"]
+    )
+    assert n_joins == 0, facts
+    assert facts["n_exchanges"] <= 4, facts
+    assert facts["partial_aggregate"], facts
+
+
 def test_minhash_bucketed_index_scan_is_partition_pruned(spark, tmp_path):
     """The band-bucketed minhash index (PARTITIONED BY band_id, bk)
     must serve a small batch with a PRUNED read: the parquet scan
