@@ -106,7 +106,7 @@ def main() -> None:
             raise SystemExit(f"unknown argument {a!r}")
     if ref_path is None:
         ref_path = (
-            "BENCH_SCALE_SKEW_r10.json" if skew else "BENCH_SCALE_r10.json"
+            "BENCH_SCALE_SKEW_r11.json" if skew else "BENCH_SCALE_r11.json"
         )
 
     from bench_scale import SCALE_QUERIES, SKEW_QUERIES

@@ -28,7 +28,7 @@ def main() -> None:
     lo_path, hi_path = (
         sys.argv[1:3]
         if len(sys.argv) >= 3
-        else ("BENCH_SCALE_F3_r10.json", "BENCH_SCALE_r10.json")
+        else ("BENCH_SCALE_F3_r11.json", "BENCH_SCALE_r11.json")
     )
     lo, hi = json.load(open(lo_path)), json.load(open(hi_path))
     flo, fhi = lo["factor"], hi["factor"]
