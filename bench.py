@@ -129,6 +129,10 @@ HEADLINE = [
     # r11 addition: per-band HLL compaction driving measured
     # bucket_cap selection for the minhash index
     "dedup_band_stats",
+    # r11 additions: quantile axis of the sketch family + Catalyst's
+    # runtime Bloom-filter join pruning
+    "agg_kmv_quantiles",
+    "join_runtime_bloom",
 ]
 
 

@@ -136,6 +136,13 @@ SCALE_QUERIES: dict[str, tuple[float, float] | None] = {
     # r11: band-cardinality stats — one register aggregate over the
     # banded frame (linear scan, bands x 2^p state).
     "dedup_band_stats": None,
+    # r11: quantile sketch — one group exchange with map-side
+    # WindowGroupLimit (<= k rows per group per task reach the
+    # shuffle), then constant per-group math.
+    "agg_kmv_quantiles": None,
+    # r11: runtime-Bloom shuffle join — the injected might_contain
+    # prefilter drops fact rows pre-shuffle; linear in the fact side.
+    "join_runtime_bloom": None,
 }
 
 # --skew zipf: the skewed-data rehearsal (r5). Same harness, but the
@@ -242,6 +249,10 @@ SKEW_QUERIES: dict[str, tuple[float, float] | None] = {
     # r10: a zipf-hot user_id is ONE distinct hash — KMV work is
     # cardinality-shaped too; the distinct exchange absorbs the skew.
     "agg_theta_intersection_matrix": (1.0, 1.5),
+    # r11 entries (agg_kmv_quantiles, join_runtime_bloom) are NOT in
+    # this tier: the skew axes (zipf o_custkey/user_id, document
+    # shape) touch neither l_returnflag grouping nor the o_orderkey
+    # join key — they are measured in the uniform tier.
 }
 
 EXCLUDED: dict[str, str] = {

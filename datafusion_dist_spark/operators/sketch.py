@@ -629,3 +629,194 @@ def countmin_lookup(
         .groupBy(key)
         .agg(F.min("cnt").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV quantile sketch: bottom-k row sampling -> distribution estimates.
+# Completes the sketch family's fourth axis: CMS answers frequency,
+# HLL cardinality, KMV/theta set algebra — this answers DISTRIBUTION
+# ("what is the p99 of this column per group?") from the same
+# pay-one-exchange-then-constant-state contract.
+
+import math as _math
+
+# 95% Dvoretzky-Kiefer-Wolfowitz band constant: ln(2/delta)/2 at
+# delta = 0.05. eps = sqrt(KMV_DKW / n) bounds sup|F_hat - F| with
+# probability 1-delta, so every estimated quantile's TRUE rank lies
+# within q +/- eps. Precomputed in Python so both engines see the
+# same double literal (no cross-engine log()).
+KMV_DKW = _math.log(2 / 0.05) / 2
+
+# (numerator, denominator, column) per estimated quantile. Rational so
+# the nearest-rank index (q*(n-1)) div den + 1 is PURE BIGINT math —
+# no float multiply whose rounding the oracle would have to mirror.
+KMV_QUANTS: tuple[tuple[int, int, str], ...] = (
+    (1, 4, "p25"),
+    (1, 2, "p50"),
+    (3, 4, "p75"),
+    (9, 10, "p90"),
+    (99, 100, "p99"),
+)
+
+
+def kmv_quantile_sketch(
+    df: DataFrame,
+    id_col: Column,
+    value_col: Column,
+    group_col: str,
+    k: int = KMV_K,
+) -> DataFrame:
+    """Bottom-k uniform ROW sample per group: the rows whose 60-bit
+    id-hash is among the ``k`` smallest, as ``(group_col, h, v, rn)``
+    — at most k (hash, value) pairs of state per group, ever.
+
+    Where ``kmv_sketch`` samples the DISTINCT-key space (set
+    algebra), this samples the ROW space: ``id_col`` must identify a
+    row uniquely (a key or key concat), so its hash is a uniform
+    [0, 2^60) draw per row and the k rows below the k-th order
+    statistic are a uniform simple random sample of the group —
+    carrying ``value_col`` along makes the sample's order statistics
+    estimators of the group's value DISTRIBUTION (``kmv_quantiles``).
+
+    Scale design: one exchange (the window's group partitioning) and
+    — same shape as ``kmv_sketch``, verified there in the executed
+    plan — Spark plants a map-side ``WindowGroupLimit`` before it, so
+    each task ships at most k rows per group into the shuffle. Groups
+    with fewer than k rows keep everything and are EXACT. The total
+    order is (h, v) so selection stays deterministic even across md5
+    collisions; NULL ids are dropped (mirror of the NULL-key contract
+    on every sketch build here)."""
+    from pyspark.sql import Window
+
+    h = hash_int60(id_col.cast("string"))
+    rows = df.where(id_col.isNotNull()).select(
+        F.col(group_col), h.alias("h"), value_col.alias("v")
+    )
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        rows.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_quantile_merge(
+    sketches: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Merge quantile-sketch tables (shards / streaming batches): the
+    bottom-k of a union under the (h, v) total order is the re-ranked
+    bottom-k of each part's bottom-k, so the merge reproduces the
+    full-data build bit-for-bit (property-tested), and the distinct
+    on (group, h, v) makes replayed shards idempotent. State stays
+    <= groups*k rows forever — same contract as ``kmv_merge``."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy("h", "v")
+    return (
+        sketches.select(group_col, "h", "v")
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+    )
+
+
+def kmv_quantiles(
+    sk: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Per-group quantile estimates from a ``kmv_quantile_sketch``:
+    ``(group_col, n_sample, exact, p25, p50, p75, p90, p99,
+    est_eps)``, each quantile the nearest-rank order statistic
+    ``(q*(n-1)) div den + 1`` of the retained sample (BIGINT index
+    math — both engines compute it identically).
+
+    ``est_eps`` is the 95% DKW band sqrt(ln(40)/(2n)): with
+    probability 0.95 the sample CDF is uniformly within eps of the
+    true CDF, so each reported quantile's true rank lies in
+    [q - eps, q + eps] — the evidence-quality column beside the
+    estimate, same contract as the theta matrix's est_rse. Groups
+    whose sample holds the whole group (n_sample < k) are EXACT:
+    ``exact`` is true and est_eps is 0.0. All work after the sketch
+    is per-group math over <= k rows — the second window reuses the
+    sketch's group partitioning (zero additional exchanges,
+    plan-gated)."""
+    from pyspark.sql import Window
+
+    wn = Window.partitionBy(group_col)
+    wv = Window.partitionBy(group_col).orderBy("v", "h")
+    s = sk.withColumn("n", F.count("*").over(wn)).withColumn(
+        "vrank", F.row_number().over(wv)
+    )
+    aggs = [F.max("n").alias("n_sample")]
+    for num, den, name in KMV_QUANTS:
+        idx = F.expr(f"(({num} * (n - 1)) div {den}) + 1")
+        aggs.append(
+            F.max(F.when(F.col("vrank") == idx, F.col("v"))).alias(name)
+        )
+    out = s.groupBy(group_col).agg(*aggs)
+    eps = F.when(F.col("n_sample") < k, F.lit(0.0)).otherwise(
+        F.round(
+            F.sqrt(F.lit(KMV_DKW) / F.col("n_sample").cast("double")), 4
+        )
+    )
+    return out.select(
+        group_col,
+        "n_sample",
+        (F.col("n_sample") < k).alias("exact"),
+        *[F.col(name) for _, _, name in KMV_QUANTS],
+        eps.alias("est_eps"),
+    )
+
+
+def kmv_quantile_sketch_oracle(
+    id_expr: str,
+    value_expr: str,
+    table_sql: str,
+    group_col: str,
+    k: int = KMV_K,
+) -> str:
+    """DuckDB mirror of ``kmv_quantile_sketch`` (same md5 hash window,
+    same (h, v) rank order)."""
+    h = hash_int60_oracle(f"CAST({id_expr} AS VARCHAR)")
+    return f"""
+        SELECT {group_col}, h, v,
+               row_number() OVER (PARTITION BY {group_col}
+                                  ORDER BY h, v) AS rn
+        FROM (SELECT {group_col}, {h} AS h, {value_expr} AS v
+              FROM {table_sql} WHERE {id_expr} IS NOT NULL)
+        QUALIFY rn <= {k}
+    """
+
+
+def kmv_quantiles_oracle(
+    sketch_sql: str, group_col: str, k: int = KMV_K
+) -> str:
+    """DuckDB mirror of ``kmv_quantiles`` over a sketch subquery —
+    identical BIGINT index math (``//`` == Spark ``div`` on the
+    non-negative indexes here) and the same one-divide-then-sqrt
+    est_eps, so every output value hash-matches."""
+    qcols = ", ".join(
+        f"MAX(CASE WHEN vrank = (({num} * (n - 1)) // {den}) + 1 "
+        f"THEN v END) AS {name}"
+        for num, den, name in KMV_QUANTS
+    )
+    names = ", ".join(name for _, _, name in KMV_QUANTS)
+    return f"""
+        WITH s AS ({sketch_sql}),
+        r AS (
+            SELECT {group_col}, h, v,
+                   count(*) OVER (PARTITION BY {group_col}) AS n,
+                   row_number() OVER (PARTITION BY {group_col}
+                                      ORDER BY v, h) AS vrank
+            FROM s
+        ),
+        q AS (
+            SELECT {group_col}, MAX(n) AS n_sample, {qcols}
+            FROM r GROUP BY {group_col}
+        )
+        SELECT {group_col}, n_sample, (n_sample < {k}) AS exact,
+               {names},
+               CASE WHEN n_sample < {k} THEN 0.0
+                    ELSE round(sqrt({KMV_DKW!r}
+                               / CAST(n_sample AS DOUBLE)), 4)
+               END AS est_eps
+        FROM q
+    """

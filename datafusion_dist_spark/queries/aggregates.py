@@ -950,3 +950,67 @@ def agg_theta_intersection_matrix(
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     sk = sketch.kmv_sketch(ev, "user_id", "event_type")
     return sketch.kmv_intersection_matrix(sk, "event_type")
+
+
+_KMVQ_ID_SQL = (
+    "CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR)"
+)
+_KMVQ_SK_SQL = sketch.kmv_quantile_sketch_oracle(
+    _KMVQ_ID_SQL,
+    "CAST(ROUND(l_extendedprice*100) AS BIGINT)",
+    "lineitem",
+    "l_returnflag",
+)
+_KMVQ_PRICES = ", ".join(
+    f"CAST({name} AS DOUBLE)/100.0 AS {name}_price"
+    for _, _, name in sketch.KMV_QUANTS
+)
+
+
+@register(
+    "agg_kmv_quantiles",
+    oracle=f"""
+        SELECT l_returnflag, n_sample, exact, {_KMVQ_PRICES}, est_eps
+        FROM ({sketch.kmv_quantiles_oracle(_KMVQ_SK_SQL, "l_returnflag")})
+    """,
+    doc="Per-group price quantiles (p25/p50/p75/p90/p99) from a "
+    f"k={sketch.KMV_K} bottom-hash uniform ROW sample — the sketch "
+    "family's fourth axis (CMS: frequency, HLL: cardinality, "
+    "KMV/theta: set algebra, this: DISTRIBUTION). The sample is the "
+    "k rows with the smallest 60-bit hashes of the row key "
+    "(l_orderkey|l_linenumber), so at 100 TB the build pays one "
+    "group exchange with map-side WindowGroupLimit pre-pruning "
+    "(<= k rows per group per task reach the shuffle), holds "
+    "groups*k state, is mergeable across shards/batches bit-for-bit "
+    "(property-tested), and answers every later quantile question "
+    "from <= k retained rows per group. est_eps is the 95% DKW band "
+    "sqrt(ln(40)/(2n)) — the true rank of each reported quantile "
+    "lies within q +/- est_eps with 95% probability; groups smaller "
+    "than k are exact (exact=true, est_eps=0). Quantile indexes are "
+    "pure BIGINT nearest-rank math and money stays integer cents "
+    "until one final cast, so DuckDB reproduces every value "
+    "bit-for-bit. (operators/sketch.py:kmv_quantile_sketch)",
+)
+def agg_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    rid = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    sk = sketch.kmv_quantile_sketch(
+        li, rid, cents("l_extendedprice"), "l_returnflag"
+    )
+    q = sketch.kmv_quantiles(sk, "l_returnflag")
+    return q.select(
+        "l_returnflag",
+        "n_sample",
+        "exact",
+        *[
+            (F.col(name).cast("double") / 100.0).alias(f"{name}_price")
+            for _, _, name in sketch.KMV_QUANTS
+        ],
+        "est_eps",
+    )

@@ -430,3 +430,63 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double") / 100.0
         ).alias("revenue"),
     )
+
+
+@register(
+    "join_runtime_bloom",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS n_items,
+               CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT))
+                    AS DOUBLE)/100.0 AS sum_price
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+        GROUP BY o_orderpriority
+    """,
+    doc="Shuffle join with Catalyst's RUNTIME Bloom-filter pruning "
+    "(InjectRuntimeFilter): the selective dimension filter "
+    "(o_orderpriority/o_totalprice) is compiled into a bloom_filter_agg "
+    "over the creation side's join keys, and a might_contain prefilter "
+    "is planted above the FACT scan — so at 100 TB the lineitem side "
+    "drops non-matching rows BEFORE paying the shuffle, the engine-"
+    "native generalization of the manual broadcast-Bloom prefilter in "
+    "decontaminate_bloom_verify. The filter is lossy-safe (false "
+    "positives pass through to the exact join; results identical to "
+    "the plain join, which is the oracle). Demonstrated where it "
+    "matters: a too-big-to-broadcast dimension (the local session "
+    "scopes autoBroadcastJoinThreshold=-1 and the scan-size floor to "
+    "model that regime via spark.newSession(), leaving the shared "
+    "session untouched); the executed-plan gate asserts might_contain "
+    "actually injected. (planner.rs:132-133 covers the partitioned "
+    "hash join itself; runtime filtering is beyond-reference.)",
+)
+def join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Confs are scoped to a child session (shared SparkContext, own
+    # SQLConf) because Catalyst reads them at EXECUTION time — a
+    # set/restore around the build would be a no-op for the caller
+    # who collects later, and setting them on the shared session
+    # would perturb every other query's join planning.
+    ns = spark.newSession()
+    ns.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ns.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "0",
+    )
+    ns.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    orders = load_table(ns, sf_dir, "orders").where(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > 150000)
+    )
+    li = load_table(ns, sf_dir, "lineitem")
+    j = li.join(
+        orders.hint("shuffle_hash"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        (
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .cast("double")
+            / 100.0
+        ).alias("sum_price"),
+    )

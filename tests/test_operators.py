@@ -2096,3 +2096,107 @@ def test_countmin_lookup_rejects_grouped_grid(spark):
     )
     with pytest.raises(ValueError, match="ungrouped"):
         sketch.countmin_lookup(ev.select("user_id").distinct(), grouped, "user_id")
+
+
+def test_kmv_quantile_merge_equals_rebuild(spark):
+    """The quantile sketch's bottom-k row sample under the (h, v)
+    total order is mergeable exactly like the distinct-key KMV: the
+    re-ranked bottom-k of two shards' bottom-k equals the full-data
+    build bit-for-bit, and replaying a shard changes nothing (the
+    merge's distinct on (group, h, v) absorbs it) — the property
+    that makes the sketch a distributed/streaming aggregate, checked
+    through the SHIPPED merge step."""
+    from datafusion_dist_spark.operators import sketch
+
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    rid = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    v = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+
+    def sk_of(df):
+        return sketch.kmv_quantile_sketch(df, rid, v, "l_returnflag")
+
+    half_a = li.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 0)
+    half_b = li.where(F.pmod(F.col("l_orderkey"), F.lit(2)) == 1)
+    merged = sketch.kmv_quantile_merge(
+        sk_of(half_a).unionByName(sk_of(half_b)), "l_returnflag"
+    )
+    full = sk_of(li)
+    want = {
+        (r["l_returnflag"], r["h"], r["v"], r["rn"])
+        for r in full.collect()
+    }
+    got = {
+        (r["l_returnflag"], r["h"], r["v"], r["rn"])
+        for r in merged.collect()
+    }
+    assert got == want
+    replayed = sketch.kmv_quantile_merge(
+        full.unionByName(sk_of(half_a)), "l_returnflag"
+    )
+    got_replay = {
+        (r["l_returnflag"], r["h"], r["v"], r["rn"])
+        for r in replayed.collect()
+    }
+    assert got_replay == want
+
+
+def test_kmv_quantiles_exact_mode(spark):
+    """A group smaller than k retains every row, so the reported
+    quantiles are the EXACT nearest-rank order statistics, exact is
+    flagged, and est_eps is literally 0.0 — planted 10 known values
+    checked against hand-computed (q*(n-1)) div den + 1 indexes."""
+    from datafusion_dist_spark.operators import sketch
+
+    rows = [("g", i, i * 10) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, ["grp", "rid", "val"])
+    sk = sketch.kmv_quantile_sketch(
+        df, F.col("rid").cast("string"), F.col("val"), "grp"
+    )
+    assert sk.count() == 10
+    out = sketch.kmv_quantiles(sk, "grp").collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sample"] == 10 and r["exact"] is True
+    # n=10: idx(p25)=3, idx(p50)=5, idx(p75)=7, idx(p90)=9, idx(p99)=9
+    assert (r["p25"], r["p50"], r["p75"], r["p90"], r["p99"]) == (
+        30, 50, 70, 90, 90,
+    )
+    assert r["est_eps"] == 0.0
+
+
+def test_kmv_quantiles_dkw_accuracy(spark):
+    """The DKW band the est_eps column claims must actually contain
+    the truth on real data: for every estimated quantile, the TRUE
+    empirical CDF rank of the estimate (fraction of the full group at
+    or below it) lies within q ± est_eps. One all-rows group makes n
+    >> k so the estimator genuinely samples (exact=false)."""
+    from datafusion_dist_spark.operators import sketch
+
+    li = (
+        load_table(spark, SF_DIR, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .withColumn("grp", F.lit("all"))
+    )
+    rid = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+    )
+    v = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    sk = sketch.kmv_quantile_sketch(li, rid, v, "grp")
+    r = sketch.kmv_quantiles(sk, "grp").collect()[0]
+    assert r["exact"] is False and r["n_sample"] == sketch.KMV_K
+    n_total = li.count()
+    for (num, den, name) in sketch.KMV_QUANTS:
+        q = num / den
+        est = r[name]
+        true_rank = li.where(v <= est).count() / n_total
+        assert abs(true_rank - q) <= r["est_eps"], (
+            name, est, true_rank, q, r["est_eps"],
+        )

@@ -887,3 +887,56 @@ def test_cms_watchlist_single_grid_build(spark):
     assert tree.count("Scan parquet") == 2, tree
     assert tree.count("Generate") == 2, tree
     assert "CartesianProduct" not in tree
+
+
+def test_kmv_quantiles_single_exchange_window_group_limit(spark):
+    """agg_kmv_quantiles' plan: ONE exchange total — the sketch
+    window's group partitioning is reused by the quantile window and
+    the final per-group aggregate (same key), and Spark plants a
+    map-side WindowGroupLimit before it, so each task ships at most
+    k rows per group into that one shuffle. No joins anywhere: the
+    whole estimator is window + aggregate algebra."""
+    from datafusion_dist_spark.queries.aggregates import agg_kmv_quantiles
+
+    df = agg_kmv_quantiles(spark, SF_DIR)
+    facts = plan_facts(df)
+    assert facts["n_exchanges"] == 1, formatted_plan(df)
+    assert (
+        facts["n_broadcast_joins"]
+        + facts["n_shuffledhash_joins"]
+        + facts["n_sortmerge_joins"]
+        + facts["n_bnl_joins"]
+    ) == 0
+    assert "WindowGroupLimit" in formatted_plan(df)
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """join_runtime_bloom's plan must show Catalyst's runtime Bloom
+    filter actually planted above the fact side (might_contain over a
+    bloom_filter_agg subquery) with the join kept a shuffle join —
+    the at-scale regime the entry models. The conf scoping must not
+    leak: the SHARED session's thresholds stay at their defaults."""
+    from datafusion_dist_spark.queries.relational import join_runtime_bloom
+
+    before_bloom = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    before_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    df = join_runtime_bloom(spark, SF_DIR)
+    txt = formatted_plan(df).lower()
+    assert "might_contain" in txt, txt[:3000]
+    assert "broadcasthashjoin" not in txt
+    rows = df.collect()
+    assert len(rows) == 1 and rows[0]["n_items"] > 0
+    assert (
+        spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold"
+        )
+        == before_bloom
+    )
+    assert (
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        == before_bcast
+    )
