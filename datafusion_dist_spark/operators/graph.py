@@ -65,9 +65,19 @@ def bipartite_edges(
     )
     c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
     s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-    fwd = pairs.select(c.alias("src"), s.alias("dst"))
-    rev = pairs.select(s.alias("src"), c.alias("dst"))
-    return fwd.unionByName(rev)
+    # Single-pass fan-out: fwd UNION rev inlined the orders⋈lineitem +
+    # distinct pipeline into BOTH branches (two full derivations, four
+    # parquet scans in the uncached plan); one Generate emits the same
+    # two directed rows per pair from one derivation (guide §2.4 —
+    # remove whole repeated passes before tuning anything else).
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(c.alias("src"), s.alias("dst")),
+                F.struct(s.alias("src"), c.alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def _cut_lineage(df: DataFrame) -> DataFrame:
@@ -123,10 +133,23 @@ def pagerank(
     identical with or without cuts (pinned by test against the 8-round
     SQL oracle).
     """
-    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # Out-degree as a window count over the edge list itself: the old
+    # groupBy + re-join referenced `edges` twice (Catalyst inlines each
+    # reference as a full copy of the upstream subtree — two complete
+    # edge derivations in the cache-build plan) and paid three
+    # exchanges (agg partial/final + both join sides). One window over
+    # hashpartitioning(src) annotates every edge in a single pass and
+    # leaves the cached table partitioned by src — exactly the key the
+    # per-iteration score⋈edges join needs (guide §2.4: operations
+    # keyed the same way share one exchange).
+    from pyspark.sql import Window
+
     global _CACHED_SRC_DEG
     src_deg, _CACHED_SRC_DEG = _single_entry_cache(
-        edges.join(deg, "src"), _CACHED_SRC_DEG
+        edges.withColumn(
+            "outdeg", F.count("*").over(Window.partitionBy("src"))
+        ),
+        _CACHED_SRC_DEG,
     )
     # Initial score: 1.0 (== SCALE) for every node. Node set = all
     # srcs (symmetric graph: srcs == dsts == nodes); derived from the
@@ -195,21 +218,27 @@ def copurchase_edges(
     self-join (dedup_ngram_jaccard_capped's discipline), bounding the
     pair fan-out per part to max_group² at any data scale.
     """
+    from pyspark.sql import Window
+
     cp = (
         lineitem.filter(F.col("l_quantity") >= min_quantity)
         .join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
         .select(F.col("l_partkey").alias("pk"), F.col("o_custkey").alias("ck"))
         .distinct()
     )
-    small = (
-        cp.groupBy("pk")
-        .agg(F.count("*").alias("nc"))
-        .filter(F.col("nc") <= max_group)
-    )
-    a, b = cp.alias("a"), cp.alias("b")
+    # The cap as a window count instead of a groupBy + semi-join back:
+    # the old three-reference shape (cp → small, cp → a, cp → b)
+    # inlined the lineitem⋈orders derivation three times; the window
+    # annotates each posting with its list size in the same
+    # hashpartitioning(pk) pass the self-join needs anyway, and the
+    # remaining two references (a, b) are identical subtrees that
+    # collapse via AQE stage reuse — one derivation total.
+    capped = cp.withColumn(
+        "nc", F.count("*").over(Window.partitionBy("pk"))
+    ).filter(F.col("nc") <= max_group).select("pk", "ck")
+    a, b = capped.alias("a"), capped.alias("b")
     return (
-        a.join(small.select("pk"), "pk")
-        .join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.ck") < F.col("b.ck")))
+        a.join(b, (F.col("a.pk") == F.col("b.pk")) & (F.col("a.ck") < F.col("b.ck")))
         .select(F.col("a.ck").alias("u"), F.col("b.ck").alias("v"))
         .distinct()
     )

@@ -112,12 +112,26 @@ def _dup_offset(spark: SparkSession, sf_dir: str) -> int:
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents plus the planted 20% near-duplicate replicas.
+
+    Row-identical to the historical ``documents UNION ALL shifted
+    subset`` (the oracle's CORPUS_CTE keeps that form), but built as a
+    single-scan fan-out: each row explodes into itself plus — for
+    doc_id % 5 == 0 — an id-shifted replica. The union form inlined the
+    documents scan into BOTH branches, so every corpus-consuming entry
+    paid two full parquet reads+decodes (the %5 predicate cannot push
+    down, so branch two still read every row); at 100 TB that is an
+    entire extra pass over the corpus per query (guide §1.2/§2.4:
+    remove whole passes first). One Generate after one scan emits the
+    same rows. NULL doc_ids ride the otherwise-branch unchanged, same
+    as the union (NULL % 5 is NULL, never = 0)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    dup = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + _dup_offset(spark, sf_dir)).alias("doc_id"),
-        "text",
-    )
-    return d.unionByName(dup)
+    off = _dup_offset(spark, sf_dir)
+    fan = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.array(F.col("doc_id"), F.col("doc_id") + off),
+    ).otherwise(F.array(F.col("doc_id")))
+    return d.select(F.explode(fan).alias("doc_id"), "text")
 
 
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
@@ -2617,15 +2631,21 @@ def entity_match_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent_offset = _planted_id_offset(
         spark, sf_dir, "customer", "c_custkey", 1_000_000
     )
-    typo = c.filter(F.col("c_custkey") % 10 == 0).select(
+    # Single-scan fan-out of the ents ∪ typo union (same rows; the
+    # union form read customer twice — one full extra pass at scale).
+    base = F.struct(
+        F.col("c_custkey").alias("ent_key"), F.col("c_name").alias("name")
+    )
+    typo = F.struct(
         (F.col("c_custkey") + ent_offset).alias("ent_key"),
         F.concat(
             F.expr("substr(c_name, 1, length(c_name) - 1)"), F.lit("X")
         ).alias("name"),
     )
-    ents = c.select(
-        F.col("c_custkey").alias("ent_key"), F.col("c_name").alias("name")
-    ).unionByName(typo)
+    fan = F.when(
+        F.col("c_custkey") % 10 == 0, F.array(base, typo)
+    ).otherwise(F.array(base))
+    ents = c.select(F.explode(fan).alias("e")).select("e.ent_key", "e.name")
     blocked = ents.withColumn("blk", F.expr("substr(name, 1, 16)"))
     a, b = blocked.alias("a"), blocked.alias("b")
     dist = F.levenshtein(F.col("a.name"), F.col("b.name"))
@@ -2781,12 +2801,19 @@ _NORM_ORACLE = dedup.normalized_text_oracle("text")
     "(operators/dedup.py:exact_dedup_normalized)",
 )
 def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-scan fan-out of the documents ∪ planted-variant union
+    # (same rows, one parquet pass instead of two).
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    variant = d.filter(F.col("doc_id") % 7 == 0).select(
+    base = F.struct(F.col("doc_id"), F.col("text"))
+    variant = F.struct(
         (F.col("doc_id") + 2 * _dup_offset(spark, sf_dir)).alias("doc_id"),
         F.concat(F.upper(F.col("text")), F.lit("!!")).alias("text"),
     )
-    return dedup.exact_dedup_normalized(d.unionByName(variant))
+    fan = F.when(
+        F.col("doc_id") % 7 == 0, F.array(base, variant)
+    ).otherwise(F.array(base))
+    ncorpus = d.select(F.explode(fan).alias("e")).select("e.doc_id", "e.text")
+    return dedup.exact_dedup_normalized(ncorpus)
 
 
 @register(
@@ -2932,16 +2959,28 @@ def pipeline_shuffle_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(operators/dedup.py:minhash_dedup_pairs with split_id)",
 )
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    index = d.filter(F.col("doc_id") < 400)
-    planted = index.filter(F.col("doc_id") % 9 == 0).select(
-        (F.col("doc_id") + 3 * _dup_offset(spark, sf_dir)).alias("doc_id"),
-        "text",
+    # Single-scan fan-out of the three-branch union (index ∪ batch ∪
+    # planted copies): each row emits itself plus — for index docs with
+    # doc_id % 9 == 0 — the id-shifted planted replica. Row-identical
+    # to the union (the oracle keeps that form), but one parquet pass
+    # instead of three, and the band self-join's two identical subtrees
+    # now collapse via AQE stage reuse (the union's asymmetric branches
+    # defeated it). NULL doc_ids are dropped exactly as the old
+    # (< 400) ∪ (>= 400) filters did.
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("doc_id").isNotNull())
     )
-    batch = d.filter(F.col("doc_id") >= 400).unionByName(planted)
+    off3 = 3 * _dup_offset(spark, sf_dir)
+    fan = F.when(
+        (F.col("doc_id") < 400) & (F.col("doc_id") % 9 == 0),
+        F.array(F.col("doc_id"), F.col("doc_id") + off3),
+    ).otherwise(F.array(F.col("doc_id")))
+    corpus = d.select(F.explode(fan).alias("doc_id"), "text")
     return (
         dedup.minhash_dedup_pairs(
-            index.unionByName(batch),
+            corpus,
             bands=BANDS,
             rows_per_band=ROWS_PER_BAND,
             threshold=0.5,
@@ -3574,9 +3613,11 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = d.filter(F.col("doc_id") % 11 != 0).select(
         "doc_id", "source", F.md5("text").alias("digest")
     )
-    v2_base = d.select(
-        "doc_id",
-        "source",
+    # v2 as a single-scan fan-out of the v2_base ∪ v2_new union (same
+    # rows, one documents pass instead of two for the v2 side).
+    v2_base = F.struct(
+        F.col("doc_id"),
+        F.col("source"),
         F.when(
             F.col("doc_id") % 13 == 0,
             F.md5(F.concat(F.col("text"), F.lit(" edited"))),
@@ -3584,12 +3625,18 @@ def pipeline_dataset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5("text"))
         .alias("digest"),
     )
-    v2_new = d.filter(F.col("doc_id") % 17 == 0).select(
+    v2_new = F.struct(
         (F.col("doc_id") + 7 * _dup_offset(spark, sf_dir)).alias("doc_id"),
-        "source",
+        F.col("source"),
         F.md5("text").alias("digest"),
     )
-    v2 = v2_base.unionByName(v2_new)
+    v2 = d.select(
+        F.explode(
+            F.when(
+                F.col("doc_id") % 17 == 0, F.array(v2_base, v2_new)
+            ).otherwise(F.array(v2_base))
+        ).alias("e")
+    ).select("e.doc_id", "e.source", "e.digest")
     a, b = v1.alias("a"), v2.alias("b")
     j = a.join(b, F.col("a.doc_id") == F.col("b.doc_id"), "full_outer").select(
         F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
