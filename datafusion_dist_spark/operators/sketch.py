@@ -688,8 +688,19 @@ def kmv_quantile_sketch(
     on every sketch build here)."""
     from pyspark.sql import Window
 
+    from datafusion_dist_spark.operators.common import spread
+
     h = hash_int60(id_col.cast("string"))
-    rows = df.where(id_col.isNotNull()).select(
+    # spread(): a single-file source arrives in one split, so the md5
+    # hashing + the map-side Sort/WindowGroupLimit (the bulk of this
+    # build's per-row work) would run on one core. Round-robin first
+    # spreads that over the cluster; the partial WindowGroupLimit then
+    # cuts each partition to <= k rows per group before the group
+    # exchange, so the extra exchange moves only the narrow
+    # (group, h, v) triples. An already-parallel input (the 100 TB
+    # case) passes through unprobed — selection is (h, v)-total-order
+    # deterministic, so partitioning cannot change the result.
+    rows = spread(df.where(id_col.isNotNull())).select(
         F.col(group_col), h.alias("h"), value_col.alias("v")
     )
     w = Window.partitionBy(group_col).orderBy("h", "v")
