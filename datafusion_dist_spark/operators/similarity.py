@@ -516,22 +516,50 @@ def kmeans_train(
     literal centroids — a 50-round run compiles the same plan shape as
     round 1 (codegen size grows with K, never with rounds). No
     checkpointing needed.
+
+    The training loop persists the narrow (id, vector) projection —
+    post-spread, so the cache is already balanced across the cluster —
+    and every round's scan reads that in-memory table instead of
+    re-scanning the source and re-paying the round-robin exchange
+    (N rounds: 1 scan + 1 shuffle, not N of each). The cache is
+    released before returning; the RETURNED DataFrame is rebuilt from
+    the raw table parameterized by the final round's codebook, so
+    callers never hold executor storage. Rebuild equals loop output
+    bit-for-bit: assignment is a deterministic function of (vector,
+    codebook) and the fixed-point integer means are order-independent.
     """
-    out = kmeans_refine_step(
-        embeddings, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
-    )
-    prev_codebook: list | None = None
-    rounds = 1
-    while rounds < max_rounds:
-        codebook = collect_codebook(out)
-        if codebook == prev_codebook:
-            break  # exact fixed point: further rounds are no-ops
-        prev_codebook = codebook
+    vecs = spread(
+        embeddings.select(F.col(id_col), F.col(vec_col))
+    ).persist()
+    try:
         out = kmeans_refine_step(
-            embeddings, codebook=codebook, id_col=id_col, vec_col=vec_col
+            vecs, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
         )
-        rounds += 1
-    return out, rounds
+        param: list | None = None  # codebook parameterizing `out`'s round
+        prev_codebook: list | None = None
+        rounds = 1
+        while rounds < max_rounds:
+            codebook = collect_codebook(out)
+            if codebook == prev_codebook:
+                break  # exact fixed point: further rounds are no-ops
+            prev_codebook = codebook
+            param = codebook
+            out = kmeans_refine_step(
+                vecs, codebook=codebook, id_col=id_col, vec_col=vec_col
+            )
+            rounds += 1
+    finally:
+        vecs.unpersist()
+    return (
+        kmeans_refine_step(
+            embeddings,
+            n_centroids=n_centroids,
+            codebook=param,
+            id_col=id_col,
+            vec_col=vec_col,
+        ),
+        rounds,
+    )
 
 
 def _probe_rank_key(row):
@@ -1441,8 +1469,13 @@ def ivf_knn_join(
     cvecs = [cmap[c] for c in cids]
     cnorms = [_lit_norm(v) for v in cvecs]
     dim = len(cvecs[0])
-    sims = _collect_probe_sims(cents, qdf, dim)
     qvec_map = {int(r.q_id): [float(v) for v in r.q_vec] for r in q_rows}
+    sims = _collect_probe_sims(
+        spark,
+        [(c, cmap[c]) for c in cids],
+        [(q, qvec_map[q]) for q in sorted(qvec_map)],
+        dim,
+    )
     probe_rows = _probe_rows_from_sims(sims, nprobe, qvec_map)
     probes = spark.createDataFrame(
         probe_rows, "q_id long, q_vec array<double>, q_norm double, pcid long"
@@ -1473,24 +1506,40 @@ def ivf_knn_join(
     return _score_probed(assigned, probes, k, dim)
 
 
-def _collect_probe_sims(cents: DataFrame, qdf: DataFrame, dim: int) -> list:
-    """One centroids × queries job (both sides driver-sized) returning
+def _collect_probe_sims(
+    spark,
+    cent_pairs: list[tuple[int, list[float]]],
+    q_pairs: list[tuple[int, list[float]]],
+    dim: int,
+) -> list:
+    """One K × |Q| job over a DRIVER-LOCAL pair relation returning
     SCALAR rows only — (q_id, cid, qsim) with the in-plan rounded
-    cosine, so probe ranking matches the SQL oracle's by construction.
-    The vectors themselves are deliberately NOT in the result: a
-    |Q|×K collect carrying dim-width arrays per pair is the py4j
-    bottleneck the strong-scaling rehearsal caught (4 s at x10 data
-    for rows whose scalar form is milliseconds). Shared by the inline
-    and prebuilt IVF kNN paths."""
-    return (
-        cents.crossJoin(F.broadcast(qdf))
-        .select(
-            "q_id",
-            "cid",
-            F.round(cosine("cvec", "q_vec", dim), 6).alias("qsim"),
-        )
-        .collect()
+    cosine, so probe ranking matches the SQL oracle's by construction
+    (same codegen'd expression, identical summation order). Both
+    callers have already collected the centroid and query vectors, so
+    the pairs are enumerated driver-side and evaluated over one
+    LocalTableScan — no source re-scan and no broadcast-build job,
+    which the previous cents × broadcast(qdf) shape paid per call
+    (two extra scheduler round-trips for K × |Q| rows that are
+    driver-sized by contract). The vectors are deliberately NOT in
+    the result: a |Q|×K collect carrying dim-width arrays per pair is
+    the py4j bottleneck the strong-scaling rehearsal caught (4 s at
+    x10 data for rows whose scalar form is milliseconds). Shared by
+    the inline and prebuilt IVF kNN paths."""
+    pairs = [
+        (q_id, cid, cvec, qvec)
+        for cid, cvec in cent_pairs
+        for q_id, qvec in q_pairs
+    ]
+    local = spark.createDataFrame(
+        pairs,
+        "q_id long, cid long, cvec array<double>, q_vec array<double>",
     )
+    return local.select(
+        "q_id",
+        "cid",
+        F.round(cosine("cvec", "q_vec", dim), 6).alias("qsim"),
+    ).collect()
 
 
 def _probe_rows_from_sims(
@@ -1675,18 +1724,23 @@ def ivf_knn_join_prebuilt(
     if not book["cids"]:
         return empty
     dim = int(book["dim"])
-    cents = spark.createDataFrame(
-        [(int(c), [float(v) for v in vec]) for c, vec in zip(book["cids"], book["cvecs"])],
-        "cid long, cvec array<double>",
-    )
+    cent_pairs = [
+        (int(c), [float(v) for v in vec])
+        for c, vec in zip(book["cids"], book["cvecs"])
+    ]
     qdf = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     q_rows = qdf.collect()
     if not q_rows:
         return empty
-    sims = _collect_probe_sims(cents, qdf, dim)
     qvec_map = {int(r.q_id): [float(v) for v in r.q_vec] for r in q_rows}
+    sims = _collect_probe_sims(
+        spark,
+        cent_pairs,
+        [(q, qvec_map[q]) for q in sorted(qvec_map)],
+        dim,
+    )
     probe_rows = _probe_rows_from_sims(sims, nprobe, qvec_map)
     probes = spark.createDataFrame(
         probe_rows, "q_id long, q_vec array<double>, q_norm double, pcid long"
