@@ -1220,15 +1220,20 @@ def _pq_explode(
     id_col: str,
     vec_col: str,
     micro: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Vector → (id, subspace, offset, micro-unit component) quads.
     Quantization uses in-plan SQL ROUND so both engines agree
-    bit-for-bit (Python's banker's rounding would diverge)."""
+    bit-for-bit (Python's banker's rounding would diverge). ``carry``
+    names extra columns of ``df`` threaded through unchanged (e.g. a
+    precomputed coarse cid, so a caller never joins back for it)."""
     return df.select(
         F.col(id_col).alias(keep),
+        *carry,
         F.posexplode(vec_col).alias("_i", "_x"),
     ).select(
         keep,
+        *carry,
         F.expr(f"_i div {sub_dim}").alias("s"),
         (F.col("_i") % sub_dim).alias("o"),
         F.round(F.col("_x").cast("double") * micro).cast("bigint").alias("m"),
@@ -1261,6 +1266,9 @@ def pq_codes(
     micro: int = 1_000_000,
     dim: int | None = None,
     codebook_src: DataFrame | None = None,
+    carry: tuple[str, ...] = (),
+    cb_id_col: str | None = None,
+    cb_vec_col: str | None = None,
 ) -> DataFrame:
     """PQ code assignment: (vid, s, code, dist) — per vector and
     subspace, the nearest codebook entry by exact integer squared-L2.
@@ -1269,26 +1277,33 @@ def pq_codes(
     ``dim`` skips the probe job when the caller already knows it;
     ``codebook_src`` lets a caller encode a FILTERED subset against
     the full table's codebook (the probed subset may not contain the
-    seed rows)."""
+    seed rows); ``carry`` threads extra columns of ``embeddings``
+    through the grouping unchanged (each must be functionally
+    determined by the id column, e.g. a precomputed coarse cid — the
+    groups are then identical with or without it)."""
     if dim is None:
         dim = _probe_dim(embeddings, vec_col) or 1
     sub_dim = dim // n_subspaces
-    ex = _pq_explode(spread(embeddings), "vid", sub_dim, id_col, vec_col, micro)
+    ex = _pq_explode(
+        spread(embeddings), "vid", sub_dim, id_col, vec_col, micro,
+        carry=carry,
+    )
     cb = pq_subspace_codebook(
         codebook_src if codebook_src is not None else embeddings,
-        n_codes, sub_dim, id_col, vec_col, micro,
+        n_codes, sub_dim, cb_id_col or id_col, cb_vec_col or vec_col, micro,
     )
     d = F.col("m") - F.col("cm")
     dists = (
         ex.join(F.broadcast(cb), ["s", "o"])
-        .groupBy("vid", "s", "code")
+        .groupBy("vid", *carry, "s", "code")
         .agg(F.sum(d * d).alias("dist"))
     )
     return (
-        dists.groupBy("vid", "s")
+        dists.groupBy("vid", *carry, "s")
         .agg(F.min(F.struct("dist", "code")).alias("b"))
         .select(
-            "vid", "s", F.col("b.code").alias("code"), F.col("b.dist").alias("dist")
+            "vid", *carry, "s",
+            F.col("b.code").alias("code"), F.col("b.dist").alias("dist"),
         )
     )
 
@@ -1335,10 +1350,22 @@ def ivf_pq_topk(
     cent_rows, probes, scorer = _coarse_probe(
         embeddings, query_vec, n_centroids, nprobe, id_col, vec_col
     )
-    assigned = (
-        embeddings.select(id_col, scorer(F.col(vec_col)).alias("s"))
+    # ONE full pass: assign the coarse cid, keep only probed-list rows
+    # (broadcast semi-join), and CARRY the vector + cid into the PQ
+    # pipeline. The previous shape computed the assignment subtree for
+    # two consumers (the codes path's id semi-join and the final cid
+    # lookup join) and re-scanned the source a third time for the
+    # probed vectors — cid rides the code grouping keys instead (it is
+    # functionally determined by vid, so the groups are unchanged),
+    # and both extra scans and both joins disappear. spread(): a
+    # compact single-file corpus would otherwise run the scorer on
+    # 1-2 input splits.
+    probed = (
+        spread(embeddings)
+        .select(id_col, vec_col, scorer(F.col(vec_col)).alias("s"))
         .select(
             F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("_pv"),
             _rounded_argmax_cid(cent_rows).alias("cid"),
         )
         .join(F.broadcast(probes), F.col("cid") == F.col("pcid"), "left_semi")
@@ -1357,20 +1384,15 @@ def ivf_pq_topk(
     )
     # Encode ONLY the probed subset (against the full table's
     # codebook — the probed lists may not contain the seed rows).
-    emb_probed = embeddings.join(
-        assigned.select("vid"), F.col(id_col) == F.col("vid"), "left_semi"
-    )
     codes = pq_codes(
-        emb_probed, n_codes, n_subspaces, id_col, vec_col, micro,
-        dim=dim, codebook_src=embeddings,
-    )
-    adc = (
-        codes.join(F.broadcast(adc_table), ["s", "code"])
-        .groupBy("vid")
-        .agg(F.sum("qdist").alias("adc_dist"))
+        probed, n_codes, n_subspaces, "vid", "_pv", micro,
+        dim=dim, codebook_src=embeddings, carry=("cid",),
+        cb_id_col=id_col, cb_vec_col=vec_col,
     )
     return (
-        assigned.join(adc, "vid")
+        codes.join(F.broadcast(adc_table), ["s", "code"])
+        .groupBy("vid", "cid")
+        .agg(F.sum("qdist").alias("adc_dist"))
         .select(
             F.col("vid").alias(id_col),
             F.col("cid").cast("bigint").alias("cid"),

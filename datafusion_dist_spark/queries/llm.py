@@ -1355,18 +1355,23 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cluster_id").orderBy(
         F.desc("n_chars"), F.asc("doc_id")
     )
-    ranked = members.withColumn("rn", F.row_number().over(w))
-    counts = members.groupBy("cluster_id").agg(
-        F.count("*").alias("n_members")
+    # n_members rides the SAME cluster_id window partition as the keep
+    # rank (unordered frame = whole partition), so one exchange serves
+    # both; the previous groupBy+join re-derived the clusters⋈corpus
+    # membership a second time (the two cluster_id exchanges carry
+    # different payloads, so nothing reuses) and paid a join for a
+    # per-partition count.
+    wc = Window.partitionBy("cluster_id")
+    ranked = members.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n_members"),
     )
-    return (
-        ranked.filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("doc_id").alias("keep_id"),
-            F.col("n_chars").cast("bigint").alias("keep_chars"),
-        )
-        .join(counts, "cluster_id")
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_chars").cast("bigint").alias("keep_chars"),
+        "n_members",
     )
 
 
