@@ -890,17 +890,24 @@ def test_cms_watchlist_single_grid_build(spark):
 
 
 def test_kmv_quantiles_single_exchange_window_group_limit(spark):
-    """agg_kmv_quantiles' plan: ONE exchange total — the sketch
+    """agg_kmv_quantiles' plan: ONE group exchange — the sketch
     window's group partitioning is reused by the quantile window and
     the final per-group aggregate (same key), and Spark plants a
     map-side WindowGroupLimit before it, so each task ships at most
-    k rows per group into that one shuffle. No joins anywhere: the
-    whole estimator is window + aggregate algebra."""
+    k rows per group into that one shuffle. The only other exchange
+    permitted is spread()'s round-robin over an under-parallel source
+    (single-split test corpus); it must sit BELOW the WindowGroupLimit
+    so the per-task k-row pruning still bounds what the group exchange
+    ships. No joins anywhere: the whole estimator is window +
+    aggregate algebra."""
     from datafusion_dist_spark.queries.aggregates import agg_kmv_quantiles
 
     df = agg_kmv_quantiles(spark, SF_DIR)
     facts = plan_facts(df)
-    assert facts["n_exchanges"] == 1, formatted_plan(df)
+    plan = formatted_plan(df)
+    assert facts["n_exchanges"] <= 2, plan
+    if facts["n_exchanges"] == 2:
+        assert plan.lower().count("roundrobin") == 1, plan
     assert (
         facts["n_broadcast_joins"]
         + facts["n_shuffledhash_joins"]
