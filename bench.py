@@ -303,6 +303,47 @@ def assert_budget(
     return problems
 
 
+def compact_line(result: dict, limit: int = 1950) -> str:
+    """The one-line JSON record printed LAST for the driver's
+    2000-char stdout tail-capture: metric/value/unit/sf plus as many
+    per-query timings as fit under ``limit``, most-expensive first
+    (1-digit rounding — scatter on this host exceeds 0.1 s anyway, and
+    the committed full record keeps 3 digits). ``n_queries`` is the
+    full count, ``queries_omitted`` how many cheap-tail entries were
+    left out of THIS LINE ONLY, and ``queries_sha`` the first 8 hex of
+    sha256 over the canonical full map, so the compact line is
+    verifiable against the committed BENCH_SELF record."""
+    import hashlib
+
+    timings = result["queries"]
+    full_map = json.dumps(
+        {k: timings[k] for k in sorted(timings)}, separators=(",", ":")
+    )
+    sha = hashlib.sha256(full_map.encode()).hexdigest()[:8]
+    order = sorted(timings, key=lambda k: (-timings[k], k))
+    keep = len(order)
+    while keep >= 0:
+        line = json.dumps(
+            {
+                "metric": result["metric"],
+                "value": result["value"],
+                "unit": "sec",
+                "sf": result["sf"],
+                "n_queries": len(timings),
+                "queries_omitted": len(timings) - keep,
+                "queries_sha": sha,
+                "queries": {
+                    k: round(timings[k], 1) for k in order[:keep]
+                },
+            },
+            separators=(",", ":"),
+        )
+        if len(line) <= limit:
+            return line
+        keep -= 1
+    return line  # pathological limit: shortest form regardless
+
+
 def main() -> None:
     from datafusion_dist_spark.catalog import DEFAULT_SF_DIR
 
@@ -333,22 +374,39 @@ def main() -> None:
     spark = build_session("ddspark-bench")
     specs = registry.all_specs()
     warmup(spark, sf_dir)
+    from datafusion_dist_spark.operators.common import session_cache_hits
+
     # Three passes per query, keep the min: this host shows transient
     # co-tenant CPU and I/O spikes that inflate single runs 2-6x (and
     # can poison two consecutive runs); min-of-3 reports steady-state
     # query cost. Each pass rebuilds the DataFrame (fresh
     # QueryExecution) — only JVM/codegen warmth carries over.
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    warm: dict[str, bool] = {}
     load_before = list(os.getloadavg())
     canary = host_canary()
     for name in HEADLINE:
         fn = specs[name].spark_fn
-        best = float("inf")
+        runs: list[float] = []
+        hits0 = session_cache_hits()
         for _ in range(3):
             t0 = time.perf_counter()
             run_query(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.perf_counter() - t0, 3))
+        # A query is "warm" when any of its passes was served in part
+        # by a cross-query session cache (the minhash / ngram-truth
+        # pair sets, the graph/sketch single-entry caches, the IVF
+        # probe memo): its number is a PIPELINE-STAGE cost — the
+        # derivation cost lands in whichever query built the cache
+        # first — not a standalone cost (VERDICT r11 "what's wrong" #2
+        # / task 6). Cheap query-parameter memos (the planted-id
+        # offset, the one-row query vector) deliberately do NOT count:
+        # they shave a sub-10 ms lookup job that exists in nearly
+        # every dedup entry and would make the flag uninformative.
+        warm[name] = session_cache_hits() > hits0
+        samples[name] = runs
+        timings[name] = min(runs)
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_queries_total_wall",
@@ -357,6 +415,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "runs_per_query": 3,
+        # All three raw samples per query (min stays the headline):
+        # makes between-run scatter visible in the committed record so
+        # noise adjudication is mechanical (VERDICT r11 task 7).
+        "samples": samples,
+        "warm": warm,
         "data_hashes": data_hashes(sf_dir),
         # Host-noise record: this box shows 2-6x co-tenant load spikes;
         # a drifted total with a high loadavg is attributable
@@ -377,37 +440,18 @@ def main() -> None:
     # 2000-char stdout tail-capture (BENCH_rNN kept parsing as null for
     # three rounds because the single full line is ~2.5 KB and its head
     # — metric, value, the first ~20 queries — fell outside the
-    # window). Same schema minus the per-run metadata; per-query
-    # timings re-rounded until the line fits.
-    for digits in (2, 1):
-        compact = json.dumps(
-            {
-                "metric": result["metric"],
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf),
-                "queries": {k: round(v, digits) for k, v in timings.items()},
-            },
-            separators=(",", ":"),
-        )
-        if len(compact) <= 1950:
-            break
-    else:
-        # Still oversized at 1-digit rounding (query set grew): drop
-        # the per-query dict rather than print a line the driver's
-        # 2000-char stdout tail would truncate back into unparseable —
-        # the totals must always survive.
-        compact = json.dumps(
-            {
-                "metric": result["metric"],
-                "value": total,
-                "unit": "sec",
-                "sf": float(sf),
-                "queries_dropped": len(timings),
-            },
-            separators=(",", ":"),
-        )
-    print(compact)
+    # window). Same schema minus the per-run metadata. At 84 queries
+    # even 1-digit rounding overflows the budget (~2.2 KB), and from
+    # r8-r11 the fallback dropped the per-query dict entirely — the
+    # driver's PERF comparison had totals-only visibility for two
+    # rounds (VERDICT r11 "what's wrong" #1 / task 2). Measurement-bug
+    # fix, r12: keep as many per-query timings as fit, ordered by
+    # DESCENDING cost so the regression-relevant entries always
+    # survive; `queries_omitted` counts the cheap tail that did not
+    # fit and `queries_sha` fingerprints the FULL map (committed
+    # verbatim as BENCH_SELF_rNN.json and printed in the full line
+    # above — nothing is removed from the bench itself).
+    print(compact_line(result))
     spark.stop()
     if budget_path is not None:
         problems = assert_budget(result, budget_path, budget_factor)

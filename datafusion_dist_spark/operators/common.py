@@ -39,6 +39,25 @@ def quadratic_pin_guard(n_rows: int, what: str, twin: str) -> None:
         )
 
 
+# Session-cache hit telemetry: a monotonically increasing counter every
+# cross-query cache in the engine bumps on a warm lookup (the minhash /
+# ngram-truth pair caches, the graph/sketch single-entry caches, the
+# IVF probe memo). bench.py reads it around each timed run to annotate
+# per-query timings with "warm": did a session cache serve part of this
+# query — making cache-consumer numbers self-describing as
+# pipeline-stage costs rather than standalone costs (VERDICT r11 task
+# 6). Telemetry only; never read by query logic.
+_CACHE_HITS = {"n": 0}
+
+
+def note_session_cache_hit() -> None:
+    _CACHE_HITS["n"] += 1
+
+
+def session_cache_hits() -> int:
+    return _CACHE_HITS["n"]
+
+
 def single_entry_cache(
     df: DataFrame, prev: DataFrame | None
 ) -> tuple[DataFrame, DataFrame]:
@@ -49,6 +68,7 @@ def single_entry_cache(
     if prev is not None:
         try:
             if df.sameSemantics(prev):
+                note_session_cache_hit()
                 return prev, prev
             prev.unpersist()
         except Exception:  # session of the stale entry may be gone
@@ -226,6 +246,19 @@ def spread(df: DataFrame, partitions: int | None = None) -> DataFrame:
     # exchange-bearing plans pass through unprobed.
     plan = df._jdf.queryExecution().executedPlan().toString()
     if _EXCHANGE_RE.search(plan):
+        import os as _os
+
+        if _os.environ.get("SPARK_GRAFT_SPREAD_AUDIT") and not re.search(
+            r"(?<!Broadcast)Exchange\b", plan
+        ):
+            import sys as _sys
+            import traceback as _tb
+
+            print(
+                "SPREAD_AUDIT broadcast-only passthrough:\n"
+                + "".join(_tb.format_stack(limit=8)),
+                file=_sys.stderr,
+            )
         return df
     if df.rdd.getNumPartitions() >= n:
         return df

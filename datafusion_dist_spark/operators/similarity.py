@@ -306,6 +306,41 @@ def _best_centroid(cent_rows, vec_col: str, norm_col: str, dim: int):
     return F.expr(f"array_max(array({entries}))")
 
 
+def _score_rows(V, C, cn, q, qn):
+    """The one numpy implementation of the batched cosine scorer:
+    given a row batch ``V`` (n×dim float64), centroid arrays ``C`` with
+    norms ``cn`` and a query ``q``/``qn``, return (qscore, csims) with
+    the SQL fold's EXACT operation order — shared by the literal
+    scorer (``_numpy_ivf_scorer``) and the dynamic-codebook scorer
+    (``_numpy_dyn_scorer``) so a codebook that arrives as a column is
+    scored bit-identically to one embedded as literals.
+
+    Order discipline, matching ``_dot_sql``/``_lit_norm``:
+    - accumulate over dims left-to-right, starting from the FIRST
+      product (no 0.0 seed) — elementwise IEEE ops across the row
+      batch in the same sequence as the SQL ``+`` chain;
+    - ``raw / (norm * cnorm)`` with the same parenthesization.
+    """
+    import numpy as np
+
+    dim = V.shape[1]
+    K = len(C)
+    v0 = V[:, 0]
+    sq = v0 * v0
+    qdot = v0 * q[0]
+    dots = [v0 * C[j][0] for j in range(K)]
+    for i in range(1, dim):
+        vi = V[:, i]
+        sq = sq + vi * vi
+        qdot = qdot + vi * q[i]
+        for j in range(K):
+            dots[j] = dots[j] + vi * C[j][i]
+    norm = np.sqrt(sq)
+    qscore = qdot / (norm * qn)
+    csims = np.stack([dots[j] / (norm * cn[j]) for j in range(K)], axis=1)
+    return qscore, csims
+
+
 def _numpy_ivf_scorer(cvecs, cnorms, qvec, qnorm):
     """Arrow-batched scorer: per row, the raw query cosine and the raw
     cosine to each of K centroids, computed by numpy with the SQL
@@ -320,13 +355,9 @@ def _numpy_ivf_scorer(cvecs, cnorms, qvec, qnorm):
     the argmax tiebreak stay in the Spark plan, where they already
     match the DuckDB oracle.
 
-    Order discipline, matching ``_dot_sql``/``_lit_norm``:
-    - accumulate over dims left-to-right, starting from the FIRST
-      product (no 0.0 seed) — elementwise IEEE ops across the row
-      batch in the same sequence as the SQL ``+`` chain;
-    - floats are widened float32→float64 before any multiply, like
-      the ``CAST(... AS DOUBLE)`` in the expression;
-    - ``raw / (norm * cnorm)`` with the same parenthesization.
+    Floats are widened float32→float64 before any multiply, like the
+    ``CAST(... AS DOUBLE)`` in the expression; the fold order lives in
+    ``_score_rows``.
     """
     import numpy as np
 
@@ -334,27 +365,48 @@ def _numpy_ivf_scorer(cvecs, cnorms, qvec, qnorm):
     cn = [float(x) for x in cnorms]
     q = np.asarray(qvec, dtype=np.float64)
     qn = float(qnorm)
-    dim, K = len(qvec), len(cvecs)
 
     @F.pandas_udf("struct<qscore: double, csims: array<double>>")
     def score(emb: pd.Series) -> pd.DataFrame:
         if len(emb) == 0:
             return pd.DataFrame({"qscore": [], "csims": []})
         V = np.stack(emb.to_numpy()).astype(np.float64)
-        v0 = V[:, 0]
-        sq = v0 * v0
-        qdot = v0 * q[0]
-        dots = [v0 * C[j][0] for j in range(K)]
-        for i in range(1, dim):
-            vi = V[:, i]
-            sq = sq + vi * vi
-            qdot = qdot + vi * q[i]
-            for j in range(K):
-                dots[j] = dots[j] + vi * C[j][i]
-        norm = np.sqrt(sq)
-        qscore = qdot / (norm * qn)
-        csims = np.stack([dots[j] / (norm * cn[j]) for j in range(K)], axis=1)
+        qscore, csims = _score_rows(V, C, cn, q, qn)
         return pd.DataFrame({"qscore": qscore, "csims": list(csims)})
+
+    return score
+
+
+def _numpy_dyn_scorer():
+    """Dynamic-codebook twin of ``_numpy_ivf_scorer``: the centroids
+    arrive as a COLUMN (a constant array<struct<cid, cvec>> attached by
+    a 1-row broadcast crossJoin) instead of Python literals, so a Lloyd
+    round can consume the PREVIOUS round's in-plan output without a
+    driver collect between them (VERDICT r11 task 1). Per Arrow batch
+    the codebook is unpacked once; the arithmetic is the shared
+    ``_score_rows`` fold and the norms are ``_lit_norm`` on the same
+    doubles the literal path would have collected — bit-identical
+    csims by construction (asserted by
+    test_kmeans_fused_rounds_bit_identical). Returns the csims array
+    aligned with the codebook's array order (callers zip it with
+    ``transform(cb, s -> s.cid)`` for the argmax)."""
+    import numpy as np
+
+    @F.pandas_udf("array<double>")
+    def score(emb: pd.Series, cb: pd.Series) -> pd.Series:
+        if len(emb) == 0:
+            return pd.Series([], dtype=object)
+        book = cb.iloc[0]
+        C = [
+            np.asarray([float(v) for v in e["cvec"]], dtype=np.float64)
+            for e in book
+        ]
+        if not C:
+            return pd.Series([[]] * len(emb))
+        cn = [_lit_norm(e["cvec"]) for e in book]
+        V = np.stack(emb.to_numpy()).astype(np.float64)
+        _, csims = _score_rows(V, C, cn, C[0], cn[0])
+        return pd.Series(list(csims))
 
     return score
 
@@ -483,6 +535,148 @@ def collect_codebook(refined: DataFrame) -> list[tuple[int, list[float]]]:
     ]
 
 
+def _codebook_array(refined: DataFrame) -> DataFrame:
+    """In-plan twin of :func:`collect_codebook`: a 1-row
+    array<struct<cid, cvec>> sorted by cid, cvec ordered by dim, built
+    from a refine-step output in ONE global aggregation (no per-cid
+    exchange — the reshape from the sorted (cid, dim, centroid) array
+    is a pure expression over ≤ K×dim elements: ``array_distinct``
+    keeps the cid-ascending first-occurrence order and ``filter``
+    preserves the (cid, dim)-ascending sort, exactly the driver-side
+    ``sorted(...)`` walk)."""
+    return refined.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cid", "dim", "centroid"))
+        ).alias("arr")
+    ).select(
+        F.expr(
+            "transform(array_distinct(transform(arr, x -> x.cid)), "
+            "c -> named_struct('cid', c, "
+            "'cvec', transform(filter(arr, x -> x.cid = c), "
+            "x -> x.centroid)))"
+        ).alias("cb")
+    )
+
+
+def _kmeans_refine_dyn(
+    vecs: DataFrame, cb: DataFrame, vec_col: str, micro: int = 1_000_000
+) -> DataFrame:
+    """One Lloyd round whose codebook is a tiny 1-row array RELATION
+    (``cb``: array<struct<cid, cvec>> sorted by cid) — the previous
+    round's in-plan output — instead of driver-side literals: the
+    chaining primitive that lets :func:`kmeans_train` compute TWO
+    rounds per action (guide §2.4/§4: the per-round cost had become
+    pure driver round-trips). The codebook row is broadcast-crossJoined
+    onto every vector; the scorer is the shared ``_score_rows`` fold
+    and the argmax is the same round-to-6dp / min-cid tiebreak as
+    ``_rounded_argmax_cid``, written over the zipped (csims, cids)
+    arrays — bit-identical assignment to the literal-codebook round by
+    construction."""
+    scorer = _numpy_dyn_scorer()
+    best = F.expr(
+        "array_max(zip_with(csims, ccids, (s, c) -> "
+        "named_struct('csim', round(s, 6), 'ncid', -c)))"
+    )
+    assigned = (
+        vecs.crossJoin(F.broadcast(cb))
+        .select(
+            F.col(vec_col),
+            F.expr("transform(cb, s -> s.cid)").alias("ccids"),
+            scorer(F.col(vec_col), F.col("cb")).alias("csims"),
+        )
+        .select(
+            F.coalesce(-best["ncid"], F.lit(-1).cast("bigint")).alias("cid"),
+            F.posexplode(vec_col).alias("i", "x"),
+        )
+    )
+    m = F.round(F.col("x").cast("double") * micro).cast("bigint")
+    return (
+        assigned.select("cid", (F.col("i") + 1).alias("dim"), m.alias("m"))
+        .groupBy("cid", "dim")
+        .agg(F.sum("m").alias("sm"), F.count("*").alias("n_members"))
+        .select(
+            "cid",
+            "dim",
+            F.round(
+                F.col("sm").cast("double") / (F.col("n_members") * float(micro)),
+                6,
+            ).alias("centroid"),
+            "n_members",
+        )
+    )
+
+
+def _collect_codebook_batch(
+    vecs: DataFrame,
+    param: list | None,
+    n_rounds: int,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> list[list[tuple[int, list[float]]]]:
+    """Run ``n_rounds`` (1 or 2) Lloyd rounds in ONE action and return
+    their codebooks in order. Round A is the literal-codebook
+    :func:`kmeans_refine_step` (seeded from vec_id < n_centroids when
+    ``param`` is None); round B (when requested) chains off round A's
+    aggregate through :func:`_kmeans_refine_dyn` — no driver sync
+    between the rounds. Round A's K×dim output is persisted for the
+    duration of the action: it has two consumers (the tagged union
+    carrying its codebook to the driver, and round B's broadcast
+    codebook build), and a broadcast branch's separate job does NOT
+    get exchange OR broadcast reuse (the r10 recompute-trap data
+    point, re-confirmed here: 0 ReusedExchange in both the union and
+    double-crossJoin shapes) — without the persist the round-A scorer
+    pass over the corpus executed twice per batch. The persist is
+    released before returning; only codebooks leave the function."""
+    # Round A is ALWAYS the literal-codebook refine step (when starting,
+    # its internal seed collect doubles as the persist-build trigger for
+    # ``vecs`` — one cheap job over the cache). An in-plan seed variant
+    # (seed agg → broadcast → dynamic round) was measured SLOWER here:
+    # it trades one driver-sized collect for two extra AQE stage jobs.
+    out_a = kmeans_refine_step(
+        vecs,
+        n_centroids=n_centroids,
+        codebook=param,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+    def _assemble(rows) -> list[list[tuple[int, list[float]]]]:
+        by_round: dict[int, dict[int, dict[int, float]]] = {}
+        for row in rows:
+            by_round.setdefault(int(row.r), {}).setdefault(int(row.cid), {})[
+                int(row.dim)
+            ] = float(row.centroid)
+        out = []
+        for r in range(n_rounds):
+            by_cid = by_round.get(r + 1, {})
+            out.append(
+                [
+                    (cid, [dims[d] for d in sorted(dims)])
+                    for cid, dims in sorted(by_cid.items())
+                ]
+            )
+        return out
+
+    if n_rounds == 1:
+        return _assemble(
+            out_a.select(
+                F.lit(1).alias("r"), "cid", "dim", "centroid"
+            ).collect()
+        )
+    out_a = out_a.persist()
+    try:
+        out_b = _kmeans_refine_dyn(vecs, _codebook_array(out_a), vec_col)
+        tagged = out_a.select(
+            F.lit(1).alias("r"), "cid", "dim", "centroid"
+        ).unionByName(
+            out_b.select(F.lit(2).alias("r"), "cid", "dim", "centroid")
+        )
+        return _assemble(tagged.collect())
+    finally:
+        out_a.unpersist()
+
+
 def kmeans_train(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -527,27 +721,56 @@ def kmeans_train(
     callers never hold executor storage. Rebuild equals loop output
     bit-for-bit: assignment is a deterministic function of (vector,
     codebook) and the fixed-point integer means are order-independent.
+
+    Driver-sync discipline (optimization r12, VERDICT r11 task 1):
+    rounds are collected TWO per action — round B chains off round A's
+    aggregate in-plan through the dynamic-codebook scorer
+    (:func:`_collect_codebook_batch`), halving the blocking collects
+    of the round loop. The convergence walk below replays the
+    sequential semantics exactly over the batched codebooks, so
+    ``rounds``, the parameterizing codebook, and the returned plan are
+    identical to the one-collect-per-round loop.
     """
     vecs = spread(
         embeddings.select(F.col(id_col), F.col(vec_col))
     ).persist()
+    # Batched driver protocol (VERDICT r11 task 1): the sequential loop
+    # paid one action per round (plus a seed-collect job) and its cost
+    # at any corpus size had become pure scheduler round-trips. Here
+    # each action computes TWO Lloyd rounds (round B chains off round
+    # A's aggregate in-plan via the dynamic-codebook scorer) and
+    # returns both codebooks; the driver replays the sequential
+    # convergence walk over them, so `rounds`, the parameterizing
+    # codebook, and the returned plan are IDENTICAL to the one-round-
+    # per-action loop: a codebook computed past the fixed point is
+    # discarded (a bit-exact fixed point is stable, so it equals its
+    # predecessor anyway), and when the previous codebook was EMPTY the
+    # sequential loop's next round is provably empty too, so the
+    # batch's chained output is overridden to [] rather than trusting
+    # the dynamic round's no-centroid sentinel groups.
     try:
-        out = kmeans_refine_step(
-            vecs, n_centroids=n_centroids, id_col=id_col, vec_col=vec_col
-        )
-        param: list | None = None  # codebook parameterizing `out`'s round
-        prev_codebook: list | None = None
-        rounds = 1
-        while rounds < max_rounds:
-            codebook = collect_codebook(out)
-            if codebook == prev_codebook:
-                break  # exact fixed point: further rounds are no-ops
-            prev_codebook = codebook
-            param = codebook
-            out = kmeans_refine_step(
-                vecs, codebook=codebook, id_col=id_col, vec_col=vec_col
+        cbs: list[list] = []
+        rounds = max_rounds
+        stopped = False
+        while len(cbs) < max_rounds - 1 and not stopped:
+            take = min(2, (max_rounds - 1) - len(cbs))
+            batch = _collect_codebook_batch(
+                vecs,
+                cbs[-1] if cbs else None,
+                take,
+                n_centroids,
+                id_col,
+                vec_col,
             )
-            rounds += 1
+            for codebook in batch:
+                if cbs and not cbs[-1]:
+                    codebook = []  # empty codebook is a fixed point
+                if cbs and codebook == cbs[-1]:
+                    stopped = True  # exact fixed point: later rounds no-op
+                    rounds = len(cbs) + 1
+                    break
+                cbs.append(codebook)
+        param: list | None = cbs[rounds - 2] if rounds >= 2 else None
     finally:
         vecs.unpersist()
     return (
@@ -658,6 +881,11 @@ def _probe_cids(
         with _PROBE_LOCK:
             hit = _PROBE_CACHE.get(key)
         if hit is not None:
+            from datafusion_dist_spark.operators.common import (
+                note_session_cache_hit,
+            )
+
+            note_session_cache_hit()
             return hit
     q = F.lit([float(v) for v in query_vec])
     cent_rows = (
@@ -1411,6 +1639,7 @@ def ivf_knn_join(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """IVF-accelerated kNN join: ``knn_join``'s output contract served
     through the coarse-quantizer route — per query, only the
@@ -1444,14 +1673,19 @@ def ivf_knn_join(
     pins K=8 because its oracle replays that policy.
     """
     spark = corpus.sparkSession
+    # ``corpus_count``: callers that already counted the corpus (the
+    # adaptive registry entry computes K from its own count) pass it
+    # through so the ladder/guard below does not re-run the count job.
     if n_centroids is None:
-        n_centroids = adaptive_n_centroids(corpus.count())
+        n_centroids = adaptive_n_centroids(
+            corpus.count() if corpus_count is None else corpus_count
+        )
     else:
         # Pinned K: per-query candidate work is |corpus| × nprobe / K,
         # so an under-provisioned fixed K makes the join quadratic
         # when both sides grow. Executable fence for the oracle-anchor
         # config (r7 task 2); an adequate pinned K (>= ladder) passes.
-        n = corpus.count()
+        n = corpus.count() if corpus_count is None else corpus_count
         if n > QUADRATIC_PIN_MAX_ROWS and n_centroids < adaptive_n_centroids(
             n
         ):
@@ -1463,21 +1697,37 @@ def ivf_knn_join(
                 "n_centroids=None (corpus-tracking default; registry "
                 "twin ann_ivf_knn_join_adaptive)",
             )
-    # Three DRIVER-SIZED jobs feed the probe ranking: the K centroid
-    # rows, the |Q| query rows, and a |Q|×K SCALAR sims job (in-plan
-    # rounded cosine, so ranking parity with the oracle is by
-    # construction). The previous shape was one job whose collected
-    # rows carried BOTH vectors — |Q|×K×2×dim doubles through py4j,
-    # measured 4 s at the x10 rehearsal corpus where the scalar form
-    # is milliseconds; never collect array payloads per PAIR.
+    # TWO driver-sized jobs feed the probe ranking: ONE tagged-union
+    # collect of the K centroid rows and the |Q| query rows (they were
+    # two separate collects until r12 — a union of two driver-sized
+    # sides is still one job, and it works for ARBITRARY query/corpus
+    # inputs, so no containment guard is needed; VERDICT r11 task 5),
+    # then a |Q|×K SCALAR sims job (in-plan rounded cosine, so ranking
+    # parity with the oracle is by construction). The sims job's rows
+    # carry NO vectors — a |Q|×K collect carrying dim-width arrays per
+    # pair was the py4j bottleneck the strong-scaling rehearsal caught
+    # (4 s at x10 data); the union collect carries each vector ONCE.
     qdf = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
     cents = corpus.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    cent_rows_raw = cents.collect()
-    q_rows = qdf.collect()
+    # Both sides cast to array<double> so the union types align for
+    # arbitrary inputs (float32 widens exactly; the driver-side
+    # float(v) widened identically before).
+    both = cents.select(
+        F.lit(0).alias("_side"), F.col("cid").alias("_id"),
+        F.col("cvec").cast("array<double>").alias("_vec"),
+    ).unionByName(
+        qdf.select(
+            F.lit(1).alias("_side"), F.col("q_id").alias("_id"),
+            F.col("q_vec").cast("array<double>").alias("_vec"),
+        )
+    )
+    rows = both.collect()
+    cent_rows_raw = [r for r in rows if r._side == 0]
+    q_rows = [r for r in rows if r._side == 1]
     if not cent_rows_raw or not q_rows:
         # no centroids or no queries: empty result, k columns
         return corpus.limit(0).select(
@@ -1486,12 +1736,12 @@ def ivf_knn_join(
             F.lit(None).cast("double").alias("score"),
             F.lit(None).cast("int").alias("rn"),
         )
-    cmap = {int(r.cid): [float(v) for v in r.cvec] for r in cent_rows_raw}
+    cmap = {int(r._id): [float(v) for v in r._vec] for r in cent_rows_raw}
     cids = sorted(cmap)
     cvecs = [cmap[c] for c in cids]
     cnorms = [_lit_norm(v) for v in cvecs]
     dim = len(cvecs[0])
-    qvec_map = {int(r.q_id): [float(v) for v in r.q_vec] for r in q_rows}
+    qvec_map = {int(r._id): [float(v) for v in r._vec] for r in q_rows}
     sims = _collect_probe_sims(
         spark,
         [(c, cmap[c]) for c in cids],

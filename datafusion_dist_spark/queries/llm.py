@@ -137,6 +137,50 @@ def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
 _PAIR_CACHE_LOCK = threading.Lock()
 
+_TRUTH_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TRUTH_CACHE_LOCK = threading.Lock()
+
+
+def _session_pair_cache(
+    cache: dict, lock: threading.Lock, spark: SparkSession, sf_dir: str, build
+) -> DataFrame:
+    """Shared discipline for the per-(session, sf_dir) persisted pair
+    sets (``_minhash_pairs_shared`` / ``_ngram_truth_shared``): bounded
+    to TWO entries (ADVICE r2, tightened after review) — entries from a
+    dead session are dropped always, and beyond capacity the oldest
+    live entry is evicted, but a concurrent job on the OTHER sf_dir of
+    the same session keeps its pair set (a single-entry cache let
+    alternating X/Y requests unpersist a DataFrame another job's
+    connected-components loop was still iterating). The lock prevents a
+    first-call race from double-persisting. Warm lookups are reported
+    to ``common.note_session_cache_hit`` so bench records can annotate
+    cache-consuming queries (VERDICT r11 task 6)."""
+    from datafusion_dist_spark.operators.common import note_session_cache_hit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with lock:
+        df = cache.get(key)
+        if df is not None:
+            note_session_cache_hit()
+            return df
+        for k in list(cache):
+            if k[0] != key[0]:  # stale session
+                try:
+                    cache[k].unpersist()
+                except Exception:  # its session may be gone
+                    pass
+                del cache[k]
+        while len(cache) >= 2:  # capacity: evict oldest
+            k = next(iter(cache))
+            try:
+                cache[k].unpersist()
+            except Exception:
+                pass
+            del cache[k]
+        df = build().persist()
+        cache[key] = df
+    return df
+
 
 def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The MinHash-LSH near-dup pair set, persisted once per
@@ -149,45 +193,54 @@ def _minhash_pairs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard materialization point: the pair set is tiny relative to
     the corpus (candidates only), every CC iteration re-reads it, and
     downstream consumers (cluster resolution, keep-list builds) reuse
-    it without touching the corpus again.
-
-    Bounded to TWO entries (ADVICE r2, tightened after review):
-    entries from a dead session are dropped always, and beyond
-    capacity the oldest live entry is evicted — but a concurrent job
-    on the OTHER sf_dir of the same session keeps its pair set (a
-    single-entry cache let alternating X/Y requests unpersist a
-    DataFrame another job's connected-components loop was still
-    iterating, reintroducing the re-derivation the persist exists to
-    avoid). The lock prevents a first-call race from
-    double-persisting.
+    it without touching the corpus again. Capacity/eviction discipline
+    in :func:`_session_pair_cache`.
     """
-    key = (spark.sparkContext.applicationId, sf_dir)
-    with _PAIR_CACHE_LOCK:
-        df = _PAIR_CACHE.get(key)
-        if df is None:
-            for k in list(_PAIR_CACHE):
-                if k[0] != key[0]:  # stale session
-                    try:
-                        _PAIR_CACHE[k].unpersist()
-                    except Exception:  # its session may be gone
-                        pass
-                    del _PAIR_CACHE[k]
-            while len(_PAIR_CACHE) >= 2:  # capacity: evict oldest
-                k = next(iter(_PAIR_CACHE))
-                try:
-                    _PAIR_CACHE[k].unpersist()
-                except Exception:
-                    pass
-                del _PAIR_CACHE[k]
-            df = dedup.minhash_dedup_pairs(
-                _corpus(spark, sf_dir),
-                bands=BANDS,
-                rows_per_band=ROWS_PER_BAND,
-                threshold=0.5,
-                bucket_cap=None,  # oracle pin: exact uncapped listing
-            ).persist()
-            _PAIR_CACHE[key] = df
-    return df
+    return _session_pair_cache(
+        _PAIR_CACHE,
+        _PAIR_CACHE_LOCK,
+        spark,
+        sf_dir,
+        lambda: dedup.minhash_dedup_pairs(
+            _corpus(spark, sf_dir),
+            bands=BANDS,
+            rows_per_band=ROWS_PER_BAND,
+            threshold=0.5,
+            bucket_cap=None,  # oracle pin: exact uncapped listing
+        ),
+    )
+
+
+def _ngram_truth_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact n-gram Jaccard ≥ 0.5 pair set (uncapped inverted
+    index), persisted once per (session, sf_dir).
+
+    ``dedup_ngram_jaccard`` and ``dedup_lsh_quality``'s ground-truth
+    arm are stages of ONE pipeline (derive the exact pair set → score
+    the sketch against it); re-deriving the tokenize→posting-list→pair
+    pipeline inside the quality gate was ~its entire remaining cost
+    after r11 cached the LSH arm (VERDICT r11 task 4 — this is the
+    materialization point it asks for, placed at the pair set rather
+    than the shingle stream because the shingle relation has a single
+    consumer per plan while the PAIR SET is what both entries share;
+    identical parameters ⇒ bit-identical pairs). The anchor entry
+    ``dedup_minhash_lsh``'s twin ``dedup_ngram_jaccard`` deliberately
+    BYPASSES this cache, so the bench keeps measuring the full
+    derivation cost every round; the quality gate reads the persisted
+    copy, same as every other downstream consumer would at 100 TB.
+    Capacity/eviction discipline in :func:`_session_pair_cache`.
+    """
+    return _session_pair_cache(
+        _TRUTH_CACHE,
+        _TRUTH_CACHE_LOCK,
+        spark,
+        sf_dir,
+        lambda: dedup.ngram_jaccard_pairs(
+            _corpus(spark, sf_dir),
+            threshold=0.5,
+            max_list_len=None,  # oracle pin: exact ground truth
+        ),
+    )
 
 
 def _shingle_cte(source: str = "corpus") -> str:
@@ -3149,7 +3202,7 @@ def ann_ivf_knn_join_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
     k_centroids = max(8, n // _IVF_LIST_SIZE)
     qs = emb.filter(F.col("vec_id") % 40 == 0)
     return similarity.ivf_knn_join(
-        qs, emb, k=5, n_centroids=k_centroids, nprobe=2
+        qs, emb, k=5, n_centroids=k_centroids, nprobe=2, corpus_count=n
     )
 
 
@@ -3529,22 +3582,23 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "index); the comparison join touches only pair ids.",
 )
 def dedup_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _corpus(spark, sf_dir)
-    # The LSH side is the SAME uncapped pair set dedup_minhash_lsh /
-    # dedup_clusters derive — the quality gate is a downstream stage of
-    # that one pipeline (find pairs → resolve/score), so it reads the
-    # per-(session, sf_dir) persisted pair set instead of re-running
-    # the shingle→signature→band-join derivation a second time in the
-    # same plan (executed facts showed the corpus scanned + tokenized
-    # twice here; the pipeline's full cost stays measured by
-    # dedup_minhash_lsh, which deliberately bypasses the cache).
+    # BOTH arms are the shared persisted pair sets: the LSH side is the
+    # SAME uncapped pair set dedup_minhash_lsh / dedup_clusters derive,
+    # and the exact ground truth is the SAME uncapped inverted-index
+    # pair set dedup_ngram_jaccard derives — the quality gate is a
+    # downstream stage of that one pipeline (find pairs → score), so it
+    # reads the per-(session, sf_dir) persisted copies instead of
+    # re-running either derivation (executed facts showed the corpus
+    # scanned + tokenized for the truth arm on every call; the
+    # pipelines' full costs stay measured by dedup_minhash_lsh and
+    # dedup_ngram_jaccard, which deliberately bypass the caches).
     lsh = (
         _minhash_pairs_shared(spark, sf_dir)
         .select("a_id", "b_id")
         .withColumn("f", F.lit(1))
     )
     truth = (
-        dedup.ngram_jaccard_pairs(corpus, threshold=0.5, max_list_len=None)
+        _ngram_truth_shared(spark, sf_dir)
         .select("a_id", "b_id")
         .withColumn("g", F.lit(1))
     )

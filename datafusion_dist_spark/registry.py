@@ -99,7 +99,7 @@ def _load_all() -> None:
 # cover every family), and rotate both the family order and each
 # family's internal order by this epoch so successive rounds sample a
 # growing union. Bump by 1 each round.
-ROTATION_EPOCH = 11
+ROTATION_EPOCH = 12
 
 # Ledger of entries the EXTERNAL driver oracle has hash-checked at least
 # once (union of keys across the committed CORRECTNESS_r01..r{N}.json).
@@ -181,6 +181,15 @@ EXTERNALLY_SAMPLED: frozenset[str] = frozenset({
     "tpch_q16_full", "tpch_q16_shape", "tpch_q20_full",
     "tpch_q20_shape", "tpch_q2_full", "tpch_q2_shape",
     "window_cume_percent",
+    # r11 driver sample (CORRECTNESS_r11.json, 50 keys, 21 new —
+    # external union now 222/222: full coverage, so the fresh-first
+    # split is empty and ordering degenerates to plain epoch rotation):
+    "agg_kmv_quantiles", "dedup_band_stats", "dedup_clusters",
+    "dedup_containment", "dedup_embedding_cosine_capped",
+    "dedup_exact_normalized", "dedup_ngram_jaccard",
+    "dedup_simhash_pairs", "join_cross", "join_runtime_bloom",
+    "join_skew_salted", "tpch_q1", "tpch_q10", "tpch_q13", "tpch_q19",
+    "tpch_q22", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q8",
 })
 
 

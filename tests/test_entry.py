@@ -60,6 +60,46 @@ def test_bench_budget_gate_logic(tmp_path, capsys):
     assert len(bench.assert_budget(cur, str(bp2), 2.0)) == 1
 
 
+def test_bench_compact_line_restores_per_query_contract():
+    """r12 measurement-bug fix (VERDICT r11 task 2): the LAST stdout
+    line must fit the driver's ~2000-char tail capture AND carry real
+    per-query timings again — most-expensive entries first, the
+    omitted cheap tail counted explicitly, and a sha over the full map
+    so the line is verifiable against the committed record."""
+    import hashlib
+    import json
+
+    import bench
+
+    timings = {f"query_name_number_{i:03d}": 0.1 + i * 0.01 for i in range(120)}
+    result = {
+        "metric": "headline_queries_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "sf": 0.1,
+        "queries": timings,
+    }
+    line = bench.compact_line(result)
+    assert len(line) <= 1950
+    d = json.loads(line)
+    assert d["n_queries"] == 120
+    assert d["queries_omitted"] == 120 - len(d["queries"])
+    assert len(d["queries"]) > 0
+    # Most-expensive survive: every included entry >= every omitted one.
+    included = set(d["queries"])
+    omitted_max = max(
+        (v for k, v in timings.items() if k not in included), default=-1.0
+    )
+    assert min(timings[k] for k in included) >= omitted_max
+    full_map = json.dumps(
+        {k: timings[k] for k in sorted(timings)}, separators=(",", ":")
+    )
+    assert d["queries_sha"] == hashlib.sha256(full_map.encode()).hexdigest()[:8]
+    # A small map passes through whole.
+    small = dict(result, queries={"a": 1.0, "b": 2.0})
+    d2 = json.loads(bench.compact_line(small))
+    assert d2["queries_omitted"] == 0 and len(d2["queries"]) == 2
+
+
 def test_bench_budget_canary_normalization(tmp_path):
     """r8 host canary: --assert-budget divides per-query drift by the
     measured host-throughput ratio — a uniformly slower host relaxes

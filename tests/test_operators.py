@@ -399,6 +399,44 @@ def test_kmeans_train_stops_at_fixed_point(spark):
         assert got[(1, dim)] == (10.0, 5)
 
 
+def test_kmeans_fused_rounds_bit_identical(spark):
+    """The r12 batched trainer (two Lloyd rounds per collect, round B
+    chained in-plan through the dynamic-codebook scorer) must be
+    BIT-identical to the original one-collect-per-round loop: same
+    rounds count, same parameterizing codebook, same returned rows —
+    on an input whose means are non-trivial doubles and which does NOT
+    converge within max_rounds (so the dynamic chaining path is what
+    produced every intermediate codebook)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1.0, 1.0) for _ in range(8)]) for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out, rounds = similarity.kmeans_train(df, n_centroids=4, max_rounds=4)
+
+    # Replay of the pre-r12 sequential loop, verbatim semantics.
+    out_seq = similarity.kmeans_refine_step(df, n_centroids=4)
+    param = None
+    prev = None
+    rr = 1
+    while rr < 4:
+        cb = similarity.collect_codebook(out_seq)
+        if cb == prev:
+            break
+        prev = cb
+        param = cb
+        out_seq = similarity.kmeans_refine_step(df, codebook=cb)
+        rr += 1
+    final_seq = similarity.kmeans_refine_step(df, n_centroids=4, codebook=param)
+
+    assert rounds == rr
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(tuple(r) for r in final_seq.collect())
+    assert got == want  # exact, including float bits
+
+
 def test_substring_spans_catch_copied_paragraph(spark):
     """A span copied between two otherwise-unrelated docs must pair
     them (the case token-set Jaccard misses: the shared span is a
@@ -677,6 +715,29 @@ def test_lsh_quality_perfect_on_exact_duplicates(spark):
     assert row.n_true > 0
     assert row.recall_ == 1.0, row
     assert 0.0 < row.precision_ <= 1.0
+
+
+def test_ngram_truth_cache_matches_direct_derivation(spark):
+    """The per-(session, sf_dir) persisted exact-Jaccard pair set that
+    dedup_lsh_quality's ground-truth arm reads (r12) must be
+    bit-identical to deriving the pairs inline with the same
+    parameters — identical parameters ⇒ identical pair set, and a warm
+    second lookup must be a cache hit (the bench's per-query ``warm``
+    annotation keys on that counter)."""
+    from datafusion_dist_spark.operators.common import session_cache_hits
+    from datafusion_dist_spark.queries import llm
+
+    direct = dedup.ngram_jaccard_pairs(
+        llm._corpus(spark, SF_DIR), threshold=0.5, max_list_len=None
+    )
+    shared = llm._ngram_truth_shared(spark, SF_DIR)
+    want = sorted(tuple(r) for r in direct.collect())
+    got = sorted(tuple(r) for r in shared.collect())
+    assert got == want
+    h0 = session_cache_hits()
+    again = llm._ngram_truth_shared(spark, SF_DIR)
+    assert session_cache_hits() == h0 + 1
+    assert again is shared
 
 
 def test_embedding_health_report_degenerate_rows_match_oracle(spark, tmp_path):
