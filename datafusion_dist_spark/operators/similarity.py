@@ -614,20 +614,21 @@ def _collect_codebook_batch(
     id_col: str,
     vec_col: str,
 ) -> list[list[tuple[int, list[float]]]]:
-    """Run ``n_rounds`` (1 or 2) Lloyd rounds in ONE action and return
-    their codebooks in order. Round A is the literal-codebook
+    """Run ``n_rounds`` Lloyd rounds in ONE action and return their
+    codebooks in order. Round A is the literal-codebook
     :func:`kmeans_refine_step` (seeded from vec_id < n_centroids when
-    ``param`` is None); round B (when requested) chains off round A's
+    ``param`` is None); each later round chains off its predecessor's
     aggregate through :func:`_kmeans_refine_dyn` — no driver sync
-    between the rounds. Round A's K×dim output is persisted for the
-    duration of the action: it has two consumers (the tagged union
-    carrying its codebook to the driver, and round B's broadcast
-    codebook build), and a broadcast branch's separate job does NOT
-    get exchange OR broadcast reuse (the r10 recompute-trap data
-    point, re-confirmed here: 0 ReusedExchange in both the union and
-    double-crossJoin shapes) — without the persist the round-A scorer
-    pass over the corpus executed twice per batch. The persist is
-    released before returning; only codebooks leave the function."""
+    between the rounds. Every chained-FROM K×dim aggregate is
+    persisted for the duration of the action: it has two consumers
+    (the tagged union carrying its codebook to the driver, and the
+    next round's broadcast codebook build), and a broadcast branch's
+    separate job does NOT get exchange OR broadcast reuse (the r10
+    recompute-trap data point, re-confirmed here: 0 ReusedExchange in
+    both the union and double-crossJoin shapes) — without the persist
+    each chained-from scorer pass over the corpus executed twice per
+    batch. The persists are released before returning; only codebooks
+    leave the function."""
     # Round A is ALWAYS the literal-codebook refine step (when starting,
     # its internal seed collect doubles as the persist-build trigger for
     # ``vecs`` — one cheap job over the cache). An in-plan seed variant
@@ -658,23 +659,27 @@ def _collect_codebook_batch(
             )
         return out
 
-    if n_rounds == 1:
-        return _assemble(
-            out_a.select(
-                F.lit(1).alias("r"), "cid", "dim", "centroid"
-            ).collect()
-        )
-    out_a = out_a.persist()
+    outs = [out_a]
+    persisted: list[DataFrame] = []
     try:
-        out_b = _kmeans_refine_dyn(vecs, _codebook_array(out_a), vec_col)
-        tagged = out_a.select(
+        while len(outs) < n_rounds:
+            prev = outs[-1].persist()
+            persisted.append(prev)
+            outs[-1] = prev
+            outs.append(
+                _kmeans_refine_dyn(vecs, _codebook_array(prev), vec_col)
+            )
+        tagged = outs[0].select(
             F.lit(1).alias("r"), "cid", "dim", "centroid"
-        ).unionByName(
-            out_b.select(F.lit(2).alias("r"), "cid", "dim", "centroid")
         )
+        for i, out in enumerate(outs[1:], start=2):
+            tagged = tagged.unionByName(
+                out.select(F.lit(i).alias("r"), "cid", "dim", "centroid")
+            )
         return _assemble(tagged.collect())
     finally:
-        out_a.unpersist()
+        for p in persisted:
+            p.unpersist()
 
 
 def kmeans_train(
@@ -737,23 +742,33 @@ def kmeans_train(
     # Batched driver protocol (VERDICT r11 task 1): the sequential loop
     # paid one action per round (plus a seed-collect job) and its cost
     # at any corpus size had become pure scheduler round-trips. Here
-    # each action computes TWO Lloyd rounds (round B chains off round
-    # A's aggregate in-plan via the dynamic-codebook scorer) and
-    # returns both codebooks; the driver replays the sequential
-    # convergence walk over them, so `rounds`, the parameterizing
-    # codebook, and the returned plan are IDENTICAL to the one-round-
-    # per-action loop: a codebook computed past the fixed point is
-    # discarded (a bit-exact fixed point is stable, so it equals its
-    # predecessor anyway), and when the previous codebook was EMPTY the
-    # sequential loop's next round is provably empty too, so the
-    # batch's chained output is overridden to [] rather than trusting
-    # the dynamic round's no-centroid sentinel groups.
+    # each action computes up to _BATCH_ROUNDS Lloyd rounds (each later
+    # round chains off its predecessor's aggregate in-plan via the
+    # dynamic-codebook scorer) and returns their codebooks; the driver
+    # replays the sequential convergence walk over them, so `rounds`,
+    # the parameterizing codebook, and the returned plan are IDENTICAL
+    # to the one-round-per-action loop: a codebook computed past the
+    # fixed point is discarded (a bit-exact fixed point is stable, so
+    # it equals its predecessor anyway), and when the previous codebook
+    # was EMPTY the sequential loop's next round is provably empty too,
+    # so the batch's chained output is overridden to [] rather than
+    # trusting the dynamic round's no-centroid sentinel groups.
+    #
+    # Batch size trades blocking driver syncs against overshoot (a
+    # fixed point landing mid-batch wastes the batch's remaining
+    # corpus passes) AND against in-plan chain depth: 3 rounds per
+    # action measured MORE jobs than 2 at the x3 corpus (19 vs 16;
+    # walls directionally worse too, within host scatter) — each extra
+    # chained round persists another K×dim aggregate whose cache
+    # materialization serializes the chain and adds AQE stages, so the
+    # saved driver sync is repaid with interest. 2 is the optimum.
+    _BATCH_ROUNDS = 2
     try:
         cbs: list[list] = []
         rounds = max_rounds
         stopped = False
         while len(cbs) < max_rounds - 1 and not stopped:
-            take = min(2, (max_rounds - 1) - len(cbs))
+            take = min(_BATCH_ROUNDS, (max_rounds - 1) - len(cbs))
             batch = _collect_codebook_batch(
                 vecs,
                 cbs[-1] if cbs else None,
